@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session defaults shared by Verify, Bench and tests.
+  *
+  * - shuffle.partitions sized to the local core count (not 200) — at
+  *   cluster scale this would be set per-job to ~2-3× total cores or left
+  *   to AQE coalescing.
+  * - AQE on: runtime re-planning (skew-join splitting, partition
+  *   coalescing) is part of the 100 TB design.
+  * - parquet nanosAsLong: the driver's `events` table carries
+  *   TIMESTAMP(NANOS) which Spark's vectorized reader rejects; reading as
+  *   epoch-nano longs keeps full precision (see EventQueries).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

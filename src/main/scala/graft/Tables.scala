@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared table loading + determinism helpers.
+  *
+  * All oracle-checked queries must produce bit-identical values on Spark and
+  * DuckDB. Floating-point SUM/AVG is order-dependent, so every monetary /
+  * fractional aggregate goes through an exact DECIMAL(18,2) accumulation and
+  * is cast back to DOUBLE only at the very end (both engines do the decimal
+  * sum exactly, so the final double is deterministic).
+  */
+object Tables {
+  /** Load one of the driver-generated testdata tables from `dir`. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact 2-decimal cast: inputs are 2-decimal doubles (TPC-H money style),
+    * so the round-trip double→decimal(18,2) is lossless in both engines. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Deterministic SUM over a 2-decimal double column → DOUBLE. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Deterministic AVG: exact decimal sum divided by count, in double.
+    * Matches `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)`. */
+  def davg(c: Column): Column = sum(dec2(c)).cast("double") / count(c)
+
+  /** Deterministic revenue-style SUM(price * (1 - discount)): both factors
+    * go exact-decimal before multiplying so the product (scale 4) and its
+    * sum are exact in both engines; only the final value becomes double. */
+  def dsumRevenue(price: Column, discount: Column): Column =
+    sum(dec2(price) * (lit(1) - dec2(discount))).cast("double")
+
+  /** Deterministic SUM(a * b) over two 2-decimal double columns. */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(dec2(a) * dec2(b)).cast("double")
+
+  /** DuckDB-side spelling of [[dsum]]. */
+  def sqlSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB-side spelling of [[dsumRevenue]]. */
+  def sqlSumRevenue(price: String, discount: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** DuckDB-side spelling of [[dsumProd]]. */
+  def sqlSumProd(a: String, b: String): String =
+    s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB-side spelling of [[davg]]. */
+  def sqlAvg(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x)"
+}

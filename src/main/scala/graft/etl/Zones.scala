@@ -1,0 +1,36 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Storage-zone IO (reference sinks K1–K7, SURVEY.md §2.2).
+  *
+  * The reference fans each stage out to local disk + S3 + MotherDuck; here
+  * every zone is a path prefix (s3a:// or file://) and the warehouse role
+  * is played by `saveAsTable` against the session catalog. Single-file
+  * parity (`COPY ... TO` one parquet) is opt-in via `singleFile` — never
+  * used on the hot path at scale (coalesce(1) serializes the write).
+  */
+object Zones {
+
+  /** K1/K2: raw-zone JSON landing. */
+  def writeRawJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K3/K4: parquet zone write. `partitionBy` is the scale path (e.g.
+    * ingest_date); `singleFile` reproduces the reference's one-file-per-
+    * table layout for small parity outputs. */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    val w = d.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** K5/K7: warehouse materialization (MotherDuck CTAS equivalent). */
+  def saveTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** S4/S5: parquet zone scan. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-partitioned groupBy on the key — the shuffle
+  *    carries (key-hash, id), not the documents.
+  *  - MinHash signatures are computed per-row inside codegen (no UDF, no
+  *    shuffle); LSH banding turns the O(n²) all-pairs problem into an
+  *    equi-join on (band, band-hash) buckets, so candidate generation is a
+  *    shuffle on bucket keys whose fan-out is bounded by bucket sizes.
+  *    Skewed buckets (boilerplate docs) should be capped or salted.
+  *  - Verification (true Jaccard / Hamming) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct `key`, keeping the smallest `idCol`
+    * as the canonical representative. Map-side partial aggregation makes the
+    * shuffle proportional to the number of *distinct* keys. */
+  def exactDedup(df: DataFrame, key: String, idCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature from a pre-hashed shingle array
+    * ([[TextOps.hashedShingles]]): `numHashes` affine permutations
+    * h_i(x) = (a_i·x + b_i) mod 2^31-1, minimized in a SINGLE pass with an
+    * array accumulator — one traversal of the shingles total, all integer
+    * arithmetic, ANSI-overflow-safe (products < 2^62). */
+  def minhashSignature(hashedShingles: Column, numHashes: Int): Column = {
+    val p = 2147483647L
+    val aConsts = array((0 until numHashes).map(i => lit((1103515245L + 2L * i) % p)): _*)
+    val bConsts = array((0 until numHashes).map(i => lit(12345L + i)): _*)
+    aggregate(hashedShingles, array_repeat(lit(p), numHashes),
+      (acc, h) => zip_with(acc,
+        zip_with(aConsts, bConsts, (a, b) => pmod(h * a + b, lit(p))),
+        (cur, cand) => least(cur, cand)))
+  }
+
+  /** LSH band keys from a minhash signature: splits the signature into
+    * `bands` bands of `rowsPerBand` and hashes each band. Two documents
+    * share a band key with probability ≈ 1-(1-j^r)^b for Jaccard j. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+
+  /** Candidate near-dup pairs via MinHash + LSH banding over `textCol`.
+    * Returns (id_a, id_b, jaccard_sim) with id_a < id_b, where jaccard_sim
+    * is the *signature* agreement ratio (an unbiased Jaccard estimate).
+    *
+    * The self-join is on (band, bucket) — at scale this is the only
+    * shuffle, and `distinct` on (id_a, id_b) dedups pairs found in
+    * multiple bands before the verify step.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 4,
+      minSim: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // persist: the signature table is referenced three times below (bucket
+    // derivation + both sides of the pair join); without caching the
+    // 32-hash minhash computation would run once per reference
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(TextOps.hashedShingles(col(textCol), shingleLen), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs
+      .withColumn("bk", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("bk"), col("doc_id"))
+    // Skew guard: a bucket of size s contributes s² candidate pairs. Giant
+    // buckets (boilerplate / tiny-vocab corpora) are non-discriminative —
+    // drop them; discrimination should come from more rows per band, not
+    // from verifying millions of low-quality candidates. This is the LSH
+    // equivalent of AQE's skew-join handling, applied semantically.
+    val okBuckets = buckets.groupBy("bk")
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
+      .select("bk")
+    val pruned = buckets.join(okBuckets, Seq("bk"))
+    // Candidate ids first (small rows), distinct, THEN attach signatures
+    // once per pair — the bucket join never carries the signature arrays.
+    val pairs = pruned.select(col("bk"), col("doc_id").as("id_a"))
+      .join(pruned.select(col("bk"), col("doc_id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minSim)
+  }
+
+  /** 60-bit SimHash of a token array: per-bit weighted sum of token hashes,
+    * sign-compressed. 60 bits so the positional reconstruction `acc*2+bit`
+    * never overflows a signed long under ANSI arithmetic. */
+  def simhash(tokensCol: Column, bits: Int = 60): Column = {
+    require(bits <= 60, "bits > 60 would overflow the long reconstruction")
+    val counters = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), bits),
+      (acc, t) => zip_with(acc,
+        array((0 until bits).map { i =>
+          when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1, lit(1L))
+            .otherwise(lit(-1L))
+        }: _*),
+        (a, b) => a + b))
+    // compress sign vector to a long, MSB-first
+    aggregate(reverse(counters), lit(0L),
+      (acc, c) => acc * 2 + when(c > 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** N-gram-Jaccard near-dup pairs: candidates from MinHash LSH, then exact
+    * Jaccard verification on the candidate pairs only. */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val cands = minhashNearDups(df, idCol, textCol, shingleLen, minSim = 0.3)
+    val sh = df.select(col(idCol), TextOps.wordShingles(col(textCol), shingleLen).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

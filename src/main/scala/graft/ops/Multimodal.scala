@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines. Media is carried as opaque `binary` columns plus a typed
+  * metadata struct; decode/feature-extract runs per-partition.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[decodeStub]] produces deterministic fake features from the
+  * bytes. Everything around it — schema, batch shape, partition-parallel
+  * execution, feature schema — is real and is exactly what a production
+  * decode (JNI/FFI or Pandas-UDF-style vectorized batch) would plug into.
+  *
+  * Scale notes: decode is the classic CPU-heavy map stage — no shuffle,
+  * scales with cores. Partition sizing should target the media payload
+  * (`spark.sql.files.maxPartitionBytes` small enough that a partition of
+  * blobs fits in memory), and the binary column should be pruned out of
+  * any plan that only needs metadata (columnar parquet does this for free).
+  */
+object Multimodal {
+
+  /** Metadata schema carried alongside every media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // png, wav, mp4, ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+  ))
+
+  /** Feature schema produced by the decode stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", StringType),
+    StructField("features", ArrayType(FloatType)),
+  ))
+
+  /** Wrap any DataFrame with an id + string payload column into the
+    * canonical media-table shape (binary payload + metadata struct). */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String = "image", format: String = "raw"): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit(mediaType).as("media_type"),
+        lit(format).as("format"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+
+  /** Pure-expression metadata pass (no decode): byte count + checksum.
+    * Stays in whole-stage codegen. */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      col("meta.media_type").as("media_type"))
+
+  /** The decode/feature-extract stage: partition-parallel over blobs,
+    * batch-shaped like a vectorized decode would be. The per-blob decode is
+    * a deterministic stand-in (first-64-bytes histogram normalized to
+    * [0,1]) — swap [[decodeStub]] for a real codec in production. */
+  def decodeFeatures(media: DataFrame, featureDim: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val feats = decodeStub(bytes, featureDim)
+          Row(id, bytes.length.toLong, checksumHex(bytes), feats)
+        }
+      }(enc)
+  }
+
+  /** Deterministic fake decode: byte-value histogram over `dim` buckets,
+    * L1-normalized. A real implementation would decode pixels/samples here. */
+  private[ops] def decodeStub(bytes: Array[Byte], dim: Int): Seq[Float] = {
+    val hist = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) % dim) += 1f
+      i += 1
+    }
+    val total = math.max(1f, bytes.length.toFloat)
+    hist.map(_ / total).toSeq
+  }
+
+  private def checksumHex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+}

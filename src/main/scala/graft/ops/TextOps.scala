@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, shingling and
+  * document fingerprinting.
+  *
+  * All operators are pure `Column` expressions built from
+  * `org.apache.spark.sql.functions` — they stay inside whole-stage codegen
+  * (no UDFs), are embarrassingly parallel (per-row, no shuffle), and scale
+  * linearly with data size: at 100 TB this is a single map stage over the
+  * parquet scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a document. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count: `length - length(without spaces) + 1` on the
+    * trimmed text (cheap; no array materialization). Empty text → 0. */
+  def tokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, lit(0))
+      .otherwise(length(t) - length(regexp_replace(t, " ", "")) + 1)
+  }
+
+  /** BPE-ish subword count estimate: word-boundary pieces plus an extra
+    * piece per 6 chars of long words (a common rule-of-thumb proxy). */
+  def subwordCountEstimate(text: Column): Column =
+    tokenCount(text) + coalesce(
+      aggregate(tokens(text), lit(0),
+        (acc, w) => acc + (length(w) / lit(6)).cast("int")), lit(0))
+
+  /** Default English-ish stopword list used by [[stopwordCount]]. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Number of tokens that are stopwords. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = Stopwords): Column =
+    coalesce(size(filter(tokens(text), t => t.isInCollection(stopwords))), lit(0))
+
+  /** Number of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\p{Punct}", ""))
+
+  /** Mean token length ×100, as an exact integer (deterministic across
+    * engines — no float division). */
+  def meanTokenLenX100(text: Column): Column = {
+    val t = trim(text)
+    // integer division (cast-truncate is exact here: int/int quotients are
+    // never within an ulp of the next integer unless exactly divisible)
+    when(tokenCount(text) === 0, lit(0L))
+      .otherwise(((length(regexp_replace(t, " ", "")).cast("long") * 100) /
+        tokenCount(text)).cast("long"))
+  }
+
+  /** Integer quality score in [0,100] from simple heuristics: token count
+    * band, stopword presence, punctuation ratio. Deliberately all-integer
+    * arithmetic so Spark and any SQL oracle agree bit-for-bit. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = when(nTok.between(20, 1000), lit(40))
+      .when(nTok.between(5, 19), lit(20)).otherwise(lit(0))
+    val stopScore = when(stopwordCount(text) * 10 >= nTok, lit(30))
+      .when(stopwordCount(text) > 0, lit(15)).otherwise(lit(0))
+    val punctScore = when(punctCount(text) * 4 <= length(text), lit(30)).otherwise(lit(0))
+    lenScore + stopScore + punctScore
+  }
+
+  /** N-gram-heuristic language guess. A real pipeline would use character
+    * n-gram profiles (or fastText); the *operator shape* is identical — a
+    * per-row CASE over substring features, fully codegen'd. */
+  def langGuess(text: Column): Column =
+    when(text.rlike("\\b(the|and|of|is)\\b"), lit("en"))
+      .when(text.rlike("\\b(der|und|die|das)\\b"), lit("de"))
+      .when(text.rlike("\\b(le|la|et|les)\\b"), lit("fr"))
+      .when(text.rlike("\\b(el|los|las|una)\\b"), lit("es"))
+      .otherwise(lit("und"))
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by a
+    * space). Documents shorter than n tokens yield their whole text as a
+    * single shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Character n-gram shingles over the whole text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = trim(text)
+    when(length(t) >= n,
+      transform(sequence(lit(0), length(t) - lit(n)),
+        i => t.substr(i + 1, lit(n))))
+      .otherwise(array(t))
+  }
+
+  /** Word n-gram shingles pre-hashed to longs in [0, 2^31-1): each token is
+    * xxhash64'd ONCE, then shingle hashes are polynomial combinations of n
+    * consecutive token hashes — no shingle strings are ever built. This is
+    * the hot input to MinHash: at 100 TB the per-row cost is one string
+    * hash per token + integer arithmetic, vs. hashing every shingle string
+    * once per hash function (32×) in the naive formulation. */
+  def hashedShingles(text: Column, n: Int): Column = {
+    val p = 2147483647L
+    val pows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % p).take(n).toSeq
+    val toksH = transform(tokens(text), t => pmod(xxhash64(t), lit(p)))
+    // Bind the token-hash array to a lambda variable (via transform over a
+    // 1-element wrapper) so it is computed ONCE per row — naively embedding
+    // it at each of the n term positions would re-evaluate it per shingle.
+    // Term products: elem < 2^31 times pow < 2^31 stays under 2^62 (ANSI-safe).
+    def shinglesOf(th: Column): Column =
+      when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - lit(n)), i =>
+          pmod((0 until n).map(k => try_element_at(th, i + lit(k + 1)) * lit(pows(k)))
+            .reduce(_ + _), lit(p))))
+        .otherwise(array(pmod(aggregate(th, lit(0L),
+          (acc, h) => acc * 31 % p + h), lit(p))))
+    try_element_at(transform(array(toksH), th => shinglesOf(th)), lit(1))
+  }
+
+  /** Polynomial rolling-hash fingerprint of a document (mod 2^31-1, so all
+    * intermediate products stay < 2^62 and never overflow even under ANSI
+    * arithmetic). Same recurrence as Rabin-Karp: h = h*31 + code(c) mod p. */
+  def fingerprint(text: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => pmod(h * 31 + coalesce(ascii(c).cast("long"), lit(0L)), lit(p)))
+  }
+
+  /** MinHash-style stable 31-bit hash of a string with a seed: mixes
+    * xxhash64 output into [0, 2^31-1). ANSI-overflow-safe. */
+  def stableHash31(c: Column, seed: Int): Column = {
+    val p = 2147483647L
+    // xxhash64 % p ∈ (-p, p); pmod → [0, p); affine mix per seed stays < 2^62
+    pmod(pmod(xxhash64(c), lit(p)) * lit((1103515245L + 2 * seed) % p) + lit(12345L + seed),
+      lit(p))
+  }
+}
