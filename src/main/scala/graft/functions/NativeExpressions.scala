@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot text-fingerprinting paths.
+  *
+  * The same operators exist as composed built-ins (TextOps.fingerprint,
+  * Dedup.simhash via higher-order functions), but higher-order lambdas
+  * (`aggregate`/`transform`) fall back to interpreted evaluation. These
+  * expressions run the per-row loop in one generated Java call — they stay
+  * inside whole-stage codegen via a static method invocation, the pattern
+  * Spark's own hash expressions use.
+  */
+object Hashing {
+
+  final val P31: Long = 2147483647L // 2^31 - 1
+
+  /** Rabin-Karp rolling hash of a UTF8 string, mod 2^31-1 (byte-level:
+    * deterministic, allocation-free; matches no oracle — it IS the spec). */
+  def rollingHash(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xffL)) % P31
+      i += 1
+    }
+    h
+  }
+
+  /** 60-bit SimHash over whitespace tokens: per-bit majority vote of
+    * xxhash64(token) bits. Single pass, no allocations beyond the counter
+    * array. */
+  def simHash60(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val str = s.toString
+    val counters = new Array[Int](60)
+    var start = 0
+    val len = str.length
+    while (start < len) {
+      while (start < len && Character.isWhitespace(str.charAt(start))) start += 1
+      var end = start
+      while (end < len && !Character.isWhitespace(str.charAt(end))) end += 1
+      if (end > start) {
+        val th = xx(str.substring(start, end))
+        var b = 0
+        while (b < 60) {
+          if (((th >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      start = end
+    }
+    var out = 0L
+    var b = 59
+    while (b >= 0) {
+      out = out * 2 + (if (counters(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    out
+  }
+
+  private def xx(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      u, org.apache.spark.sql.types.StringType, 42L)
+  }
+}
+
+/** `graft_fingerprint(text)`: native rolling-hash fingerprint. */
+case class RollingHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHashExpr = copy(c)
+}
+
+/** `graft_simhash(text)`: native 60-bit SimHash. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.simHash60(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simHash60($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
+}
+
+/** Column-API + SQL registration for the native expressions. The Column
+  * constructors go through the function registry + `call_function` (the
+  * public route to a custom Expression since Spark 4 hid Column(expr)),
+  * so [[register]] must run once per session — GraftSession does it. */
+object NativeFunctions {
+
+  def graft_fingerprint(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_fingerprint", c)
+  def graft_simhash(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash", c)
+
+  /** Register `graft_fingerprint` / `graft_simhash` in the session's
+    * function registry (Column API + spark.sql both resolve through it). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      exprs => RollingHashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashExpr(exprs.head), "scala_udf")
+  }
+}

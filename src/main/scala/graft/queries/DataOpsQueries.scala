@@ -187,10 +187,14 @@ object DataOpsQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash signatures (60-bit) of every document. */
+  /** SimHash signatures (60-bit) of every document, via the native
+    * codegen'd Catalyst expression (FunctionsSpec pins it equal to the
+    * composed higher-order-function formulation in Dedup.simhash). */
   val q41Simhash: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
     load(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash(TextOps.tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.graft_simhash(col("text")).as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -225,10 +229,13 @@ object DataOpsQueries {
     Multimodal.decodeFeatures(media).orderBy("media_id")
   }
 
-  /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1). */
+  /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1), via the
+    * native codegen'd expression. */
   val q46Fingerprint: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
     load(s, dir, "documents")
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.graft_fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.GraftSession
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    NativeFunctions.register(s)
+    s
+  }
+  val docs = "/root/testdata/sf0.001/documents.parquet"
+
+  test("native simhash equals the higher-order-function formulation") {
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"),
+        NativeFunctions.graft_simhash(col("text")).as("native"),
+        Dedup.simhash(TextOps.tokens(col("text"))).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native fingerprint equals the higher-order-function formulation on ASCII") {
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"),
+        NativeFunctions.graft_fingerprint(col("text")).as("native"),
+        TextOps.fingerprint(col("text")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("SQL registration: graft_* callable from spark.sql") {
+    NativeFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_fingerprint('abc') AS f, graft_simhash('a b c') AS s").head()
+    assert(r.getLong(0) == (("a".codePointAt(0) * 31L + 'b') * 31 + 'c') % 2147483647L)
+    assert(r.getLong(1) != 0L)
+  }
+
+  test("null input yields null (UnaryExpression null-intolerance)") {
+    val r = spark.sql("SELECT graft_fingerprint(CAST(NULL AS STRING))").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val df = spark.read.parquet(docs)
+      .select(NativeFunctions.graft_fingerprint(col("text")))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("WholeStageCodegen"), plan.take(500))
+    assert(plan.contains("Hashing.rollingHash"), "generated code should call the static helper")
+  }
+}
