@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Detection-quality tests for the dedup / similarity operators: plant
+  * known duplicates, require the detectors to find them (recall) without
+  * drowning them (precision is data-dependent for word-soup corpora, so
+  * the planted-pair recall is the hard assertion). */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+  val offset = 1000000L
+
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val withTwins = {
+    val twins = docs
+      .withColumn("doc_id", col("doc_id") + lit(offset))
+      .withColumn("text", concat(col("text"), lit(" twin")))
+    docs.unionByName(twins)
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val dup = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(offset)))
+    val kept = Dedup.exactDedup(dup, "text", "doc_id")
+    assert(kept.count() == docs.count())
+    // representative is the min id → all keep_ids are original ids
+    assert(kept.filter(col("keep_id") >= offset).count() == 0)
+    assert(kept.filter(col("n_copies") =!= 2).count() == 0)
+  }
+
+  test("minhash LSH finds nearly all planted near-dup pairs") {
+    val pairs = Dedup.minhashNearDups(withTwins, "doc_id", "text")
+      .filter(col("id_b") === col("id_a") + offset)
+    val n = docs.count()
+    assert(pairs.count() >= (n * 95) / 100, s"recall too low: ${pairs.count()}/$n")
+  }
+
+  test("ngram jaccard verification scores planted twins high") {
+    val verified = Dedup.ngramJaccardNearDups(withTwins, "doc_id", "text",
+      shingleLen = 3, minJaccard = 0.6)
+      .filter(col("id_b") === col("id_a") + offset)
+    val n = docs.count()
+    assert(verified.count() >= (n * 90) / 100)
+    assert(verified.agg(min("jaccard")).head().getDouble(0) >= 0.6)
+  }
+
+  test("simhash of identical texts is identical; hamming distance of twins is small") {
+    val sig = Dedup.simhash(TextOps.tokens(col("text")))
+    val a = docs.select(col("doc_id"), sig.as("s1"))
+    val b = withTwins.filter(col("doc_id") >= offset)
+      .select((col("doc_id") - offset).as("doc_id"), sig.as("s2"))
+    val joined = a.join(b, "doc_id")
+      .select(bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+    // appending one token flips few of the 60 bits
+    assert(joined.agg(avg("hamming")).head().getDouble(0) < 8.0)
+  }
+
+  test("brute-force ANN: self is top result, results sorted") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(top.head.getDouble(1) > 0.999)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("cosine near-dup pairs find planted identical vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(offset))
+    val pairs = Similarity.cosineNearDupPairs(emb.unionByName(twins),
+      "vec_id", "embedding", dim = 64, threshold = 0.999)
+      .filter(col("id_b") === col("id_a") + offset)
+    assert(pairs.count() == emb.count()) // identical vector → same bucket, cos=1
+  }
+
+  test("LSH ANN recall: top result matches brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, dim = 64, k = 5, bits = 6)
+      .collect()
+    assert(lsh.nonEmpty && lsh.head.getLong(0) == 3L)
+  }
+
+  test("multimodal decode: features are a normalized histogram; checksum matches md5") {
+    val media = Multimodal.asMediaTable(docs.limit(10), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 10)
+    feats.foreach { r =>
+      val f = r.getSeq[Float](3)
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0f) < 1e-3)
+    }
+    val metaChk = Multimodal.mediaStats(media).select("media_id", "checksum")
+    val decodeChk = Multimodal.decodeFeatures(media).select("media_id", "checksum")
+    assert(metaChk.except(decodeChk).count() == 0)
+  }
+
+  test("text metrics: deterministic and in range") {
+    val m = docs.select(
+      TextOps.tokenCount(col("text")).as("tc"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.langGuess(col("text")).as("lang"))
+    assert(m.filter(col("tc") <= 0).count() == 0)
+    assert(m.filter(col("q") < 0 || col("q") > 100).count() == 0)
+    assert(m.filter(!col("lang").isin("en", "de", "fr", "es", "und")).count() == 0)
+  }
+}
