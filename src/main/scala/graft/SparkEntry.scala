@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, DataOpsQueries, EventQueries}
+import graft.queries.{CoreQueries, DataOpsQueries, EventQueries, ExtendedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ DataOpsQueries.all ++ EventQueries.all
+    CoreQueries.all ++ DataOpsQueries.all ++ EventQueries.all ++ ExtendedQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ DataOpsQueries.oracles ++ EventQueries.oracles
+    CoreQueries.oracles ++ DataOpsQueries.oracles ++ EventQueries.oracles ++ ExtendedQueries.oracles
 }

@@ -1,0 +1,57 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+/** Raw-zone ingestion (reference S1/K1: ingestion/ingestion/raw/raw.py —
+  * Spotify REST client landing playlist JSON files).
+  *
+  * The HTTP fetch is driver-side and out of the engine's dataflow (the
+  * reference's too: requests → json.dump). The engine-facing contract is
+  * just "JSON documents appear in the raw zone"; [[SpotifyClient]]
+  * abstracts the fetch so tests (and this zero-egress environment) plug a
+  * deterministic fake while production wires an HTTP implementation with
+  * bearer auth + 401-refresh-retry (reference raw.py:68-99).
+  */
+object Ingest {
+
+  /** The fetch abstraction: playlist id → raw JSON document (the API
+    * response wrapped in a JSON array, like reference raw.py:125-126). */
+  trait SpotifyClient {
+    def fetchPlaylist(playlistId: String, limit: Int = 50): String
+  }
+
+  /** Deterministic fake for tests / offline runs. */
+  final class FakeSpotifyClient extends SpotifyClient {
+    override def fetchPlaylist(playlistId: String, limit: Int): String = {
+      val items = (1 to math.min(limit, 3)).map { i =>
+        s"""{"track": {"id": "${playlistId}_t$i", "name": "Track $i",
+           | "duration_ms": ${100000 + i}, "popularity": $i,
+           | "explicit": false, "track_number": $i,
+           | "album": {"id": "${playlistId}_al$i", "name": "Album $i",
+           |   "release_date": "2024-01-0$i", "release_date_precision": "day",
+           |   "total_tracks": 1},
+           | "artists": [{"id": "${playlistId}_ar$i", "name": "Artist $i"}]}}""".stripMargin
+      }.mkString(",")
+      s"""[{"id": "$playlistId", "name": "Playlist $playlistId",
+         | "description": "fake", "public": true,
+         | "owner": {"id": "owner"}, "followers": {"total": 1},
+         | "tracks": {"total": ${math.min(limit, 3)}, "items": [$items]}}]""".stripMargin
+    }
+  }
+
+  /** Filename sanitation, reference raw.py:285-286 (F6). */
+  def sanitize(playlistId: String): String =
+    playlistId.replace("?", "_").replace(":", "_")
+
+  /** Fetch each playlist and land it in the raw zone with the reference's
+    * naming scheme (playlist_{id}_{limit}.json). Returns written paths. */
+  def landPlaylists(client: SpotifyClient, playlistIds: Seq[String],
+      rawZone: String, limit: Int = 50): Seq[String] = {
+    Files.createDirectories(Paths.get(rawZone))
+    playlistIds.map { id =>
+      val path = Paths.get(rawZone, s"playlist_${sanitize(id)}_$limit.json")
+      Files.writeString(path, client.fetchPlaylist(id, limit))
+      path.toString
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utilities for the 100 TB path.
+  *
+  * AQE's skew-join splitting (on by default in GraftSession) handles most
+  * runtime skew for sort-merge joins. Salting is the *semantic* fallback
+  * when one side has pathological hot keys and the other side is small
+  * enough to replicate per salt — e.g. joining petabyte-scale events
+  * against a per-key dimension where 1% of keys carry 90% of rows.
+  */
+object Skew {
+
+  /** Salted equi-join: the skewed (big) side gets a random salt in
+    * [0, buckets); the small side is replicated `buckets` times via an
+    * exploded salt column; the join key becomes (key, salt), spreading
+    * each hot key over `buckets` reducers.
+    *
+    * Determinism note: the salt uses a hash of the whole row (not rand())
+    * so re-runs produce identical partitioning — important for retries
+    * and for the driver's hash-compare.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Repartition by key with an explicit partition count — the manual
+    * alternative to AQE coalescing when a downstream stage needs a known
+    * co-partitioning (e.g. to line up with bucketed storage). */
+  def coPartition(df: DataFrame, key: String, partitions: Int): DataFrame =
+    df.repartition(partitions, col(key))
+
+  /** Key-frequency profile: the first thing to look at when a join is
+    * slow — returns the heaviest keys and their share of rows. */
+  def keyProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") / lit(total.toDouble))
+      .orderBy(desc("n"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational surface beyond the reference's own operators
+  * (SURVEY.md §2.8 "built-ins when the surface is extended"): analytic
+  * windows, exact percentiles, pivot, array aggregation, regex extraction.
+  * All oracle-checked with deterministic values. */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** lag/lead/first/last analytic windows over each customer's orders. */
+  val q31LagLead: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont` — both exact, order-independent). */
+  val q32Percentile: Q = (s, dir) => {
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        // decimal-cast first (exact 2-decimal values), then double for the
+        // interpolation: DuckDB's QUANTILE_CONT on DECIMAL rounds to the
+        // decimal scale, so the quantile itself must run on DOUBLE
+        expr("percentile(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5)").as("median_qty"),
+        expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5)").as("median_price"),
+        expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95)").as("p95_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot (orderpriority × linestatus counts) — expressed as conditional
+    * aggregation so the Spark plan and DuckDB SQL match exactly. */
+  val q33Pivot: Q = (s, dir) => {
+    val o = load(s, dir, "orders")
+    val li = load(s, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+      .orderBy("o_orderpriority")
+  }
+
+  /** Array aggregation: sorted collect_list (deterministic) + array ops. */
+  val q34ArrayAgg: Q = (s, dir) => {
+    load(s, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .select(col("n_regionkey").cast("int").as("regionkey"),
+        size(col("nations")).as("n_nations"),
+        try_element_at(col("nations"), lit(1)).as("first_nation"),
+        array_join(col("nations"), ",").as("joined"))
+      .orderBy("regionkey")
+  }
+
+  /** Regex extraction + aggregation over part types. */
+  val q35Regexp: Q = (s, dir) => {
+    load(s, dir, "part")
+      .select(regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        col("p_retailprice"))
+      .groupBy("type_head")
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("type_head")
+  }
+
+  /** Multi-level join + conditional + date arithmetic (TPC-H Q5-like
+    * shape): revenue by nation for orders within one year. */
+  val q36RegionalRevenue: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+    val o = load(s, dir, "orders")
+    val c = load(s, dir, "customer")
+    val n = load(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < add_months(lit("1995-01-01").cast("date"), 12).cast("timestamp"))
+      .groupBy("n_name")
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q31_lag_lead" -> q31LagLead,
+    "q32_percentile" -> q32Percentile,
+    "q33_pivot" -> q33Pivot,
+    "q34_array_agg" -> q34ArrayAgg,
+    "q35_regexp" -> q35Regexp,
+    "q36_regional_revenue" -> q36RegionalRevenue,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |LAG(o_orderkey, 1) OVER w AS prev_order,
+        |LEAD(o_orderkey, 1) OVER w AS next_order,
+        |FIRST_VALUE(o_orderkey) OVER w AS first_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q32_percentile" ->
+      """SELECT l_returnflag,
+        |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_qty,
+        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
+        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_pivot" ->
+      """SELECT o_orderpriority,
+        |COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_array_agg" ->
+      """SELECT CAST(n_regionkey AS INT) AS regionkey,
+        |CAST(LEN(LIST_SORT(LIST(n_name))) AS INT) AS n_nations,
+        |LIST_SORT(LIST(n_name))[1] AS first_nation,
+        |ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS joined
+        |FROM nation GROUP BY n_regionkey ORDER BY 1""".stripMargin,
+    "q35_regexp" ->
+      s"""SELECT regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+         |COUNT(*) AS n, ${sqlSum("p_retailprice")} AS sum_price
+         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_regional_revenue" ->
+      s"""SELECT n_name,
+         |${sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+  )
+}
