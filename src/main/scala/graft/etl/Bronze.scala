@@ -32,6 +32,19 @@ object Bronze {
       .option("multiLine", true)
       .json(path)
 
+  /** S3-parity tolerant read: malformed documents land in
+    * `_corrupt_record` instead of failing the batch (the reference's
+    * chardet-decode-with-replacement fallback, bronze.py:51-60, expressed
+    * as Spark's PERMISSIVE mode). Callers split on
+    * `_corrupt_record IS NULL` to quarantine bad inputs. */
+  def readRawPermissive(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.rawPlaylistSchema.add("_corrupt_record", "string"))
+      .option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** All-string projection in the given column order (N8). */
   private def stringly(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(c => col(c).cast("string").as(c)): _*)

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index: vectors are
+  * assigned to their nearest centroid; a query probes only the `nProbe`
+  * closest centroid cells.
+  *
+  * This is the other scale path next to random-hyperplane LSH
+  * ([[Similarity.lshTopK]]): LSH is data-independent (no training, good
+  * for streaming ingest), IVF adapts to the data distribution (better
+  * recall/cell-size tradeoffs on clustered embeddings). At 100 TB the
+  * assignment is a map stage (broadcast centroids), the index is just a
+  * `centroid_id` column — ideally a partition column of the stored
+  * table so a probe prunes file listings, not only rows.
+  *
+  * Training uses k-means|| via Spark MLlib on a bounded sample with a
+  * fixed seed — deterministic and cheap relative to the corpus.
+  */
+object Ivf {
+
+  case class IvfModel(centroids: Array[Array[Double]]) {
+    def centroidCol: Column =
+      array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+  }
+
+  /** Train centroids on (a sample of) the vectors. */
+  def train(vectors: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+      maxSample: Int = 100000): IvfModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled = vectors.select(array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+      .limit(maxSample)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .fit(sampled)
+    IvfModel(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Nearest-centroid id for a vector column (squared-L2, computed as a
+    * codegen-friendly expression over the broadcast-literal centroids). */
+  def assign(model: IvfModel, vec: Column): Column = {
+    val dists = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(vec, c).as("d"), lit(i).as("i"))
+    }
+    array_min(array(dists: _*)).getField("i")
+  }
+
+  private def l2sq(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, array(centroid.map(lit(_)): _*),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Add the IVF cell id to a vector table (the "index build"). */
+  def index(model: IvfModel, vectors: DataFrame, vecCol: String): DataFrame =
+    vectors.withColumn("ivf_cell", assign(model, col(vecCol)))
+
+  /** Top-k by cosine probing only the `nProbe` cells nearest the query. */
+  def topK(model: IvfModel, indexed: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val qd = query.map(_.toDouble).toArray
+    val probeCells = model.centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    val q = array(query.map(lit(_)): _*)
+    indexed
+      .filter(col("ivf_cell").isInCollection(probeCells))
+      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), asc(idCol))
+      .limit(k)
+  }
+}

@@ -239,6 +239,17 @@ object DataOpsQueries {
       .orderBy("doc_id")
   }
 
+  /** IVF approximate NN (trained centroids + cell-probe; the adaptive
+    * counterpart to the LSH path in q43). */
+  val q48AnnIvf: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    val model = graft.ops.Ivf.train(emb, "embedding", k = 8)
+    val indexed = graft.ops.Ivf.index(model, emb, "embedding")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    graft.ops.Ivf.topK(model, indexed, "vec_id", "embedding", query, k = 10, nProbe = 2)
+  }
+
   /** Approximate distinct (HyperLogLog++) — sketch values are
     * engine-specific → rows-only. */
   val q47ApproxDistinct: Q = (s, dir) => {
@@ -266,5 +277,6 @@ object DataOpsQueries {
     "q45_decode_features" -> q45DecodeFeatures,
     "q46_fingerprint" -> q46Fingerprint,
     "q47_approx_distinct" -> q47ApproxDistinct,
+    "q48_ann_ivf" -> q48AnnIvf,
   )
 }

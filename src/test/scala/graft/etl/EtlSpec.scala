@@ -154,6 +154,21 @@ class EtlSpec extends AnyFunSuite {
     assert(twice.count() == 10) // duplicates preserved — reference re-run behavior
   }
 
+  test("permissive raw read quarantines malformed documents (S3 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    java.nio.file.Files.writeString(dir.resolve("good.json"), fixtureJson)
+    java.nio.file.Files.writeString(dir.resolve("bad.json"), "{not json at all")
+    // caching is required before filtering on only _corrupt_record
+    // (Spark disallows corrupt-record-only queries on the raw scan)
+    val df = Bronze.readRawPermissive(spark, dir.toString).cache()
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    val good = df.filter(col("_corrupt_record").isNull)
+    assert(bad.count() == 1)
+    assert(good.count() == 2) // the two fixture playlists
+    // and the strict reader still shreds the good subset identically
+    assert(Bronze.tracks(good.drop("_corrupt_record")).count() == 5)
+  }
+
   test("materializing pipeline writes all three zones") {
     val out = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val g = Pipeline.run(spark, rawPath, out, singleFile = true)
