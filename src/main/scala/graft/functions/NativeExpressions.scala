@@ -76,6 +76,7 @@ object Hashing {
 /** `graft_fingerprint(text)`: native rolling-hash fingerprint. */
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable // enables ConstantFolding
   override def nullSafeEval(v: Any): Any =
     Hashing.rollingHash(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -86,6 +87,7 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
 /** `graft_simhash(text)`: native 60-bit SimHash. */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable
   override def nullSafeEval(v: Any): Any =
     Hashing.simHash60(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

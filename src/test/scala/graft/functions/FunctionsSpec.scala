@@ -38,6 +38,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) != 0L)
   }
 
+  test("literal calls constant-fold at optimization time") {
+    NativeFunctions.register(spark)
+    val plan = spark.sql("SELECT graft_fingerprint('abc') AS f")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("rollinghash"), plan)
+  }
+
   test("null input yields null (UnaryExpression null-intolerance)") {
     val r = spark.sql("SELECT graft_fingerprint(CAST(NULL AS STRING))").head()
     assert(r.isNullAt(0))

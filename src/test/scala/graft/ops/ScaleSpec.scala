@@ -10,14 +10,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * mentioned in docs. */
 class ScaleSpec extends AnyFunSuite {
 
-  lazy val spark = {
-    val s = GraftSession.builder("4")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
-      .getOrCreate()
-    s
-  }
+  lazy val spark = GraftSession.builder("4").getOrCreate()
   val sf = "/root/testdata/sf0.001"
+
+  /** saveAsTable target dirs survive the JVM while the in-memory catalog
+    * does not — drop both the catalog entry and the orphan location. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
 
   test("salted join equals plain join (semantic no-op, distribution fix)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -54,6 +60,8 @@ class ScaleSpec extends AnyFunSuite {
       .select("l_orderkey", "l_quantity")
     val o = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice")
+    resetTable("b_lineitem")
+    resetTable("b_orders")
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("b_lineitem")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey")
