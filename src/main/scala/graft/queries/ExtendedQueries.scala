@@ -92,8 +92,61 @@ object ExtendedQueries {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** Math scalar surface: abs/round/floor/ceil/sqrt/ln/exp/pow over exact
+    * decimal inputs (transcendentals are IEEE-deterministic on the same
+    * double inputs in both engines). */
+  val q37Math: Q = (s, dir) => {
+    val li = load(s, dir, "lineitem")
+      .select(dec2(col("l_extendedprice")).cast("double").as("p"),
+        dec2(col("l_discount")).cast("double").as("d"),
+        col("l_returnflag"))
+    li.groupBy("l_returnflag")
+      .agg(
+        sum(floor(col("p"))).cast("long").as("sum_floor"),
+        sum(ceil(col("p"))).cast("long").as("sum_ceil"),
+        max(round(col("p") * col("d"), 1)).as("max_rounded"),
+        max(sqrt(col("p"))).as("max_sqrt"), // IEEE-exact, no rounding needed
+        // ln/pow go through libm, which may differ by an ulp across
+        // engines — round to 8 decimals for a stable compare
+        round(max(log(col("p") + 1)), 8).as("max_ln"),
+        round(max(pow(col("d"), 2)), 8).as("max_d2"),
+        min(abs(col("p") - 1000)).as("min_absdev"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Null-handling surface: nullif/ifnull/greatest/least/nvl2 semantics. */
+  val q38NullFuncs: Q = (s, dir) => {
+    val o = load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        dec2(col("o_totalprice")).cast("double").as("p"))
+    o.select(
+        coalesce(col("st"), lit("OPEN")).as("status"),
+        when(col("st").isNull, col("p")).otherwise(lit(0.0)).as("open_price"),
+        greatest(col("p"), lit(150000.0)).as("hi"),
+        least(col("p"), lit(150000.0)).as("lo"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("open_price"))).cast("double").as("sum_open"),
+        sum(dec2(col("hi"))).cast("double").as("sum_hi"),
+        sum(dec2(col("lo"))).cast("double").as("sum_lo"))
+      .orderBy("status")
+  }
+
+  /** split + explode (Generate) over free text: word frequencies. */
+  val q39SplitExplode: Q = (s, dir) => {
+    load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(15)
+  }
+
   val all: Map[String, Q] = Map(
     "q31_lag_lead" -> q31LagLead,
+    "q37_math" -> q37Math,
+    "q38_null_funcs" -> q38NullFuncs,
+    "q39_split_explode" -> q39SplitExplode,
     "q32_percentile" -> q32Percentile,
     "q33_pivot" -> q33Pivot,
     "q34_array_agg" -> q34ArrayAgg,
@@ -102,6 +155,30 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_math" ->
+      """WITH t AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS d, l_returnflag FROM lineitem)
+        |SELECT l_returnflag,
+        |CAST(SUM(FLOOR(p)) AS BIGINT) AS sum_floor,
+        |CAST(SUM(CEIL(p)) AS BIGINT) AS sum_ceil,
+        |MAX(ROUND(p * d, 1)) AS max_rounded,
+        |MAX(SQRT(p)) AS max_sqrt,
+        |ROUND(MAX(LN(p + 1)), 8) AS max_ln,
+        |ROUND(MAX(POW(d, 2)), 8) AS max_d2,
+        |MIN(ABS(p - 1000)) AS min_absdev
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_null_funcs" ->
+      """WITH t AS (SELECT NULLIF(o_orderstatus, 'O') AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p FROM orders)
+        |SELECT COALESCE(st, 'OPEN') AS status, COUNT(*) AS n,
+        |CAST(SUM(CAST(CASE WHEN st IS NULL THEN p ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_open,
+        |CAST(SUM(CAST(GREATEST(p, 150000.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_hi,
+        |CAST(SUM(CAST(LEAST(p, 150000.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_lo
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_split_explode" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 15""".stripMargin,
     "q31_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         |LAG(o_orderkey, 1) OVER w AS prev_order,
