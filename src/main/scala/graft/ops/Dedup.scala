@@ -124,16 +124,23 @@ object Dedup {
   }
 
   /** N-gram-Jaccard near-dup pairs: candidates from MinHash LSH, then exact
-    * Jaccard verification on the candidate pairs only. */
+    * Jaccard verification on the candidate pairs only. Verification runs on
+    * the PRE-HASHED shingle sets (long arrays, [[TextOps.hashedShingles]]):
+    * set intersection over longs instead of strings — same Jaccard up to
+    * negligible 31-bit hash collisions, a fraction of the compare cost, and
+    * the shuffle carries 8-byte elements instead of shingle text. */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minJaccard: Double = 0.6): DataFrame = {
     val cands = minhashNearDups(df, idCol, textCol, shingleLen, minSim = 0.3)
-    val sh = df.select(col(idCol), TextOps.wordShingles(col(textCol), shingleLen).as("sh"))
+    // persisted: referenced by both sides of the pair join
+    val sh = df.select(col(idCol),
+        array_distinct(TextOps.hashedShingles(col(textCol), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))).as("jaccard"))
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }
