@@ -33,4 +33,18 @@ object Zones {
   /** S4/S5: parquet zone scan. */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Generic format surface (csv/orc/json/parquet interchange). CSV gets
+    * headers; reads take an explicit schema — inference is never used on
+    * production paths. */
+  def write(df: DataFrame, path: String, format: String): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(path)
+  }
+
+  def read(spark: SparkSession, path: String, format: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val r = spark.read.schema(schema)
+    (if (format == "csv") r.option("header", "true") else r).format(format).load(path)
+  }
 }

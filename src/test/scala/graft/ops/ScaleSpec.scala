@@ -55,6 +55,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("format interchange: csv / orc / json round-trip the same rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars") // csv-safe columns (no free text)
+    Seq("csv", "orc", "json").foreach { fmt =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+      graft.etl.Zones.write(docs, out, fmt)
+      val back = graft.etl.Zones.read(spark, out, fmt, docs.schema)
+      assert(back.count() == docs.count(), fmt)
+      assert(back.except(docs).count() == 0, fmt)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
