@@ -142,8 +142,23 @@ object ExtendedQueries {
       .limit(15)
   }
 
+  /** As-of join (nearest-earlier signup for each purchase, per user) —
+    * composed from union + running last-ignoring-nulls window
+    * (graft.ops.AsOf); DuckDB verifies with its native ASOF JOIN. */
+  val q49AsofJoin: Q = (s, dir) => {
+    val ev = load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    graft.ops.AsOf.asofJoin(purchases, signups, "user_id", "ts", "ts", Seq("signup_id"))
+      .select("purchase_id", "user_id", "signup_id")
+      .orderBy("purchase_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q31_lag_lead" -> q31LagLead,
+    "q49_asof_join" -> q49AsofJoin,
     "q37_math" -> q37Math,
     "q38_null_funcs" -> q38NullFuncs,
     "q39_split_explode" -> q39SplitExplode,
@@ -155,6 +170,12 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, l.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+        |ON p.user_id = l.user_id AND p.ts >= l.ts
+        |ORDER BY purchase_id""".stripMargin,
     "q37_math" ->
       """WITH t AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p,
         |  CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS d, l_returnflag FROM lineitem)
