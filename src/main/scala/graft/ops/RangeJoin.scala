@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: match points to intervals `[lo, hi)` without the
+  * cross-product a naive theta-join plans (Spark turns a pure inequality
+  * join into BroadcastNestedLoopJoin — O(n·m) compares).
+  *
+  * The scale trick is binning: intervals register under every fixed-width
+  * bin they overlap, points under their own bin, and the join becomes an
+  * EQUI-join on the bin id followed by the exact predicate. Cost is
+  * O(points + intervals·span/bin + matches) with an ordinary hash-shuffle
+  * join — AQE/skew handling apply as usual. `binWidth` should be on the
+  * order of the typical interval span (wider ⇒ fewer duplicate interval
+  * registrations; narrower ⇒ fewer false bin-mates to filter).
+  */
+object RangeJoin {
+
+  /** Join `points` (value column `pt`) to `intervals` (columns `lo`,`hi`)
+    * on `lo <= pt < hi`. Returns all columns of both sides. */
+  def pointInInterval(points: DataFrame, pt: String,
+      intervals: DataFrame, lo: String, hi: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    val pBinned = points.withColumn("__bin", floor(col(pt) / binWidth).cast("long"))
+    val iBinned = intervals
+      .withColumn("__bin",
+        explode(sequence(floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    pBinned.join(iBinned, Seq("__bin"))
+      .filter(col(pt) >= col(lo) && col(pt) < col(hi))
+      .drop("__bin")
+  }
+}

@@ -156,9 +156,25 @@ object ExtendedQueries {
       .orderBy("purchase_id")
   }
 
+  /** Range join: events whose value falls in a price band around each
+    * part's retail price — bin-bucketed equi-join + exact filter
+    * (graft.ops.RangeJoin), NOT a BroadcastNestedLoopJoin. */
+  val q50RangeJoin: Q = (s, dir) => {
+    val points = load(s, dir, "events").select(col("event_id"), col("value"))
+    val bands = load(s, dir, "part")
+      .select(col("p_partkey"),
+        (dec2(col("p_retailprice")).cast("double") / 10 - 5).as("lo"),
+        (dec2(col("p_retailprice")).cast("double") / 10 + 5).as("hi"))
+    graft.ops.RangeJoin.pointInInterval(points, "value", bands, "lo", "hi", binWidth = 10.0)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("p_partkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q31_lag_lead" -> q31LagLead,
     "q49_asof_join" -> q49AsofJoin,
+    "q50_range_join" -> q50RangeJoin,
     "q37_math" -> q37Math,
     "q38_null_funcs" -> q38NullFuncs,
     "q39_split_explode" -> q39SplitExplode,
@@ -176,6 +192,14 @@ object ExtendedQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') l
         |ON p.user_id = l.user_id AND p.ts >= l.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q50_range_join" ->
+      s"""WITH bands AS (SELECT p_partkey,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 - 5 AS lo,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 + 5 AS hi
+         |  FROM part)
+         |SELECT p_partkey, COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+         |FROM events JOIN bands ON value >= lo AND value < hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_math" ->
       """WITH t AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p,
         |  CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS d, l_returnflag FROM lineitem)

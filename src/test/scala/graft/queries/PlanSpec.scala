@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q10_anti_join").contains("LeftAnti"), "anti")
   }
 
+  test("q50: range join plans as an equi-join, not a nested-loop") {
+    val p = plan("q50_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("entry: flagship query runs and returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
