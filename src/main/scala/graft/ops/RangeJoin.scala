@@ -18,17 +18,26 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join `points` (value column `pt`) to `intervals` (columns `lo`,`hi`)
-    * on `lo <= pt < hi`. Returns all columns of both sides. */
+    * on `lo <= pt < hi`. Returns all columns of both sides.
+    *
+    * `broadcastIntervals` (default true) broadcasts the binned interval
+    * side: bin ids are usually low-cardinality, so a shuffled hash join on
+    * them lands everything on a handful of reducers — a map-side broadcast
+    * join sidesteps that skew entirely. Set false only when the interval
+    * table is too large to broadcast (then pick a binWidth that spreads
+    * keys, and rely on AQE skew splitting).
+    */
   def pointInInterval(points: DataFrame, pt: String,
       intervals: DataFrame, lo: String, hi: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, broadcastIntervals: Boolean = true): DataFrame = {
     require(binWidth > 0)
     val pBinned = points.withColumn("__bin", floor(col(pt) / binWidth).cast("long"))
     val iBinned = intervals
       .withColumn("__bin",
         explode(sequence(floor(col(lo) / binWidth).cast("long"),
           floor(col(hi) / binWidth).cast("long"))))
-    pBinned.join(iBinned, Seq("__bin"))
+    val right = if (broadcastIntervals) broadcast(iBinned) else iBinned
+    pBinned.join(right, Seq("__bin"))
       .filter(col(pt) >= col(lo) && col(pt) < col(hi))
       .drop("__bin")
   }

@@ -163,18 +163,34 @@ object ExtendedQueries {
     val points = load(s, dir, "events").select(col("event_id"), col("value"))
     val bands = load(s, dir, "part")
       .select(col("p_partkey"),
-        (dec2(col("p_retailprice")).cast("double") / 10 - 5).as("lo"),
-        (dec2(col("p_retailprice")).cast("double") / 10 + 5).as("hi"))
-    graft.ops.RangeJoin.pointInInterval(points, "value", bands, "lo", "hi", binWidth = 10.0)
+        (dec2(col("p_retailprice")).cast("double") / 10 - 0.5).as("lo"),
+        (dec2(col("p_retailprice")).cast("double") / 10 + 0.5).as("hi"))
+    graft.ops.RangeJoin.pointInInterval(points, "value", bands, "lo", "hi", binWidth = 1.0)
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy("p_partkey")
+  }
+
+  /** Set operators (INTERSECT / EXCEPT): customers ordering in both
+    * halves of 1995 vs only the first half. */
+  val q51SetOps: Q = (s, dir) => {
+    val o = load(s, dir, "orders")
+    def half(from: String, to: String) =
+      o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp"))
+        .select("o_custkey")
+    val h1 = half("1995-01-01", "1995-07-01")
+    val h2 = half("1995-07-01", "1996-01-01")
+    h1.intersect(h2).select(lit("both").as("tag"), col("o_custkey"))
+      .unionByName(h1.except(h2).select(lit("h1_only").as("tag"), col("o_custkey")))
+      .orderBy("tag", "o_custkey")
   }
 
   val all: Map[String, Q] = Map(
     "q31_lag_lead" -> q31LagLead,
     "q49_asof_join" -> q49AsofJoin,
     "q50_range_join" -> q50RangeJoin,
+    "q51_set_ops" -> q51SetOps,
     "q37_math" -> q37Math,
     "q38_null_funcs" -> q38NullFuncs,
     "q39_split_explode" -> q39SplitExplode,
@@ -194,12 +210,21 @@ object ExtendedQueries {
         |ORDER BY purchase_id""".stripMargin,
     "q50_range_join" ->
       s"""WITH bands AS (SELECT p_partkey,
-         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 - 5 AS lo,
-         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 + 5 AS hi
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 - 0.5 AS lo,
+         |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 + 0.5 AS hi
          |  FROM part)
          |SELECT p_partkey, COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
          |FROM events JOIN bands ON value >= lo AND value < hi
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_set_ops" ->
+      """WITH h1 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'),
+        |h2 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+        |UNION ALL
+        |SELECT 'h1_only' AS tag, o_custkey FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q37_math" ->
       """WITH t AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p,
         |  CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS d, l_returnflag FROM lineitem)
