@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: SparkEntry is assembled by `++` over four
+  * query maps — a duplicated key would silently shadow a query, and an
+  * oracle without a query (or vice versa under a typo'd name) would turn
+  * a hash-check into a silent no-op. Pin both. */
+class ContractSpec extends AnyFunSuite {
+
+  test("no query-name collisions across the query modules") {
+    val sizes = Seq(CoreQueries.all, DataOpsQueries.all, EventQueries.all,
+      ExtendedQueries.all).map(_.size).sum
+    assert(SparkEntry.queries.size == sizes,
+      "a ++ merge dropped a duplicated query name")
+  }
+
+  test("every oracle key has a query implementation") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("oracle coverage: at least 40 SQL-checked queries") {
+    assert(SparkEntry.oracleSql.size >= 40)
+    assert(SparkEntry.queries.size >= 50)
+  }
+
+  test("oracle SQL only references driver-provided tables") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val lower = sql.toLowerCase
+      assert(tables.exists(lower.contains), s"$name references no known table")
+    }
+  }
+}
