@@ -61,13 +61,13 @@ object Dedup {
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 4,
       minSim: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persist: the signature table is referenced three times below (bucket
-    // derivation + both sides of the pair join); without caching the
-    // 32-hash minhash computation would run once per reference
-    val sigs = df.select(
+    // persisted via OpCaches (lifetime contract documented there): the
+    // signature table is referenced three times below (bucket derivation +
+    // both sides of the pair join); without caching the 32-hash minhash
+    // computation would run once per reference
+    val sigs = OpCaches.persist(df.select(
       col(idCol).as("doc_id"),
-      minhashSignature(TextOps.hashedShingles(col(textCol), shingleLen), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minhashSignature(TextOps.hashedShingles(col(textCol), shingleLen), numHashes).as("sig")))
     val buckets = sigs
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("bk"), col("doc_id"))
@@ -132,13 +132,43 @@ object Dedup {
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minJaccard: Double = 0.6): DataFrame = {
     val cands = minhashNearDups(df, idCol, textCol, shingleLen, minSim = 0.3)
-    // persisted: referenced by both sides of the pair join
-    val sh = df.select(col(idCol),
-        array_distinct(TextOps.hashedShingles(col(textCol), shingleLen)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted via OpCaches: referenced by both sides of the pair join
+    val sh = OpCaches.persist(df.select(col(idCol),
+      array_distinct(TextOps.hashedShingles(col(textCol), shingleLen)).as("sh")))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard pairs with SINGLE-permutation MinHash bucketing:
+    * candidates are documents agreeing on their lexicographic minimum
+    * shingle (= MinHash with one permutation, the identity ordering), then
+    * exact Jaccard verification over the distinct STRING shingles.
+    *
+    * This is the fully SQL-expressible sibling of
+    * [[ngramJaccardNearDups]]: the bucketing (`min(shingles)`), the verify
+    * (`|A∩B| / |A∪B|`) and the threshold all reproduce exactly in any
+    * engine with list functions — it carries shingle strings through the
+    * join instead of pre-hashed longs, so at 100 TB prefer the multi-band
+    * hashed variant; this one exists for cross-engine-verifiable exact
+    * semantics (and as the "verify" stage spec the hashed path must match
+    * up to 31-bit collisions).
+    *
+    * Plan shape: one groupBy profile on the min-shingle bucket + one
+    * equi-join shuffle on it — same skeleton as the banded LSH path. */
+  def minShingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = OpCaches.persist(df.select(
+      col(idCol).as("doc_id"),
+      array_distinct(TextOps.wordShingles(col(textCol), shingleLen)).as("sh"))
+      .withColumn("bucket", array_min(col("sh"))))
+    sh.select(col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

@@ -25,18 +25,42 @@ object Ivf {
       array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
   }
 
-  /** Train centroids on (a sample of) the vectors. */
+  /** Train centroids on a seeded, partition-parallel sample of the vectors.
+    *
+    * The sample uses `df.sample(fraction, seed)` — each partition filters
+    * its own rows with a seeded Bernoulli draw, so (unlike `limit(n)`,
+    * which funnels everything through one GlobalLimit partition and gives
+    * no determinism about WHICH rows survive) the sample is deterministic
+    * for a fixed input + seed and never concentrates on one executor. The
+    * one up-front `count()` is a metadata-cheap scan amortized over the
+    * model's lifetime — train once per corpus and reuse ([[trainCached]]). */
   def train(vectors: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
       maxSample: Int = 100000): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val n = vectors.count()
+    // 1.1 headroom keeps E[sample] ≥ maxSample when n >> maxSample; k-means
+    // only needs "about this many" rows, not an exact count
+    val fraction = if (n <= maxSample) 1.0 else math.min(1.0, 1.1 * maxSample / n)
     val sampled = vectors.select(array_to_vector(
         col(vecCol).cast("array<double>")).as("features"))
-      .limit(maxSample)
+      .sample(withReplacement = false, fraction, seed)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
       .fit(sampled)
     IvfModel(model.clusterCenters.map(_.toArray))
   }
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+
+  /** [[train]] memoized on a caller-supplied corpus key (e.g. the table
+    * path + k): the index model is built ONCE and reused across queries —
+    * retraining k-means inside every query would redo the corpus scan and
+    * can drift assignments between otherwise-identical probes. */
+  def trainCached(key: String, vectors: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, maxSample: Int = 100000): IvfModel =
+    modelCache.computeIfAbsent(s"$key|$vecCol|$k|$seed",
+      _ => train(vectors, vecCol, k, seed, maxSample))
 
   /** Nearest-centroid id for a vector column (squared-L2, computed as a
     * codegen-friendly expression over the broadcast-literal centroids). */

@@ -44,13 +44,13 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
-    * deterministic pseudo-random hyperplanes (seeded, data-independent).
-    * Hyperplane component j of plane i = hash31(i,j) mapped to [-1,1). */
-  def hyperplaneSignature(vecCol: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
-    val planes: Seq[Seq[Double]] = (0 until bits).map { i =>
+  /** The deterministic pseudo-random hyperplanes behind
+    * [[hyperplaneSignature]], exposed so an external oracle (e.g. DuckDB
+    * SQL with literal plane arrays) can reproduce the exact signatures.
+    * Component j of plane i = splitmix-style mix of (seed,i,j) → [-1,1). */
+  def hyperplanes(dim: Int, bits: Int, seed: Int = 42): Seq[Seq[Double]] =
+    (0 until bits).map { i =>
       (0 until dim).map { j =>
-        // splitmix-style deterministic mix → [-1, 1)
         var z = (seed.toLong * 0x9E3779B97F4A7C15L) + i.toLong * 0xBF58476D1CE4E5B9L + j.toLong * 0x94D049BB133111EBL
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -58,7 +58,11 @@ object Similarity {
         (z.toDouble / Long.MaxValue.toDouble)
       }
     }
-    val sigBits = planes.map { p =>
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
+    * the [[hyperplanes]] (seeded, data-independent). */
+  def hyperplaneSignature(vecCol: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
+    val sigBits = hyperplanes(dim, bits, seed).map { p =>
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(vecCol, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
     }
@@ -80,15 +84,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Signature width scaled to corpus size: targets ~2^bits buckets such
+    * that the mean bucket holds ~`targetBucket` vectors — candidate pairs
+    * then grow ~linearly in n instead of O(n²/2^bits) with a fixed width.
+    * Clamped to [4, 24] (beyond 24 bits the planes themselves dominate
+    * per-row cost; below 4 the buckets are non-discriminative). */
+  def bitsFor(n: Long, targetBucket: Int = 4): Int = {
+    val raw = math.ceil(math.log(math.max(n, 2).toDouble / targetBucket) / math.log(2)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** All near-duplicate embedding pairs by cosine ≥ threshold, bucketed by
-    * LSH signature so only same-bucket pairs are compared (the scale path;
-    * exact pairs above ~0.9 cosine almost always share an 8-bit bucket). */
+    * LSH signature so only same-bucket pairs are compared.
+    *
+    * Scale guards (mirrors [[Dedup.minhashNearDups]]):
+    *  - `bits <= 0` → auto-scale the signature width with the corpus size
+    *    via [[bitsFor]] (one approx count job), so bucket population stays
+    *    ~constant as n grows instead of pairs exploding O(n²/2^bits);
+    *  - buckets larger than `maxBucket` are dropped before the pair join —
+    *    a bucket of size s contributes s² candidates, and an over-full
+    *    bucket means the signature failed to discriminate there (near-dup
+    *    mining wants more bits, not a quadratic verify). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bits: Int = 8): DataFrame = {
-    val sigs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneSignature(col("v"), dim, bits))
-    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      dim: Int, threshold: Double, bits: Int = 0, maxBucket: Int = 4096): DataFrame = {
+    val nBits =
+      if (bits > 0) bits
+      else bitsFor(vectors.select(approx_count_distinct(col(idCol))).head().getLong(0))
+    // persisted via OpCaches (released by the caller after materialization):
+    // referenced by the bucket-size profile AND both sides of the pair join
+    val sigs = OpCaches.persist(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", hyperplaneSignature(col("v"), dim, nBits)))
+    val okBuckets = sigs.groupBy("bucket")
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
+      .select("bucket")
+    val pruned = sigs.join(okBuckets, Seq("bucket"))
+    val a = pruned.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = pruned.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine_sim"))

@@ -24,6 +24,16 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    // Replicating the small side per salt is only sound when unmatched
+    // SMALL-side rows never surface: a right/full outer join would emit
+    // each unmatched small row once PER SALT (`buckets` duplicate
+    // null-padded rows). Big-side-preserving types are fine — the big side
+    // carries exactly one salt per row.
+    val okTypes = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(okTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side " +
+        "rows (one per salt); use inner/left/left_semi/left_anti")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

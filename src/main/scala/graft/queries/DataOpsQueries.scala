@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
 object DataOpsQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Embedding dimensionality of the driver's `embeddings` table (fixed 64
+    * at every scale factor) — needed statically so the LSH oracle SQL can
+    * embed the hyperplane literals. */
+  val EmbeddingDim = 64
+
+  /** DuckDB spelling of [[graft.ops.Similarity.hyperplaneSignature]]: the
+    * sign bit of each plane-dot, packed MSB-first (plane 0 highest), with
+    * the plane constants inlined as double literals. Scala's Double.toString
+    * round-trips exactly, so the oracle sees bit-identical planes. */
+  private def sqlHyperplaneSig(vecExpr: String, dim: Int, bits: Int): String =
+    Similarity.hyperplanes(dim, bits).zipWithIndex.map { case (p, i) =>
+      val weight = 1L << (bits - 1 - i)
+      s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ",", "]")}) >= 0 THEN $weight ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB spelling of [[graft.ops.Similarity.cosine]] (list_dot_product
+    * is bit-exact vs Spark's sequential zip_with/aggregate fold — q26). */
+  private def sqlCosine(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   // ---------------------------------------------------------------- oracle
 
   /** Exact dedup via hash-groupBy (keep min id per distinct text), joined
@@ -166,9 +186,65 @@ object DataOpsQueries {
          |CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
          |${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' twin' AS text FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM base
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) >= 3
+        |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+        |      ELSE [array_to_string(t, ' ')] END) AS sh
+        |  FROM toks
+        |), bk AS (
+        |  SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM sh
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q43_ann_lsh" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)
+         |SELECT vec_id, ${sqlCosine("vv", "qv")} AS cosine_sim
+         |FROM v, q
+         |WHERE ${sqlHyperplaneSig("vv", EmbeddingDim, 6)} = ${sqlHyperplaneSig("qv", EmbeddingDim, 6)}
+         |ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q44_embed_neardup" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), sigs AS (
+         |  SELECT id, v, ${sqlHyperplaneSig("v", EmbeddingDim, 8)} AS bucket FROM base
+         |), ok AS (
+         |  SELECT bucket FROM sigs GROUP BY bucket HAVING COUNT(*) > 1 AND COUNT(*) <= 4096
+         |), pr AS (SELECT sigs.* FROM sigs JOIN ok USING (bucket))
+         |SELECT id_a, id_b, cosine_sim FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b, ${sqlCosine("a.v", "b.v")} AS cosine_sim
+         |  FROM pr a JOIN pr b ON a.bucket = b.bucket AND a.id < b.id)
+         |WHERE cosine_sim >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q46_fingerprint" ->
+      """SELECT doc_id,
+        |list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(text, '')],
+        |  (h, c) -> (h * 31 + c) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q47_approx_distinct" ->
+      """SELECT l_returnflag,
+        |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |TRUE AS parts_approx_ok, TRUE AS orders_approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
-  // ------------------------------------------------------------ rows-only
+  // ------------------- dedup / ANN queries (oracle or self-checking) ----
 
   /** Documents plus planted near-duplicate twins (one token appended, ids
     * offset by 1,000,000) — the detector must find the planted pairs. */
@@ -179,33 +255,59 @@ object DataOpsQueries {
     docs.unionByName(twins)
   }
 
-  /** MinHash + LSH near-dup candidate pairs on planted twins. */
+  /** MinHash + LSH near-dup detection, reported as a SELF-CHECKING planted-
+    * recall summary: the query emits its single summary row ONLY if the
+    * detector found ≥95% of the planted twin pairs (id, id+1,000,000) — an
+    * empty result therefore means a recall regression, which turns the
+    * driver's rows-only check into a real correctness gate. (The banded-LSH
+    * candidate set itself is not SQL-expressible, hence no value oracle.) */
   val q40MinhashNearDup: Q = (s, dir) => {
-    val docs = withPlantedTwins(load(s, dir, "documents"))
-    Dedup.minhashNearDups(docs, "doc_id", "text", shingleLen = 3,
-      numHashes = 32, bands = 4, minSim = 0.5)
-      .orderBy("id_a", "id_b")
+    val docs = load(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(withPlantedTwins(docs), "doc_id", "text",
+      shingleLen = 3, numHashes = 32, bands = 4, minSim = 0.5)
+    val stats = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
+        .as("n_planted_found"))
+    stats.crossJoin(docs.agg(count(lit(1)).as("n_planted")))
+      .withColumn("recall_x100",
+        (col("n_planted_found") * 100L / col("n_planted")).cast("long"))
+      .filter(col("recall_x100") >= 95)
+      .select("n_pairs", "n_planted", "n_planted_found", "recall_x100")
   }
 
-  /** SimHash signatures (60-bit) of every document, via the native
-    * codegen'd Catalyst expression (FunctionsSpec pins it equal to the
-    * composed higher-order-function formulation in Dedup.simhash). */
+  /** SimHash signatures (60-bit) via the native codegen'd Catalyst
+    * expression, CROSS-CHECKED in-query against the independent
+    * higher-order-function formulation ([[Dedup.simhash]]): rows survive
+    * the filter only where both agree, so the driver's rows-only count
+    * (= all documents) is itself the equivalence proof. xxhash64 is
+    * Spark-specific → no external SQL oracle is possible by definition. */
   val q41Simhash: Q = (s, dir) => {
     graft.functions.NativeFunctions.register(s)
     load(s, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.NativeFunctions.graft_simhash(col("text")).as("simhash"))
+        graft.functions.NativeFunctions.graft_simhash(col("text")).as("simhash"),
+        Dedup.simhash(TextOps.tokens(col("text"))).as("hof_simhash"))
+      .filter(col("simhash") === col("hof_simhash"))
+      .select("doc_id", "simhash")
       .orderBy("doc_id")
   }
 
-  /** Exact n-gram Jaccard verification over LSH candidates (planted twins). */
+  /** Exact n-gram Jaccard near-dup pairs with single-permutation MinHash
+    * bucketing ([[Dedup.minShingleJaccardPairs]]) — fully SQL-expressible
+    * (min-shingle bucket + |A∩B|/|A∪B| over string shingles), so this one
+    * has a true DuckDB value oracle. The banded multi-hash scale path
+    * (Dedup.ngramJaccardNearDups) is pinned by OpsSpec planted recall. */
   val q42NgramJaccard: Q = (s, dir) => {
     val docs = withPlantedTwins(load(s, dir, "documents"))
-    Dedup.ngramJaccardNearDups(docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
+    Dedup.minShingleJaccardPairs(docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH-bucketed approximate NN (scale path of q26). */
+  /** LSH-bucketed approximate NN (scale path of q26). The hyperplane
+    * signatures are deterministic literals ([[Similarity.hyperplanes]]), so
+    * the whole probe — bucketing included — replays exactly in DuckDB:
+    * a true value oracle for an ANN query. */
   val q43AnnLsh: Q = (s, dir) => {
     val emb = load(s, dir, "embeddings")
     val query = emb.filter(col("vec_id") === 0)
@@ -213,24 +315,40 @@ object DataOpsQueries {
     Similarity.lshTopK(emb, "vec_id", "embedding", query, dim = query.length, k = 10, bits = 6)
   }
 
-  /** Embedding-cosine near-dup pairs over planted identical twins. */
+  /** Embedding-cosine near-dup pairs over planted identical twins, with
+    * size-capped LSH buckets. Explicit bits=8 (not auto) so the DuckDB
+    * oracle can replay the identical bucketing from the plane literals. */
   val q44EmbedNearDup: Q = (s, dir) => {
     val emb = load(s, dir, "embeddings")
     val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
-    val dim = emb.select("embedding").head().getSeq[Float](0).length
     Similarity.cosineNearDupPairs(emb.unionByName(twins), "vec_id", "embedding",
-      dim = dim, threshold = 0.99, bits = 8)
+      dim = EmbeddingDim, threshold = 0.99, bits = 8, maxBucket = 4096)
       .orderBy("id_a", "id_b")
   }
 
-  /** Multimodal decode stage (stubbed codec, real plumbing). */
+  /** Multimodal decode stage (stubbed codec, real plumbing). The raw
+    * `features: array<float>` column is reduced to deterministic scalar
+    * stats (dim, first element, L1 mass — all stable: the stub decode is
+    * pure integer histogramming divided by a constant) so the result frame
+    * is sortable/hashable by any downstream comparator. */
   val q45DecodeFeatures: Q = (s, dir) => {
     val media = Multimodal.asMediaTable(load(s, dir, "documents"), "doc_id", "text")
-    Multimodal.decodeFeatures(media).orderBy("media_id")
+    Multimodal.decodeFeatures(media)
+      .select(col("media_id"), col("n_bytes"), col("checksum"),
+        size(col("features")).as("feat_dim"),
+        (try_element_at(col("features"), lit(1)).cast("double") * 1e6)
+          .cast("long").as("feat_first_x1e6"),
+        (aggregate(col("features"), lit(0.0), (a, v) => a + v.cast("double")) * 1e6)
+          .cast("long").as("feat_l1_x1e6"))
+      .orderBy("media_id")
   }
 
-  /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1), via the
-    * native codegen'd expression. */
+  /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1) via the
+    * native codegen'd expression. The recurrence is plain modular
+    * arithmetic, so DuckDB replays it with list_reduce over the character
+    * codes — a true value oracle for the native Expression. (The native
+    * path hashes UTF-8 BYTES, the oracle character codes; the corpus is
+    * verified ASCII-only, where the two coincide.) */
   val q46Fingerprint: Q = (s, dir) => {
     graft.functions.NativeFunctions.register(s)
     load(s, dir, "documents")
@@ -239,24 +357,43 @@ object DataOpsQueries {
       .orderBy("doc_id")
   }
 
-  /** IVF approximate NN (trained centroids + cell-probe; the adaptive
-    * counterpart to the LSH path in q43). */
+  /** IVF approximate NN with a planted identical twin of the query vector
+    * (id 1,000,000): the twin necessarily lands in the query's own nearest
+    * cell, so the probe MUST return it at cosine 1.0 — the query emits its
+    * rows only when it did, making the rows-only check a recall gate.
+    * The model is trained once per corpus and reused
+    * ([[graft.ops.Ivf.trainCached]]), not retrained per query. */
   val q48AnnIvf: Q = (s, dir) => {
     val emb = load(s, dir, "embeddings")
-    val model = graft.ops.Ivf.train(emb, "embedding", k = 8)
-    val indexed = graft.ops.Ivf.index(model, emb, "embedding")
+    val twin = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(1000000L))
+    val data = emb.unionByName(twin)
+    val model = graft.ops.Ivf.trainCached(s"$dir/embeddings", emb, "embedding", k = 8)
+    val indexed = graft.ops.Ivf.index(model, data, "embedding")
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
-    graft.ops.Ivf.topK(model, indexed, "vec_id", "embedding", query, k = 10, nProbe = 2)
+    val tk = graft.ops.Ivf.topK(model, indexed, "vec_id", "embedding", query, k = 10, nProbe = 2)
+    val check = tk.agg(max(when(col("vec_id") === 1000000L, 1).otherwise(0)).as("planted_found"))
+    tk.crossJoin(check).filter(col("planted_found") === 1).drop("planted_found")
   }
 
-  /** Approximate distinct (HyperLogLog++) — sketch values are
-    * engine-specific → rows-only. */
+  /** Approximate distinct (HyperLogLog++) next to the exact counts, with
+    * in-query tolerance verdicts: the exact counts + the booleans are
+    * engine-independent (the oracle asserts TRUE), so the sketch's accuracy
+    * contract — not its engine-specific estimate — is what gets checked.
+    * Tolerance 15%+10 ≈ 3σ of the default 5% rsd. */
   val q47ApproxDistinct: Q = (s, dir) => {
     load(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15 + 10)
+          .as("parts_approx_ok"),
+        (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.15 + 10)
+          .as("orders_approx_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -24,7 +24,14 @@ object ExtendedQueries {
   }
 
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
-    * `quantile_cont` — both exact, order-independent). */
+    * `quantile_cont` — both exact, order-independent).
+    *
+    * MEMORY CONTRACT: exact `percentile` is a TypedImperativeAggregate that
+    * buffers EVERY value of the group on the reducer — with few groups at
+    * 100 TB that is the whole column on a handful of executors. This query
+    * exists for cross-engine oracle parity; the scale path is
+    * [[q52ApproxPercentile]] (t-digest-style bounded sketch, constant
+    * memory per group, mergeable map-side). */
   val q32Percentile: Q = (s, dir) => {
     load(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -35,6 +42,32 @@ object ExtendedQueries {
         expr("percentile(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5)").as("median_qty"),
         expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5)").as("median_price"),
         expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95)").as("p95_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Approximate percentiles (the 100 TB twin of q32): bounded-memory,
+    * mergeable sketch instead of the full-column buffer. The sketch value
+    * is engine-specific, so the oracle checks the exact percentiles plus
+    * in-query tolerance verdicts (oracle asserts TRUE): the accuracy
+    * contract is verified, not the engine-specific estimate. Tolerance
+    * 5% + 1.0 absolute — approx_percentile returns an actual data element,
+    * so its gap from the interpolated exact value is bounded by the local
+    * data spacing plus the 1/accuracy rank error. */
+  val q52ApproxPercentile: Q = (s, dir) => {
+    val qty = "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)"
+    val price = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)"
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr(s"percentile($qty, 0.5)").as("median_qty"),
+        expr(s"percentile($price, 0.95)").as("p95_price"),
+        expr(s"approx_percentile($qty, 0.5, 10000)").as("aq"),
+        expr(s"approx_percentile($price, 0.95, 10000)").as("ap"))
+      .select(col("l_returnflag"), col("median_qty"), col("p95_price"),
+        (abs(col("aq") - col("median_qty")) <= abs(col("median_qty")) * 0.05 + 1.0)
+          .as("qty_approx_ok"),
+        (abs(col("ap") - col("p95_price")) <= abs(col("p95_price")) * 0.05 + 1.0)
+          .as("price_approx_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -195,6 +228,7 @@ object ExtendedQueries {
     "q38_null_funcs" -> q38NullFuncs,
     "q39_split_explode" -> q39SplitExplode,
     "q32_percentile" -> q32Percentile,
+    "q52_approx_percentile" -> q52ApproxPercentile,
     "q33_pivot" -> q33Pivot,
     "q34_array_agg" -> q34ArrayAgg,
     "q35_regexp" -> q35Regexp,
@@ -262,6 +296,12 @@ object ExtendedQueries {
         |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_qty,
         |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
         |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_approx_percentile" ->
+      """SELECT l_returnflag,
+        |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_qty,
+        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price,
+        |TRUE AS qty_approx_ok, TRUE AS price_approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_pivot" ->
       """SELECT o_orderpriority,

@@ -175,4 +175,40 @@ class EtlSpec extends AnyFunSuite {
     assert(g("fact_playlist_tracks").count() == 3)
     assert(new java.io.File(s"$out/silver/tracks").exists())
   }
+
+  // ------------------------------------------------------- golden-file E2E
+
+  /** Row-for-row diff against the reference's CHECKED-IN artifacts
+    * (SURVEY §5.2-1): the real Top-50 playlist snapshot shredded by OUR
+    * bronze must equal the reference's own bronze parquet byte-for-byte on
+    * values — the one true parity witness for N2–N8 (defaults, first-artist
+    * fact key, 65-vs-50 artist cardinality, stringly bronze regime). */
+  test("golden E2E: reference raw snapshot → bronze/silver equals reference parquet") {
+    val refData = "/root/reference/data"
+    val rawJson =
+      s"$refData/raw/playlist_37i9dQZEVXbMDoHDwVN2tF_si=e8e1e56d145e4f9b_20.json"
+    assume(new java.io.File(rawJson).exists(), "reference snapshot not present")
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Seq[Seq[String]] =
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => if (r.isNullAt(i)) "∅" else r.getString(i)))
+        .toSeq.sortBy(_.mkString(""))
+
+    val raw = Bronze.readRaw(spark, rawJson)
+    val ourBronze = Bronze.shred(raw)
+    val ourSilver = Silver.projectAll(ourBronze)
+
+    for ((table, ours) <- Seq(
+        ("playlists", 1), ("tracks", 50), ("albums", 50), ("artists", 65))) {
+      val cols = Silver.columns(table)
+      for ((zone, zoneFrames) <- Seq("bronze" -> ourBronze, "silver" -> ourSilver)) {
+        val expected = spark.read.parquet(s"$refData/$zone/$table.parquet")
+        assert(expected.columns.toSeq == cols, s"$zone/$table column order")
+        val exp = rowsOf(expected, cols)
+        val got = rowsOf(zoneFrames(table), cols)
+        assert(got.size == ours, s"$zone/$table row count")
+        assert(got == exp, s"$zone/$table rows differ from reference artifact")
+      }
+    }
+  }
 }

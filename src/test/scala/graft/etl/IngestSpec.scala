@@ -18,6 +18,61 @@ class IngestSpec extends AnyFunSuite {
     assert(bronze("tracks").count() == 9) // fake emits 3 tracks per playlist
   }
 
+  /** Scripted transport: pops one canned response per request, records the
+    * request log for assertions. */
+  private class StubTransport(script: SpotifyHttp.Response*) extends SpotifyHttp.Transport {
+    private val queue = scala.collection.mutable.Queue(script: _*)
+    val log = scala.collection.mutable.ArrayBuffer.empty[(String, String, Map[String, String])]
+    private def next(kind: String, url: String, headers: Map[String, String]) = {
+      log += ((kind, url, headers))
+      queue.dequeue()
+    }
+    override def get(url: String, headers: Map[String, String]) = next("GET", url, headers)
+    override def postForm(url: String, headers: Map[String, String], body: String) =
+      next("POST", url, headers)
+  }
+
+  private def tok(t: String) = SpotifyHttp.Response(200, s"""{"access_token": "$t"}""")
+
+  test("HttpSpotifyClient: bearer auth + single 401-refresh-retry") {
+    val transport = new StubTransport(
+      tok("t1"),                                   // initial client-credentials grant
+      SpotifyHttp.Response(401, "expired"),        // first GET rejected
+      tok("t2"),                                   // refresh grant
+      SpotifyHttp.Response(200, """{"id": "pl1"}""")) // retried GET succeeds
+    val client = new SpotifyHttp.HttpSpotifyClient(transport, "cid", "secret")
+    assert(client.fetchPlaylist("pl1") == """[{"id": "pl1"}]""") // array-wrapped
+    assert(client.tokenRefreshCount == 2)
+    val kinds = transport.log.map(_._1)
+    assert(kinds == Seq("POST", "GET", "POST", "GET"))
+    // grant carries Basic auth of clientId:clientSecret; retry carries the NEW token
+    val basic = java.util.Base64.getEncoder.encodeToString("cid:secret".getBytes)
+    assert(transport.log(0)._3("Authorization") == s"Basic $basic")
+    assert(transport.log(1)._3("Authorization") == "Bearer t1")
+    assert(transport.log(3)._3("Authorization") == "Bearer t2")
+  }
+
+  test("HttpSpotifyClient: persistent 401 fails after one retry (no loop)") {
+    val transport = new StubTransport(
+      tok("t1"), SpotifyHttp.Response(401, "no"), tok("t2"), SpotifyHttp.Response(401, "still no"))
+    val client = new SpotifyHttp.HttpSpotifyClient(transport, "cid", "secret")
+    intercept[SpotifyHttp.AuthException](client.fetchPlaylist("pl1"))
+    assert(transport.log.size == 4) // exactly one refresh+retry, then give up
+  }
+
+  test("HttpSpotifyClient: paged fetch follows next links and stops at null") {
+    val transport = new StubTransport(
+      tok("t1"),
+      SpotifyHttp.Response(200, """{"items": [1], "next": "https://api.spotify.com/v1/x?offset=100"}"""),
+      SpotifyHttp.Response(200, """{"items": [2], "next": null}"""))
+    val client = new SpotifyHttp.HttpSpotifyClient(transport, "cid", "secret")
+    val pages = client.fetchPaged("x")
+    assert(pages.startsWith("[{\"items\": [1]"))
+    assert(pages.contains("\"items\": [2]"))
+    assert(transport.log.count(_._1 == "GET") == 2)
+    assert(transport.log.last._2.endsWith("offset=100"))
+  }
+
   test("GraftExtensions registers without error and its expressions evaluate") {
     // a full --conf spark.sql.extensions integration needs a fresh JVM
     // (getOrCreate reuses the suite-shared session); exercise the wiring

@@ -32,4 +32,50 @@ class IvfSpec extends AnyFunSuite {
     val a2 = Ivf.index(m2, emb, "embedding").select("vec_id", "ivf_cell")
     assert(a1.except(a2).count() == 0)
   }
+
+  test("trainCached trains once per corpus key and reuses the model") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val m1 = Ivf.trainCached("ivfspec-corpus", emb, "embedding", k = 4)
+    val m2 = Ivf.trainCached("ivfspec-corpus", emb, "embedding", k = 4)
+    assert(m1 eq m2) // same instance — no retrain on the second call
+    val m3 = Ivf.trainCached("ivfspec-corpus", emb, "embedding", k = 5)
+    assert(!(m3 eq m1)) // different params → different cache slot
+  }
+
+  test("training sample is partition-parallel (no GlobalLimit funnel)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // probe the plan Ivf.train builds for an oversized corpus by replaying
+    // its sampling expression: sample() must appear, limit must not
+    val sampled = emb.select(col("embedding")).sample(withReplacement = false, 0.5, 42L)
+    val plan = sampled.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("Sample"), plan)
+    assert(!plan.contains("GlobalLimit"), plan)
+    // and the train path no longer funnels through limit(maxSample)
+    // (topK's limit(k) is a TakeOrderedAndProject — different, fine)
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/ops/Ivf.scala")))
+    assert(!src.contains("limit(maxSample)"), "Ivf.train must sample, not limit")
+    assert(src.contains(".sample(withReplacement"), "Ivf.train should use seeded sample()")
+  }
+
+  /** The 100 TB probe story: `ivf_cell` as a PARTITION COLUMN means a cell
+    * probe prunes whole files/directories from the listing — the scan never
+    * touches the other cells' data. */
+  test("ivf_cell partition column → cell probe prunes partitions") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Ivf.trainCached("ivfspec-prune", emb, "embedding", k = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    Ivf.index(model, emb, "embedding")
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(out)
+    // one directory per cell on disk
+    val cellDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("ivf_cell="))
+    assert(cellDirs.length == model.centroids.length)
+    val probed = spark.read.parquet(out).filter(col("ivf_cell") === 2)
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(ivf_cell"), plan)
+    assert(probed.count() ==
+      Ivf.index(model, emb, "embedding").filter(col("ivf_cell") === 2).count())
+  }
 }

@@ -77,6 +77,49 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.count() == emb.count()) // identical vector → same bucket, cos=1
   }
 
+  test("cosine near-dup: maxBucket cap stops quadratic blowup on degenerate corpora") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val hot = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    // pathological corpus: 2000 IDENTICAL vectors (one LSH bucket) planted
+    // among the real ones → ~2M same-bucket pairs if uncapped
+    val hotCol = array(hot.map(v => lit(v)): _*)
+    val clones = spark.range(2000000L, 2002000L)
+      .select(col("id").as("vec_id"), hotCol.cast("array<float>").as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    val capped = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      dim = 64, threshold = 0.999, bits = 8, maxBucket = 100)
+    // the degenerate bucket (2000 > maxBucket) is dropped entirely: no pair
+    // references a clone id, and the pair count stays far below the ~2M blowup
+    assert(capped.filter(col("id_a") >= 2000000L || col("id_b") >= 2000000L).count() == 0)
+    assert(capped.count() < 10000)
+    OpCaches.releaseAll()
+  }
+
+  test("cosine near-dup: auto signature width scales with corpus size") {
+    assert(Similarity.bitsFor(1000) == 8)
+    assert(Similarity.bitsFor(1000000) == 18)
+    assert(Similarity.bitsFor(1000000000L) == 24) // clamped ceiling
+    assert(Similarity.bitsFor(1) == 4)            // clamped floor
+    // auto mode (bits=0) still finds planted identical twins
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(offset))
+    val pairs = Similarity.cosineNearDupPairs(emb.unionByName(twins),
+      "vec_id", "embedding", dim = 64, threshold = 0.999)
+      .filter(col("id_b") === col("id_a") + offset)
+    assert(pairs.count() == emb.count())
+    OpCaches.releaseAll()
+  }
+
+  test("OpCaches: operators register their persisted frames; release empties it") {
+    OpCaches.releaseAll()
+    val before = OpCaches.registeredCount
+    assert(before == 0)
+    Dedup.minhashNearDups(withTwins, "doc_id", "text").count()
+    assert(OpCaches.registeredCount > 0)
+    OpCaches.releaseAll()
+    assert(OpCaches.registeredCount == 0)
+  }
+
   test("LSH ANN recall: top result matches brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)

@@ -37,6 +37,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("salted join rejects small-side-preserving join types") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val su = spark.read.parquet(s"$sf/supplier.parquet")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    // right/full would emit unmatched small-side rows once per salt
+    intercept[IllegalArgumentException](Skew.saltedJoin(li, su, "l_suppkey", joinType = "right"))
+    intercept[IllegalArgumentException](Skew.saltedJoin(li, su, "l_suppkey", joinType = "full_outer"))
+    // big-side-preserving types pass the guard
+    assert(Skew.saltedJoin(li, su, "l_suppkey", joinType = "left_semi").columns.nonEmpty)
+  }
+
   test("key profile surfaces the heaviest keys") {
     val prof = Skew.keyProfile(
       spark.read.parquet(s"$sf/lineitem.parquet"), "l_suppkey", topK = 3).collect()
