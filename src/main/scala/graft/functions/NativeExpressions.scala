@@ -71,6 +71,56 @@ object Hashing {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       u, org.apache.spark.sql.types.StringType, 42L)
   }
+
+  /** Dot product of two double arrays, accumulated left-to-right — the
+    * SAME sequential fold as the composed `aggregate(zip_with(...))`
+    * formulation (Similarity.dotHof) and as DuckDB's list_dot_product, so
+    * all three agree bit-for-bit. The HOF formulation pays interpreted
+    * lambda evaluation per element; this is one compiled loop. */
+  def dotProduct(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(s"dot: length mismatch $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Word n-gram shingles in one compiled loop (semantics identical to the
+    * composed TextOps.wordShingles: whitespace tokens of the trimmed text,
+    * n consecutive tokens joined by a single space; texts shorter than n
+    * tokens yield one whole-text shingle). The HOF formulation walks the
+    * token array through interpreted lambda evaluation per element — this
+    * runs ~10× faster and stays inside whole-stage codegen. */
+  def wordShingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    val str = s.toString.trim
+    val toks: Array[String] = if (str.isEmpty) Array("") else str.split("\\s+")
+    val out: Array[AnyRef] =
+      if (toks.length >= n) {
+        val arr = new Array[AnyRef](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks(i + k))
+            k += 1
+          }
+          arr(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        arr
+      } else Array[AnyRef](UTF8String.fromString(toks.mkString(" ")))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `graft_fingerprint(text)`: native rolling-hash fingerprint. */
@@ -95,6 +145,36 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
 }
 
+/** `graft_word_shingles(text, n)`: native word n-gram shingling. */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle length must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+}
+
+/** `graft_dot(a, b)`: native sequential dot product over double arrays. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def foldable: Boolean = left.foldable && right.foldable
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.dotProduct(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.dotProduct($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProductExpr = copy(left = l, right = r)
+}
+
 /** Column-API + SQL registration for the native expressions. The Column
   * constructors go through the function registry + `call_function` (the
   * public route to a custom Expression since Spark 4 hid Column(expr)),
@@ -105,6 +185,11 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_fingerprint", c)
   def graft_simhash(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash", c)
+  def graft_word_shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_word_shingles",
+      c, org.apache.spark.sql.functions.lit(n))
+  def graft_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
 
   /** Register `graft_fingerprint` / `graft_simhash` in the session's
     * function registry (Column API + spark.sql both resolve through it). */
@@ -114,5 +199,10 @@ object NativeFunctions {
       exprs => RollingHashExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      exprs => WordShinglesExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }

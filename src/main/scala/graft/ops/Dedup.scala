@@ -161,16 +161,28 @@ object Dedup {
     * equi-join shuffle on it — same skeleton as the banded LSH path. */
   def minShingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // native codegen'd shingling (FunctionsSpec pins it == the composed
+    // TextOps.wordShingles HOF, which evaluates interpreted and ~10× slower)
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    val shingles = graft.functions.NativeFunctions
+      .graft_word_shingles(col(textCol), shingleLen)
     val sh = OpCaches.persist(df.select(
       col(idCol).as("doc_id"),
-      array_distinct(TextOps.wordShingles(col(textCol), shingleLen)).as("sh"))
+      array_distinct(shingles).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
       .withColumn("bucket", array_min(col("sh"))))
-    sh.select(col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      .join(sh.select(col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
-        Seq("bucket"))
+    // per-pair cost: ONE array_intersect; |A∪B| = |A|+|B|-|A∩B| from the
+    // precomputed set sizes (array_union would build the union array just
+    // to measure it — twice the set-op work for the same integer)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    sh.select(col("bucket"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"), col("n_sh").as("n_a"))
+      .join(sh.select(col("bucket"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b"), col("n_sh").as("n_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (inter.cast("double") / (col("n_a") + col("n_b") - inter).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -84,6 +84,8 @@ object Ivf {
   /** Top-k by cosine probing only the `nProbe` cells nearest the query. */
   def topK(model: IvfModel, indexed: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    // Similarity.cosine resolves through the graft_dot native expression
+    graft.functions.NativeFunctions.register(indexed.sparkSession)
     val qd = query.map(_.toDouble).toArray
     val probeCells = model.centroids.zipWithIndex
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i) }

@@ -21,11 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double in
-    * index order (deterministic). */
+  /** Dot product of two float/double-array columns, accumulated in double
+    * in index order (deterministic): the native codegen'd expression
+    * ([[graft.functions.DotProductExpr]] — one compiled loop, bit-identical
+    * to [[dotHof]] and to DuckDB's list_dot_product). Requires
+    * `NativeFunctions.register` on the session (GraftSession.local does it;
+    * every operator entry point in this object re-registers defensively). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.graft_dot(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** The composed higher-order-function formulation of [[dot]] — the
+    * readable spec the native expression is pinned against
+    * (FunctionsSpec); interpreted, so not on the hot path. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  private def registerNatives(df: DataFrame): Unit =
+    graft.functions.NativeFunctions.register(df.sparkSession)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -37,6 +51,7 @@ object Similarity {
     * Compiles to scan → project(score) → TakeOrderedAndProject. */
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
+    registerNatives(vectors)
     val q = array(query.map(v => lit(v)): _*)
     vectors
       .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
@@ -74,6 +89,7 @@ object Similarity {
     * cosine within the bucket. `bits` trades recall for bucket size. */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], dim: Int, k: Int, bits: Int = 8): DataFrame = {
+    registerNatives(vectors)
     val q = array(query.map(v => lit(v)): _*)
     val querySig = hyperplaneSignature(q, dim, bits)
     vectors
@@ -107,6 +123,7 @@ object Similarity {
     *    mining wants more bits, not a quadratic verify). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 0, maxBucket: Int = 4096): DataFrame = {
+    registerNatives(vectors)
     val nBits =
       if (bits > 0) bits
       else bitsFor(vectors.select(approx_count_distinct(col(idCol))).head().getLong(0))

@@ -278,17 +278,21 @@ object DataOpsQueries {
 
   /** SimHash signatures (60-bit) via the native codegen'd Catalyst
     * expression, CROSS-CHECKED in-query against the independent
-    * higher-order-function formulation ([[Dedup.simhash]]): rows survive
-    * the filter only where both agree, so the driver's rows-only count
-    * (= all documents) is itself the equivalence proof. xxhash64 is
-    * Spark-specific → no external SQL oracle is possible by definition. */
+    * higher-order-function formulation ([[Dedup.simhash]]) on a 5%
+    * deterministic sample (doc_id % 20 — the HOF path evaluates
+    * interpreted, so checking every row would dominate the runtime; the
+    * full-corpus equivalence is pinned by FunctionsSpec). Sampled rows
+    * survive the filter only where both agree, so a native/HOF divergence
+    * shrinks the driver's rows-only count. xxhash64 is Spark-specific →
+    * no external SQL oracle is possible by definition. */
   val q41Simhash: Q = (s, dir) => {
     graft.functions.NativeFunctions.register(s)
+    val native = graft.functions.NativeFunctions.graft_simhash(col("text"))
     load(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.NativeFunctions.graft_simhash(col("text")).as("simhash"),
-        Dedup.simhash(TextOps.tokens(col("text"))).as("hof_simhash"))
-      .filter(col("simhash") === col("hof_simhash"))
+      .select(col("doc_id"), native.as("simhash"),
+        when(pmod(col("doc_id"), lit(20)) === 0,
+          Dedup.simhash(TextOps.tokens(col("text")))).otherwise(native).as("check"))
+      .filter(col("simhash") === col("check"))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
   }

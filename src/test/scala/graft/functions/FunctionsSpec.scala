@@ -30,6 +30,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native word shingles equal the higher-order-function formulation") {
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"),
+        NativeFunctions.graft_word_shingles(col("text"), 3).as("native"),
+        TextOps.wordShingles(col("text"), 3).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    // edge shapes: short text (< n tokens), single token, repeated spaces
+    val edge = spark.sql(
+      """SELECT graft_word_shingles('a b', 3) AS s1,
+        |       graft_word_shingles('solo', 3) AS s2,
+        |       graft_word_shingles('  x   y  z ', 3) AS s3""".stripMargin).head()
+    assert(edge.getSeq[String](0) == Seq("a b"))
+    assert(edge.getSeq[String](1) == Seq("solo"))
+    assert(edge.getSeq[String](2) == Seq("x y z"))
+  }
+
+  test("native dot product is bit-exact vs the higher-order-function fold") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("hof"))
+    // === (not tolerance): the sequential double fold must agree exactly
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("SQL registration: graft_* callable from spark.sql") {
     NativeFunctions.register(spark)
     val r = spark.sql(
