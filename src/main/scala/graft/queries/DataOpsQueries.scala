@@ -236,6 +236,17 @@ object DataOpsQueries {
         |list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(text, '')],
         |  (h, c) -> (h * 31 + c) % 2147483647) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |    ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS toks
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, toks,
+        |  SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+        |SELECT source, CAST(FLOOR((cum - toks) / 2048.0) AS BIGINT) AS pack_id,
+        |COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q47_approx_distinct" ->
       """SELECT l_returnflag,
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -401,6 +412,15 @@ object DataOpsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Sequence packing (concat-and-chunk to a 2048-token budget, per
+    * source shard) — the batch-building step of an LM training pipeline.
+    * Fully SQL-expressible (windowed running sum) → true DuckDB oracle. */
+  val q53Pack: Q = (s, dir) => {
+    graft.ops.Packing.packGreedy(load(s, dir, "documents"),
+      "source", "doc_id", "text", tokenBudget = 2048)
+      .orderBy("source", "pack_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -419,5 +439,6 @@ object DataOpsQueries {
     "q46_fingerprint" -> q46Fingerprint,
     "q47_approx_distinct" -> q47ApproxDistinct,
     "q48_ann_ivf" -> q48AnnIvf,
+    "q53_pack" -> q53Pack,
   )
 }
