@@ -62,6 +62,19 @@ object Streams {
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup — the incremental twin of
+    * [[graft.ops.Dedup.exactDedup]]: drop rows whose `idCols` were already
+    * seen, with the dedup state BOUNDED by the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). A plain `dropDuplicates` on a
+    * stream retains every key forever — unbounded state at 100 TB/day;
+    * bounding by event time is what makes continuous ingest dedup viable
+    * (duplicates in real pipelines are retries/replays that arrive close
+    * together, not months apart). */
+  def dedupStream(rows: DataFrame, idCols: Seq[String],
+      eventTimeCol: String = "event_time", watermark: String = "10 minutes"): DataFrame =
+    rows.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

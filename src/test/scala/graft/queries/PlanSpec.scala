@@ -57,6 +57,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("HashJoin"), p)
   }
 
+  test("q26: brute-force ANN is scan → score → TakeOrderedAndProject") {
+    val p = plan("q26_ann_brute")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort:\n" + p)
+  }
+
+  test("q42/q44: near-dup pair generation is an equi-join, never a cross product") {
+    for (q <- Seq("q42_ngram_jaccard", "q44_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian!\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!\n$p")
+      assert(p.contains("Join"), s"$q should join on the bucket key")
+    }
+  }
+
+  test("q53: packing windows are partition-parallel (no single-partition funnel)") {
+    val p = plan("q53_pack")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), "global window would funnel the corpus:\n" + p)
+  }
+
   test("entry: flagship query runs and returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

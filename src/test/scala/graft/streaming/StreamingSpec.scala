@@ -57,6 +57,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum("n")).head().getLong(0) == events.count())
   }
 
+  test("streaming dedup drops watermark-window duplicates, matches batch distinct") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // replay every event twice in the same batch — the retry/replay shape
+    mem.addData(events ++ events)
+    val deduped = Streams.dedupStream(
+      mem.toDF().toDF("event_id", "event_time"), Seq("event_id"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_stream").count() == events.size)
+    assert(spark.table("dedup_stream").select("event_id").distinct().count() == events.size)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
