@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Split every document into fixed-size token windows with a stride
+    * (overlapping chunks — the context-window preprocessing step for
+    * retrieval / embedding pipelines). One output row per chunk:
+    * `(id, chunk_id, n_tokens, chunk_text)`; the final chunk may be
+    * shorter. Pure per-row expressions (tokenize once, then a
+    * transform-with-index over the chunk starts) — embarrassingly
+    * parallel, no shuffle, whole plan in one map stage. */
+  def chunkFixed(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 32): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      "need window >= stride >= 1 (gaps would drop tokens)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .select(col(idCol), toks.as("tk"))
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("tk")) - 1, lit(stride)),
+          (s, i) => struct(
+            i.cast("long").as("chunk_id"),
+            least(size(col("tk")) - s, lit(window)).cast("long").as("n_tokens"),
+            concat_ws(" ", slice(col("tk"), s + 1, lit(window))).as("chunk_text"))))
+        .as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
+  }
+
   /** Pack summary per (shard, pack): document count, token mass, and the
     * covered id range. `tokenBudget` is the pack size in whitespace tokens
     * ([[TextOps.tokenCount]] — swap in the subword estimate for BPE-ish

@@ -123,6 +123,19 @@ object TextOps {
     try_element_at(transform(array(toksH), th => shinglesOf(th)), lit(1))
   }
 
+  /** Email-address pattern shared by [[redactEmails]] and any SQL oracle:
+    * deliberately restricted to constructs whose semantics agree across
+    * regex engines (character classes + bounded repetition — identical in
+    * Java regex and RE2). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII scrub: replace every email address with a placeholder token.
+    * The shape generalizes to any regex-expressible PII class (phones,
+    * IPs, ids) — per-row codegen'd regexp_replace, no shuffle, linear
+    * scan at any scale. */
+  def redactEmails(text: Column, replacement: String = "[EMAIL]"): Column =
+    regexp_replace(text, EmailPattern, replacement)
+
   /** Polynomial rolling-hash fingerprint of a document (mod 2^31-1, so all
     * intermediate products stay < 2^62 and never overflow even under ANSI
     * arithmetic). Same recurrence as Rabin-Karp: h = h*31 + code(c) mod p. */

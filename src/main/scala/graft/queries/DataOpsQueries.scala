@@ -247,6 +247,29 @@ object DataOpsQueries {
         |COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_tokens,
         |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q54_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk,
+        |  CAST(CEIL(len(tk) / 32.0) AS BIGINT) AS n_chunks FROM t)
+        |SELECT doc_id,
+        |UNNEST(range(0, n_chunks)) AS chunk_id,
+        |UNNEST([LEAST(len(tk) - i*32, 64) FOR i IN range(0, n_chunks)]) AS n_tokens,
+        |UNNEST([array_to_string(tk[i*32 + 1 : i*32 + 64], ' ') FOR i IN range(0, n_chunks)]) AS chunk_text
+        |FROM n ORDER BY doc_id, chunk_id""".stripMargin,
+    "q55_redact" ->
+      """WITH planted AS (SELECT source,
+        |  CASE WHEN doc_id % 10 = 0
+        |    THEN text || ' reach me at user' || doc_id || '@example.com'
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |r AS (SELECT source, text2,
+        |  regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS red
+        |  FROM planted)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN red <> text2 THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |CAST(SUM(LENGTH(text2) - LENGTH(red)) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_approx_distinct" ->
       """SELECT l_returnflag,
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -421,6 +444,32 @@ object DataOpsQueries {
       .orderBy("source", "pack_id")
   }
 
+  /** Document chunking: fixed 64-token windows with stride 32 (overlapping
+    * context windows for retrieval/embedding). Token slicing + joining is
+    * pure list arithmetic → fully replayed by the DuckDB oracle. */
+  val q54Chunk: Q = (s, dir) => {
+    graft.ops.Packing.chunkFixed(load(s, dir, "documents"),
+      "doc_id", "text", window = 64, stride = 32)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** PII scrub with PLANTED emails (every 10th doc gets a synthetic
+    * address appended in-query, so the redaction provably fires): counts
+    * and redacted-length deltas per source, oracle-checked. */
+  val q55Redact: Q = (s, dir) => {
+    val planted = load(s, dir, "documents")
+      .withColumn("text2",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" reach me at user"), col("doc_id"),
+            lit("@example.com"))).otherwise(col("text")))
+    val red = TextOps.redactEmails(col("text2"))
+    planted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(red =!= col("text2"), 1L).otherwise(0L)).as("n_redacted"),
+        sum((length(col("text2")) - length(red)).cast("long")).as("chars_removed"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -440,5 +489,7 @@ object DataOpsQueries {
     "q47_approx_distinct" -> q47ApproxDistinct,
     "q48_ann_ivf" -> q48AnnIvf,
     "q53_pack" -> q53Pack,
+    "q54_chunk" -> q54Chunk,
+    "q55_redact" -> q55Redact,
   )
 }
