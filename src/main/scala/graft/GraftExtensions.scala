@@ -1,15 +1,17 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{RollingHashExpr, SimHashExpr}
+import graft.functions.{DotProductExpr, RollingHashExpr, SimHashExpr, WordShinglesExpr}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: makes the engine's native
-  * expressions available cluster-wide via
+  * expressions and optimizer rules available cluster-wide via
   * `--conf spark.sql.extensions=graft.GraftExtensions` (no per-session
   * register() call needed). The injected functions are the same
-  * expressions NativeFunctions registers per-session.
+  * expressions NativeFunctions registers per-session; the injected
+  * [[graft.plans.RewriteDotProduct]] rule transparently accelerates
+  * user-written HOF dot products.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShinglesExpr(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductExpr(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

@@ -28,6 +28,12 @@ object GraftSession {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.NativeFunctions.register(s)
+    // per-session route to the optimizer rule GraftExtensions injects
+    // cluster-wide (extensions only apply at session construction; this
+    // works on the shared/reused session too)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RewriteDotProduct))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RewriteDotProduct
     s
   }
 }
