@@ -143,6 +143,33 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct word n-gram shingles with any document of an
+    * evaluation set. Returns `(train_id, eval_id, n_shared)`.
+    *
+    * Scale design: both sides explode to (id, shingle) pairs and meet in
+    * an equi-join on the shingle — but the EVAL side (benchmarks are
+    * thousands of documents, not billions) is broadcast, so the train
+    * corpus streams through a map-side join: no shuffle of the 100 TB
+    * side at all. For a large eval set, swap the broadcast for a shuffle
+    * join on 31-bit hashed shingles ([[TextOps.hashedShingles]]) and drop
+    * ubiquitous boilerplate shingles first (the frequent-shingle skew cap,
+    * same reasoning as the LSH bucket cap). */
+  def contaminationPairs(train: DataFrame, trainId: String,
+      evalDf: DataFrame, evalId: String, textCol: String,
+      shingleLen: Int = 3, minShared: Long = 5L): DataFrame = {
+    graft.functions.NativeFunctions.register(train.sparkSession)
+    def shingled(df: DataFrame, idCol: String, as: String) =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(graft.functions.NativeFunctions
+          .graft_word_shingles(col(textCol), shingleLen))).as("sh"))
+    shingled(train, trainId, "train_id")
+      .join(broadcast(shingled(evalDf, evalId, "eval_id")), Seq("sh"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard pairs with SINGLE-permutation MinHash bucketing:
     * candidates are documents agreeing on their lexicographic minimum
     * shingle (= MinHash with one permutation, the identity ordering), then

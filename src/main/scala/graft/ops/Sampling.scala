@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-composition operators for training pipelines: stratified
+  * sampling (rebalance sources/languages to a target mix) and
+  * deterministic shuffling/sharding (reproducible epoch order).
+  */
+object Sampling {
+
+  /** Per-stratum Bernoulli sampling: keep each row of stratum `s` with
+    * probability `fractions(s)` (strata absent from the map are dropped).
+    * Seeded and partition-parallel — each task filters its own rows, no
+    * shuffle, no driver materialization; the realized per-stratum count is
+    * binomial around `fraction × n`. */
+  def stratified(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic shuffle + shard assignment: `shuffle_key` is an
+    * invertible affine map of the id mod 2^31 (Knuth multiplicative hash —
+    * distinct ids never collide), `shard = shuffle_key mod nShards`.
+    * Ordering by `shuffle_key` within a shard is a reproducible
+    * pseudo-random epoch order; writing with `partitionBy("shard")` gives
+    * n training files with i.i.d.-looking source mix. Pure per-row
+    * arithmetic — the engine-independent alternative to `rand()` ordering
+    * (which no retry or cross-engine check can reproduce). */
+  def deterministicShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    // id × odd-constant stays < 2^62 for ids < 2^31 (ANSI-overflow-safe)
+    df.withColumn("shuffle_key",
+        pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+  }
+}

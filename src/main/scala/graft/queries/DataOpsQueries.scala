@@ -270,6 +270,30 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN red <> text2 THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
         |CAST(SUM(LENGTH(text2) - LENGTH(red)) AS BIGINT) AS chars_removed
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(t) >= 3
+        |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+        |      ELSE [array_to_string(t, ' ')] END)) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        |),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id AS train_id, s FROM sh)
+        |SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY 1, 2""".stripMargin,
+    "q57_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_total, TRUE AS sample_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_shard" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  (doc_id * 2654435761) % 2147483648 AS k FROM documents)
+        |SELECT k % 8 AS shard, COUNT(*) AS n_docs,
+        |CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |ARG_MIN(doc_id, k) AS first_doc
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_approx_distinct" ->
       """SELECT l_returnflag,
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -470,6 +494,52 @@ object DataOpsQueries {
       .orderBy("source")
   }
 
+  /** Benchmark decontamination: training docs sharing ≥5 distinct 3-gram
+    * shingles with an eval set (every 50th doc). The shingle join and
+    * counts are exact list arithmetic → full DuckDB oracle. */
+  val q56Contamination: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    Dedup.contaminationPairs(docs, "doc_id", evalSet, "doc_id", "text",
+      shingleLen = 3, minShared = 5L)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Stratified sampling to a target language mix, with in-query
+    * tolerance verdicts: exact stratum totals are oracle-checked and the
+    * booleans assert the realized sample stays within ~4σ of the binomial
+    * expectation (oracle asserts TRUE). */
+  val q57StratifiedSample: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+      "es" -> 0.25, "zh" -> 0.25)
+    val sampled = graft.ops.Sampling.stratified(docs, "lang", fractions, seed = 42L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .withColumn("expected",
+        col("n_total") * coalesce(try_element_at(
+          map(fractions.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+          col("lang")), lit(0.0)))
+      .select(col("lang"), col("n_total"),
+        (abs(col("n_sampled") - col("expected")) <=
+          sqrt(col("expected")) * 4 + 4).as("sample_ok"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic shuffle/shard (reproducible epoch order): invertible
+    * affine hash of the id → shard assignment; per-shard stats are exact
+    * in any engine → full DuckDB oracle. */
+  val q58Shard: Q = (s, dir) => {
+    graft.ops.Sampling.deterministicShard(load(s, dir, "documents"), "doc_id", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min_by(col("doc_id"), col("shuffle_key")).as("first_doc"))
+      .orderBy("shard")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -491,5 +561,8 @@ object DataOpsQueries {
     "q53_pack" -> q53Pack,
     "q54_chunk" -> q54Chunk,
     "q55_redact" -> q55Redact,
+    "q56_contamination" -> q56Contamination,
+    "q57_stratified_sample" -> q57StratifiedSample,
+    "q58_shard" -> q58Shard,
   )
 }

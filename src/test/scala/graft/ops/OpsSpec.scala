@@ -142,6 +142,32 @@ class OpsSpec extends AnyFunSuite {
     assert(metaChk.except(decodeChk).count() == 0)
   }
 
+  test("contamination: every eval doc is flagged against itself") {
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val pairs = Dedup.contaminationPairs(docs, "doc_id", evalSet, "doc_id", "text")
+    val self = pairs.filter(col("train_id") === col("eval_id"))
+    assert(self.count() == evalSet.count()) // identical text shares every shingle
+    // and a disjoint-text eval set flags nothing at the threshold
+    assert(pairs.filter(col("n_shared") < 5).count() == 0)
+  }
+
+  test("deterministic shard: bijective hash, stable assignment, all shards used") {
+    val a = Sampling.deterministicShard(docs, "doc_id", 8).select("doc_id", "shard")
+    val b = Sampling.deterministicShard(docs, "doc_id", 8).select("doc_id", "shard")
+    assert(a.except(b).count() == 0) // reproducible across plans
+    assert(a.count() == docs.count())
+    assert(a.select("shard").distinct().count() == 8)
+    // distinct ids never collide on the shuffle key (invertible affine map)
+    val keys = Sampling.deterministicShard(docs, "doc_id", 8).select("shuffle_key")
+    assert(keys.distinct().count() == docs.count())
+  }
+
+  test("stratified sample: fraction 1.0 keeps a stratum whole, absent strata drop") {
+    val s1 = Sampling.stratified(docs, "lang", Map("en" -> 1.0))
+    assert(s1.select("lang").distinct().count() == 1)
+    assert(s1.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("text metrics: deterministic and in range") {
     val m = docs.select(
       TextOps.tokenCount(col("text")).as("tc"),
