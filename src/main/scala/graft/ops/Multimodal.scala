@@ -79,6 +79,56 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stage: per-row map producing a fixed-size payload + updated
+    * metadata (width/height filled in). The pixel resample is STUBBED
+    * (truncate/cycle-pad the bytes to `w*h`) — a real codec plugs into
+    * [[resizeStub]]; the Spark-side shape (binary → binary map, metadata
+    * struct rewrite, codegen-friendly surroundings) is the real contract. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    media.select(col("media_id"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          Row(r.getLong(0), resizeStub(bytes, w * h),
+            Row(meta.get(0), meta.get(1), w, h, meta.get(4)))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video-typed payloads: split the payload into
+    * fixed-size frames and keep every `stride`-th one, exploded to one row
+    * per sampled frame. Pure Column expressions (slice arithmetic over the
+    * binary), so the whole stage stays in codegen and the frame COUNTS are
+    * reproducible in any engine — only the codec that would decode each
+    * frame is a stub elsewhere. */
+  def frameSample(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1)
+    val len = octet_length(col("payload")).cast("long")
+    val nFrames = ceil(len.cast("double") / frameBytes).cast("long")
+    media.select(col("media_id"), col("payload"), len.as("n_bytes"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0) // empty payload → no frames (and no empty sequence())
+      .select(col("media_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        least(lit(frameBytes.toLong),
+          col("n_bytes") - col("frame_idx") * frameBytes).as("frame_bytes"))
+  }
+
+  /** Deterministic fake resample: truncate or cycle-pad to `size` bytes. */
+  private[ops] def resizeStub(bytes: Array[Byte], size: Int): Array[Byte] = {
+    val out = new Array[Byte](size)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < size) { out(i) = bytes(i % bytes.length); i += 1 }
+    }
+    out
+  }
+
   /** Deterministic fake decode: byte-value histogram over `dim` buckets,
     * L1-normalized. A real implementation would decode pixels/samples here. */
   private[ops] def decodeStub(bytes: Array[Byte], dim: Int): Seq[Float] = {

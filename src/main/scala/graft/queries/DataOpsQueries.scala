@@ -294,6 +294,15 @@ object DataOpsQueries {
         |CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
         |ARG_MIN(doc_id, k) AS first_doc
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |f AS (SELECT media_id, n_bytes,
+        |  CAST(CEIL(n_bytes / 256.0) AS BIGINT) AS n_frames FROM m WHERE n_bytes > 0)
+        |SELECT media_id, n_frames,
+        |CAST(CEIL(n_frames / 4.0) AS BIGINT) AS n_sampled,
+        |CAST(list_aggregate([LEAST(256, n_bytes - i*256) FOR i IN range(0, n_frames, 4)], 'sum') AS BIGINT) AS sampled_bytes
+        |FROM f ORDER BY media_id""".stripMargin,
     "q47_approx_distinct" ->
       """SELECT l_returnflag,
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -540,6 +549,20 @@ object DataOpsQueries {
       .orderBy("shard")
   }
 
+  /** Multimodal frame sampling (video-shaped payloads): fixed-size frames,
+    * every 4th kept. Frame counts/sizes are byte arithmetic → full DuckDB
+    * oracle; per-sampled-frame summary per media id. */
+  val q59FrameSample: Q = (s, dir) => {
+    val media = Multimodal.asMediaTable(load(s, dir, "documents"), "doc_id", "text",
+      mediaType = "video")
+    Multimodal.frameSample(media, frameBytes = 256, stride = 4)
+      .groupBy("media_id")
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("frame_bytes")).as("sampled_bytes"))
+      .orderBy("media_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -564,5 +587,6 @@ object DataOpsQueries {
     "q56_contamination" -> q56Contamination,
     "q57_stratified_sample" -> q57StratifiedSample,
     "q58_shard" -> q58Shard,
+    "q59_frame_sample" -> q59FrameSample,
   )
 }

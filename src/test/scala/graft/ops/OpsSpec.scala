@@ -168,6 +168,25 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("multimodal resize + frame sampling: shapes and byte accounting") {
+    val media = Multimodal.asMediaTable(docs.limit(20), "doc_id", "text", mediaType = "video")
+    val resized = Multimodal.resize(media, w = 8, h = 8).collect()
+    assert(resized.length == 20)
+    resized.foreach { r =>
+      assert(r.getAs[Array[Byte]](1).length == 64) // fixed w*h payload
+      val meta = r.getStruct(2)
+      assert(meta.getInt(2) == 8 && meta.getInt(3) == 8) // width/height stamped
+    }
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+    // every sampled frame is 1..64 bytes and their total never exceeds the payload
+    assert(frames.filter(col("frame_bytes") < 1 || col("frame_bytes") > 64).count() == 0)
+    val perDoc = frames.groupBy("media_id")
+      .agg(sum("frame_bytes").as("sampled"), max("n_frames").as("nf"))
+      .join(Multimodal.mediaStats(media), Seq("media_id"))
+    assert(perDoc.filter(col("sampled") > col("n_bytes")).count() == 0)
+    assert(perDoc.filter(col("nf") =!= ceil(col("n_bytes") / 64.0)).count() == 0)
+  }
+
   test("text metrics: deterministic and in range") {
     val m = docs.select(
       TextOps.tokenCount(col("text")).as("tc"),

@@ -72,6 +72,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q56: contamination joins the eval side via broadcast (train never shuffles)") {
+    val p = plan("q56_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "train-side shuffle on the shingle join:\n" + p)
+  }
+
   test("q53: packing windows are partition-parallel (no single-partition funnel)") {
     val p = plan("q53_pack")
     assert(p.contains("Window"), p)
