@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("oracle coverage: at least 40 SQL-checked queries") {
-    assert(SparkEntry.oracleSql.size >= 40)
-    assert(SparkEntry.queries.size >= 50)
+  test("oracle coverage: at least 55 SQL-checked queries of 59 total") {
+    assert(SparkEntry.oracleSql.size >= 55)
+    assert(SparkEntry.queries.size >= 59)
   }
 
   test("oracle SQL only references driver-provided tables") {
