@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation recipe — the composition a training-data
+  * pipeline actually runs, built from this library's operators:
+  *
+  *   1. language filter ([[TextOps.langGuess]] against an allow-list),
+  *   2. quality floor ([[TextOps.qualityScore]]),
+  *   3. exact dedup ([[Dedup.exactDedup]] — keep the smallest id per text),
+  *   4. optionally near-dup removal ([[Dedup.minhashNearDups]] — drop the
+  *      larger id of each detected pair).
+  *
+  * Stages 1–3 fuse into ONE Catalyst plan (filters are per-row expressions,
+  * the dedup is a single groupBy shuffle carrying (text-key, id), and the
+  * semi-join back is broadcast-friendly); stage 4 adds the banded-LSH
+  * shuffle only when enabled. At 100 TB the expensive decision — whether to
+  * run near-dup removal — is an explicit flag, not a default.
+  */
+object Curation {
+
+  /** Surviving documents after the curation recipe. Keeps the input
+    * columns. `nearDup = true` additionally removes LSH near-duplicates
+    * (keeping the smaller id of each pair). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      allowedLangs: Seq[String], minQuality: Int,
+      nearDup: Boolean = false, nearDupMinSim: Double = 0.8): DataFrame = {
+    val filtered = docs
+      .filter(TextOps.langGuess(col(textCol)).isInCollection(allowedLangs))
+      .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+    val keep = Dedup.exactDedup(filtered, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val deduped = filtered.join(keep, Seq(idCol), "left_semi")
+    if (!nearDup) deduped
+    else {
+      val losers = Dedup.minhashNearDups(deduped, idCol, textCol,
+          minSim = nearDupMinSim)
+        .select(col("id_b").as(idCol)) // drop the larger id of each pair
+        .distinct()
+      deduped.join(losers, Seq(idCol), "left_anti")
+    }
+  }
+}

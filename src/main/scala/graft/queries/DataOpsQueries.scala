@@ -303,6 +303,31 @@ object DataOpsQueries {
         |CAST(CEIL(n_frames / 4.0) AS BIGINT) AS n_sampled,
         |CAST(list_aggregate([LEAST(256, n_bytes - i*256) FOR i IN range(0, n_frames, 4)], 'sum') AS BIGINT) AS sampled_bytes
         |FROM f ORDER BY media_id""".stripMargin,
+    "q60_curate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN regexp_matches(text, '\b(the|and|of|is)\b') THEN 'en'
+        |      WHEN regexp_matches(text, '\b(der|und|die|das)\b') THEN 'de'
+        |      WHEN regexp_matches(text, '\b(le|la|et|les)\b') THEN 'fr'
+        |      WHEN regexp_matches(text, '\b(el|los|las|una)\b') THEN 'es'
+        |      ELSE 'und' END AS guess,
+        |    (CASE WHEN ntok BETWEEN 20 AND 1000 THEN 40 WHEN ntok BETWEEN 5 AND 19 THEN 20 ELSE 0 END)
+        |    + (CASE WHEN nstop * 10 >= ntok THEN 30 WHEN nstop > 0 THEN 15 ELSE 0 END)
+        |    + (CASE WHEN npunct * 4 <= nlen THEN 30 ELSE 0 END) AS score
+        |  FROM (
+        |    SELECT doc_id, source, text, LENGTH(text) AS nlen,
+        |      CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |        ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS ntok,
+        |      LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |        w -> w IN ('the','a','an','and','of','to','in','is','it','for'))) AS nstop,
+        |      LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\p{P}\p{S}]', '', 'g')) AS npunct
+        |    FROM documents)),
+        |filtered AS (SELECT doc_id, source, text FROM scored
+        |  WHERE guess IN ('en', 'de', 'fr', 'es') AND score >= 40),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text)
+        |SELECT source, COUNT(*) AS n_surviving FROM filtered
+        |WHERE doc_id IN (SELECT doc_id FROM keep)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_approx_distinct" ->
       """SELECT l_returnflag,
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -563,6 +588,18 @@ object DataOpsQueries {
       .orderBy("media_id")
   }
 
+  /** The full curation recipe (language allow-list → quality floor →
+    * exact dedup), reported as surviving docs per source. Every stage is
+    * SQL-expressible (q23's quality SQL + q24's langid SQL + q21's dedup
+    * SQL composed) → full DuckDB oracle of the end-to-end pipeline. */
+  val q60Curate: Q = (s, dir) => {
+    graft.ops.Curation.curate(load(s, dir, "documents"), "doc_id", "text",
+      allowedLangs = Seq("en", "de", "fr", "es"), minQuality = 40)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_surviving"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -588,5 +625,6 @@ object DataOpsQueries {
     "q57_stratified_sample" -> q57StratifiedSample,
     "q58_shard" -> q58Shard,
     "q59_frame_sample" -> q59FrameSample,
+    "q60_curate" -> q60Curate,
   )
 }

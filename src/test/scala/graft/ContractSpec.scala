@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("oracle coverage: at least 55 SQL-checked queries of 59 total") {
-    assert(SparkEntry.oracleSql.size >= 55)
-    assert(SparkEntry.queries.size >= 59)
+  test("oracle coverage: at least 56 SQL-checked queries of 60 total") {
+    assert(SparkEntry.oracleSql.size >= 56)
+    assert(SparkEntry.queries.size >= 60)
   }
 
   test("oracle SQL only references driver-provided tables") {

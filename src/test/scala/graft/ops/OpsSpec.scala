@@ -187,6 +187,22 @@ class OpsSpec extends AnyFunSuite {
     assert(perDoc.filter(col("nf") =!= ceil(col("n_bytes") / 64.0)).count() == 0)
   }
 
+  test("curation recipe with near-dup removal drops planted twins") {
+    val allGuesses = Seq("en", "de", "fr", "es", "und")
+    val curated = Curation.curate(withTwins, "doc_id", "text",
+      allowedLangs = allGuesses, minQuality = 0, nearDup = true)
+    val n = docs.count()
+    // pass-through filters keep everything; near-dup removal then drops the
+    // larger id of each detected pair — ≥95% of the planted twins vanish
+    val survivingTwins = curated.filter(col("doc_id") >= offset).count()
+    assert(survivingTwins <= n / 20, s"$survivingTwins twins survived")
+    // originals survive except those that are themselves natural near-dups
+    // of a lower id (the recipe is SUPPOSED to drop those too)
+    val survivingOriginals = curated.filter(col("doc_id") < offset).count()
+    assert(survivingOriginals >= (n * 9) / 10, s"only $survivingOriginals originals")
+    OpCaches.releaseAll()
+  }
+
   test("text metrics: deterministic and in range") {
     val m = docs.select(
       TextOps.tokenCount(col("text")).as("tc"),
