@@ -476,15 +476,25 @@ object DataOpsQueries {
     * in-query tolerance verdicts: the exact counts + the booleans are
     * engine-independent (the oracle asserts TRUE), so the sketch's accuracy
     * contract — not its engine-specific estimate — is what gets checked.
-    * Tolerance 15%+10 ≈ 3σ of the default 5% rsd. */
+    * Tolerance 15%+10 ≈ 3σ of the default 5% rsd.
+    *
+    * Shape note: mixing several COUNT(DISTINCT) in one aggregate makes
+    * Catalyst Expand the input once per distinct column — N× the shuffle
+    * volume of the fact table at scale. Each exact distinct here is its own
+    * two-phase aggregation (partial distinct map-side, shuffle ∝ distinct
+    * pairs) and the HLL sketches ride a third, plain aggregation; the three
+    * small per-group results then join. */
   val q47ApproxDistinct: Q = (s, dir) => {
-    load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey")).as("ap"),
+    val li = load(s, dir, "lineitem")
+    def exact(c: String, as: String) =
+      li.select(col("l_returnflag"), col(c)).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_orderkey")).as("ao"))
+    exact("l_partkey", "exact_parts")
+      .join(exact("l_orderkey", "exact_orders"), Seq("l_returnflag"))
+      .join(approx, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15 + 10)
           .as("parts_approx_ok"),
