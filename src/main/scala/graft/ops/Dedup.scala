@@ -187,7 +187,8 @@ object Dedup {
     * Plan shape: one groupBy profile on the min-shingle bucket + one
     * equi-join shuffle on it — same skeleton as the banded LSH path. */
   def minShingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      shingleLen: Int = 3, minJaccard: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
     // native codegen'd shingling (FunctionsSpec pins it == the composed
     // TextOps.wordShingles HOF, which evaluates interpreted and ~10× slower)
     graft.functions.NativeFunctions.register(df.sparkSession)
@@ -198,13 +199,22 @@ object Dedup {
       array_distinct(shingles).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .withColumn("bucket", array_min(col("sh"))))
+    // Skew guard, same reasoning as minhashNearDups: a degenerate min
+    // shingle (boilerplate openings) would otherwise contribute s² pairs.
+    // Fully SQL-expressible (HAVING COUNT(*) BETWEEN 2 AND maxBucket), so
+    // an oracle can replay the cap exactly.
+    val okBuckets = sh.groupBy("bucket")
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
+      .select("bucket")
+    val pruned = sh.join(okBuckets, Seq("bucket"))
     // per-pair cost: ONE array_intersect; |A∪B| = |A|+|B|-|A∩B| from the
     // precomputed set sizes (array_union would build the union array just
     // to measure it — twice the set-op work for the same integer)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    sh.select(col("bucket"), col("doc_id").as("id_a"),
+    pruned.select(col("bucket"), col("doc_id").as("id_a"),
         col("sh").as("sh_a"), col("n_sh").as("n_a"))
-      .join(sh.select(col("bucket"), col("doc_id").as("id_b"),
+      .join(pruned.select(col("bucket"), col("doc_id").as("id_b"),
         col("sh").as("sh_b"), col("n_sh").as("n_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

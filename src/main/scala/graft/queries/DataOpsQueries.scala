@@ -199,9 +199,11 @@ object DataOpsQueries {
         |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
         |      ELSE [array_to_string(t, ' ')] END) AS sh
         |  FROM toks
-        |), bk AS (
+        |), bk0 AS (
         |  SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM sh
-        |)
+        |), ok AS (
+        |  SELECT bucket FROM bk0 GROUP BY bucket HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+        |), bk AS (SELECT bk0.* FROM bk0 JOIN ok USING (bucket))
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
