@@ -34,28 +34,36 @@ object Hashing {
     h
   }
 
-  /** 60-bit SimHash over whitespace tokens: per-bit majority vote of
-    * xxhash64(token) bits. Single pass, no allocations beyond the counter
-    * array. */
+  /** Tokenizer replicating Spark's `split(trim(text), "\\s+")` EXACTLY:
+    * Spark's `trim` strips ASCII SPACES only (not tabs/newlines, unlike
+    * Java String.trim), and Spark's `split` uses limit -1 (keeps leading/
+    * trailing empty tokens that a default Java split would drop). Any
+    * native expression pinned equal to a TextOps HOF formulation must
+    * tokenize through here, or adversarial whitespace diverges. */
+  private[functions] def sparkTokens(str: String): Array[String] = {
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    str.substring(b, e).split("\\s+", -1)
+  }
+
+  /** 60-bit SimHash over whitespace tokens (tokenization identical to the
+    * HOF formulation `Dedup.simhash(TextOps.tokens(text))`, empty tokens
+    * included): per-bit majority vote of xxhash64(token) bits. */
   def simHash60(s: UTF8String): Long = {
     if (s == null) return 0L
-    val str = s.toString
+    val toks = sparkTokens(s.toString)
     val counters = new Array[Int](60)
-    var start = 0
-    val len = str.length
-    while (start < len) {
-      while (start < len && Character.isWhitespace(str.charAt(start))) start += 1
-      var end = start
-      while (end < len && !Character.isWhitespace(str.charAt(end))) end += 1
-      if (end > start) {
-        val th = xx(str.substring(start, end))
-        var b = 0
-        while (b < 60) {
-          if (((th >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-          b += 1
-        }
+    var i = 0
+    while (i < toks.length) {
+      val th = xx(toks(i))
+      var b = 0
+      while (b < 60) {
+        if (((th >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
       }
-      start = end
+      i += 1
     }
     var out = 0L
     var b = 59
@@ -99,8 +107,7 @@ object Hashing {
     * runs ~10× faster and stays inside whole-stage codegen. */
   def wordShingles(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (s == null) return null
-    val str = s.toString.trim
-    val toks: Array[String] = if (str.isEmpty) Array("") else str.split("\\s+")
+    val toks: Array[String] = sparkTokens(s.toString)
     val out: Array[AnyRef] =
       if (toks.length >= n) {
         val arr = new Array[AnyRef](toks.length - n + 1)

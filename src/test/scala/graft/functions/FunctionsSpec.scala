@@ -46,6 +46,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge.getSeq[String](2) == Seq("x y z"))
   }
 
+  test("native tokenization matches the HOFs on adversarial whitespace (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mixes of spaces/tabs/newlines and words, incl. leading/trailing runs —
+    // the shapes where Spark trim (spaces only) and split (limit -1)
+    // diverge from naive Java String.trim/split
+    val genText: Gen[String] = Gen.listOfN(24,
+      Gen.oneOf(" ", "\t", "\n", "  ", "a", "bb", "the", "x9")).map(_.mkString)
+    val texts = Gen.listOfN(300, genText)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    import spark.implicits._
+    val df = texts.toDF("text").select(
+      NativeFunctions.graft_simhash(col("text")).as("ns"),
+      Dedup.simhash(TextOps.tokens(col("text"))).as("hs"),
+      NativeFunctions.graft_word_shingles(col("text"), 3).as("nw"),
+      TextOps.wordShingles(col("text"), 3).as("hw"))
+    assert(df.filter(col("ns") =!= col("hs")).count() == 0, "simhash diverged")
+    assert(df.filter(col("nw") =!= col("hw")).count() == 0, "shingles diverged")
+  }
+
   test("native dot product is bit-exact vs the higher-order-function fold") {
     import graft.ops.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
