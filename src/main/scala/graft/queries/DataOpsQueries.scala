@@ -336,6 +336,34 @@ object DataOpsQueries {
         |CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |TRUE AS parts_approx_ok, TRUE AS orders_approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_minhash_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+        |FROM documents""".stripMargin,
+    "q41_simhash" ->
+      """SELECT doc_id, TRUE AS native_eq_hof FROM documents ORDER BY doc_id""",
+    // Replays Multimodal.decodeStub exactly: per-byte histogram mod 16,
+    // float32 (REAL) division by the byte count, double widening, ×1e6
+    // floor-truncation. ASCII-only corpus → chars ≡ bytes (q46 contract).
+    "q45_decode_features" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |    MD5(text) AS checksum,
+        |    [CAST(len(list_filter(
+        |        [ascii(c) FOR c IN list_filter(regexp_split_to_array(text, ''), c -> c <> '')],
+        |        b -> b % 16 = k)) AS REAL)
+        |      / CAST(GREATEST(1, OCTET_LENGTH(ENCODE(text))) AS REAL)
+        |     FOR k IN range(0, 16)] AS feats
+        |  FROM documents)
+        |SELECT media_id, n_bytes, checksum,
+        |CAST(16 AS INT) AS feat_dim,
+        |CAST(FLOOR(CAST(feats[1] AS DOUBLE) * 1e6) AS BIGINT) AS feat_first_x1e6,
+        |CAST(FLOOR(list_reduce([CAST(x AS DOUBLE) FOR x IN feats], (a, b) -> a + b) * 1e6) AS BIGINT) AS feat_l1_x1e6
+        |FROM f ORDER BY media_id""".stripMargin,
+    "q48_ann_ivf" ->
+      """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_vectors,
+        |TRUE AS k_ok, TRUE AS planted_found, TRUE AS twin_cos_ok
+        |FROM embeddings""".stripMargin,
   )
 
   // ------------------- dedup / ANN queries (oracle or self-checking) ----
@@ -349,25 +377,24 @@ object DataOpsQueries {
     docs.unionByName(twins)
   }
 
-  /** MinHash + LSH near-dup detection, reported as a SELF-CHECKING planted-
-    * recall summary: the query emits its single summary row ONLY if the
-    * detector found ≥95% of the planted twin pairs (id, id+1,000,000) — an
-    * empty result therefore means a recall regression, which turns the
-    * driver's rows-only check into a real correctness gate. (The banded-LSH
-    * candidate set itself is not SQL-expressible, hence no value oracle.) */
+  /** MinHash + LSH near-dup detection, reported as an ENGINE-INDEPENDENT
+    * planted-recall verdict (the q47/q52 pattern): `n_planted` is the
+    * number of planted twin pairs (id, id+1,000,000 — one per document)
+    * and `recall_ok` is true iff the detector recovered ≥95% of them.
+    * Both values are knowable without running LSH (the oracle asserts
+    * COUNT(*) and TRUE), so the driver's hash-compare becomes a hard
+    * recall gate on the banded-LSH candidate generation, which itself is
+    * not SQL-expressible (xxhash64 band keys). */
   val q40MinhashNearDup: Q = (s, dir) => {
     val docs = load(s, dir, "documents")
     val pairs = Dedup.minhashNearDups(withPlantedTwins(docs), "doc_id", "text",
       shingleLen = 3, numHashes = 32, bands = 4, minSim = 0.5)
-    val stats = pairs.agg(
-      count(lit(1)).as("n_pairs"),
+    val found = pairs.agg(
       sum(when(col("id_b") === col("id_a") + 1000000L, 1L).otherwise(0L))
         .as("n_planted_found"))
-    stats.crossJoin(docs.agg(count(lit(1)).as("n_planted")))
-      .withColumn("recall_x100",
-        (col("n_planted_found") * 100L / col("n_planted")).cast("long"))
-      .filter(col("recall_x100") >= 95)
-      .select("n_pairs", "n_planted", "n_planted_found", "recall_x100")
+    docs.agg(count(lit(1)).as("n_planted")).crossJoin(found)
+      .select(col("n_planted"),
+        (col("n_planted_found") * 100L >= col("n_planted") * 95L).as("recall_ok"))
   }
 
   /** SimHash signatures (60-bit) via the native codegen'd Catalyst
@@ -375,19 +402,21 @@ object DataOpsQueries {
     * higher-order-function formulation ([[Dedup.simhash]]) on a 5%
     * deterministic sample (doc_id % 20 — the HOF path evaluates
     * interpreted, so checking every row would dominate the runtime; the
-    * full-corpus equivalence is pinned by FunctionsSpec). Sampled rows
-    * survive the filter only where both agree, so a native/HOF divergence
-    * shrinks the driver's rows-only count. xxhash64 is Spark-specific →
-    * no external SQL oracle is possible by definition. */
+    * full-corpus equivalence is pinned by FunctionsSpec). The simhash
+    * VALUE is xxhash64-based (Spark-specific → no external value oracle
+    * by definition), so the emitted column is the engine-independent
+    * per-row verdict `native_eq_hof` — trivially true off-sample (the
+    * native expression still evaluates: it is compared to itself), the
+    * real native-vs-HOF comparison on the sample. The oracle asserts
+    * one TRUE per doc, so a single divergent signature hash-mismatches. */
   val q41Simhash: Q = (s, dir) => {
     graft.functions.NativeFunctions.register(s)
     val native = graft.functions.NativeFunctions.graft_simhash(col("text"))
     load(s, dir, "documents")
-      .select(col("doc_id"), native.as("simhash"),
-        when(pmod(col("doc_id"), lit(20)) === 0,
-          Dedup.simhash(TextOps.tokens(col("text")))).otherwise(native).as("check"))
-      .filter(col("simhash") === col("check"))
-      .select("doc_id", "simhash")
+      .select(col("doc_id"),
+        (native <=> when(pmod(col("doc_id"), lit(20)) === 0,
+          Dedup.simhash(TextOps.tokens(col("text")))).otherwise(native))
+          .as("native_eq_hof"))
       .orderBy("doc_id")
   }
 
@@ -427,8 +456,12 @@ object DataOpsQueries {
   /** Multimodal decode stage (stubbed codec, real plumbing). The raw
     * `features: array<float>` column is reduced to deterministic scalar
     * stats (dim, first element, L1 mass — all stable: the stub decode is
-    * pure integer histogramming divided by a constant) so the result frame
-    * is sortable/hashable by any downstream comparator. */
+    * pure integer histogramming divided by a constant), so the DuckDB
+    * oracle replays the decode exactly: byte-value histogram mod 16,
+    * float32 division (DuckDB REAL arithmetic stays REAL — verified),
+    * double widening, and floor-truncation of the ×1e6 scalars. The
+    * corpus is ASCII-only (pinned by q46's byte≡char contract), so
+    * per-character codes equal per-byte values. */
   val q45DecodeFeatures: Q = (s, dir) => {
     val media = Multimodal.asMediaTable(load(s, dir, "documents"), "doc_id", "text")
     Multimodal.decodeFeatures(media)
@@ -457,9 +490,13 @@ object DataOpsQueries {
 
   /** IVF approximate NN with a planted identical twin of the query vector
     * (id 1,000,000): the twin necessarily lands in the query's own nearest
-    * cell, so the probe MUST return it at cosine 1.0 — the query emits its
-    * rows only when it did, making the rows-only check a recall gate.
-    * The model is trained once per corpus and reused
+    * cell, so the probe MUST return it at cosine ~1.0. Reported as an
+    * ENGINE-INDEPENDENT verdict row (the q47/q52 pattern): corpus size
+    * plus three booleans — full k returned, twin retrieved, twin cosine
+    * ≥ 1−1e−6 (not exact-1.0: sqrt(d)·sqrt(d) vs d differs in the last
+    * ulp). The oracle asserts COUNT(*)+1 and TRUE×3, so any probe
+    * regression hash-mismatches. The k-means cell assignment itself is
+    * not SQL-expressible; the model is trained once per corpus and reused
     * ([[graft.ops.Ivf.trainCached]]), not retrained per query. */
   val q48AnnIvf: Q = (s, dir) => {
     val emb = load(s, dir, "embeddings")
@@ -470,8 +507,15 @@ object DataOpsQueries {
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
     val tk = graft.ops.Ivf.topK(model, indexed, "vec_id", "embedding", query, k = 10, nProbe = 2)
-    val check = tk.agg(max(when(col("vec_id") === 1000000L, 1).otherwise(0)).as("planted_found"))
-    tk.crossJoin(check).filter(col("planted_found") === 1).drop("planted_found")
+    val verdict = tk.agg(
+      count(lit(1)).as("n_results"),
+      max(when(col("vec_id") === 1000000L, 1L).otherwise(0L)).as("found"),
+      max(when(col("vec_id") === 1000000L, col("cosine_sim"))).as("twin_cos"))
+    emb.agg((count(lit(1)) + 1L).as("n_vectors")).crossJoin(verdict)
+      .select(col("n_vectors"),
+        (col("n_results") === 10L).as("k_ok"),
+        (col("found") === 1L).as("planted_found"),
+        (col("twin_cos") >= 1.0 - 1e-6).as("twin_cos_ok"))
   }
 
   /** Approximate distinct (HyperLogLog++) next to the exact counts, with
