@@ -20,10 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  case class IvfModel(centroids: Array[Array[Double]]) {
-    def centroidCol: Column =
-      array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
-  }
+  case class IvfModel(centroids: Array[Array[Double]])
 
   /** Train centroids on a seeded, partition-parallel sample of the vectors.
     *

@@ -48,11 +48,17 @@ object Skew {
     df.repartition(partitions, col(key))
 
   /** Key-frequency profile: the first thing to look at when a join is
-    * slow — returns the heaviest keys and their share of rows. */
+    * slow — returns the heaviest keys and their share of rows.
+    *
+    * Single-pass: the total comes from an unpartitioned window over the
+    * ALREADY-GROUPED per-key counts (cardinality = distinct keys, not
+    * rows), not from a separate `df.count()` job that would re-scan the
+    * full input a second time. */
   def keyProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
-    val total = df.count()
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n") / lit(total.toDouble))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
       .orderBy(desc("n"))
       .limit(topK)
   }

@@ -529,7 +529,15 @@ object DataOpsQueries {
     * volume of the fact table at scale. Each exact distinct here is its own
     * two-phase aggregation (partial distinct map-side, shuffle ∝ distinct
     * pairs) and the HLL sketches ride a third, plain aggregation; the three
-    * small per-group results then join. */
+    * small per-group results then join.
+    *
+    * Measured crossover ([[graft.tools.Q47Crossover]], cached input,
+    * local[32], min-of-2): sf0.1 (600k rows) Expand 2.04s vs two-phase
+    * 1.19s (1.7×); 8× key-shifted corpus (4.8M rows) 11.19s vs 2.66s
+    * (4.2×). The two-phase shape wins at every measured scale — the r2
+    * end-to-end bench delta (0.49→0.76s) was cold-scan + extra-job
+    * latency at small SF, and the gap widens super-linearly with volume
+    * exactly as the Expand shuffle-multiplication predicts. */
   val q47ApproxDistinct: Q = (s, dir) => {
     val li = load(s, dir, "lineitem")
     def exact(c: String, as: String) =

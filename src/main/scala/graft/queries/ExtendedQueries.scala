@@ -34,14 +34,24 @@ object ExtendedQueries {
     * memory per group, mergeable map-side). */
   val q32Percentile: Q = (s, dir) => {
     load(s, dir, "lineitem")
+      // decimal-cast first (exact 2-decimal values), then double for the
+      // interpolation: DuckDB's QUANTILE_CONT on DECIMAL rounds to the
+      // decimal scale, so the quantile itself must run on DOUBLE. The cast
+      // chain is hoisted into one pre-aggregation projection — inside the
+      // agg it would re-evaluate once per percentile argument per row.
+      .select(col("l_returnflag"),
+        dec2(col("l_quantity")).cast("double").as("qty"),
+        dec2(col("l_extendedprice")).cast("double").as("price"))
       .groupBy("l_returnflag")
+      // one percentile buffer per COLUMN, not per requested quantile: the
+      // array form sorts the price buffer once for both quantiles (three
+      // TypedImperativeAggregate buffers + three sorts → two + two)
       .agg(
-        // decimal-cast first (exact 2-decimal values), then double for the
-        // interpolation: DuckDB's QUANTILE_CONT on DECIMAL rounds to the
-        // decimal scale, so the quantile itself must run on DOUBLE
-        expr("percentile(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5)").as("median_qty"),
-        expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5)").as("median_price"),
-        expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95)").as("p95_price"))
+        expr("percentile(qty, 0.5)").as("median_qty"),
+        expr("percentile(price, array(0.5, 0.95))").as("ps"))
+      .select(col("l_returnflag"), col("median_qty"),
+        col("ps").getItem(0).as("median_price"),
+        col("ps").getItem(1).as("p95_price"))
       .orderBy("l_returnflag")
   }
 
@@ -54,15 +64,17 @@ object ExtendedQueries {
     * so its gap from the interpolated exact value is bounded by the local
     * data spacing plus the 1/accuracy rank error. */
   val q52ApproxPercentile: Q = (s, dir) => {
-    val qty = "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)"
-    val price = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)"
     load(s, dir, "lineitem")
+      // same cast-hoist as q32: one projection, four aggregate consumers
+      .select(col("l_returnflag"),
+        dec2(col("l_quantity")).cast("double").as("qty"),
+        dec2(col("l_extendedprice")).cast("double").as("price"))
       .groupBy("l_returnflag")
       .agg(
-        expr(s"percentile($qty, 0.5)").as("median_qty"),
-        expr(s"percentile($price, 0.95)").as("p95_price"),
-        expr(s"approx_percentile($qty, 0.5, 10000)").as("aq"),
-        expr(s"approx_percentile($price, 0.95, 10000)").as("ap"))
+        expr("percentile(qty, 0.5)").as("median_qty"),
+        expr("percentile(price, 0.95)").as("p95_price"),
+        expr("approx_percentile(qty, 0.5, 10000)").as("aq"),
+        expr("approx_percentile(price, 0.95, 10000)").as("ap"))
       .select(col("l_returnflag"), col("median_qty"), col("p95_price"),
         (abs(col("aq") - col("median_qty")) <= abs(col("median_qty")) * 0.05 + 1.0)
           .as("qty_approx_ok"),

@@ -1,0 +1,28 @@
+package graft.tools
+
+/** Targeted per-query bench: times only the named SparkEntry queries
+  * (min of two noop-forced runs each) on SPARK_GRAFT_SF_DIR — the
+  * fast inner loop for plan iteration, vs graft.Bench's full sweep.
+  *
+  * {{{ runMain graft.tools.QBench q32_percentile q52_approx_percentile }}}
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QBench <query_name>...")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local()
+    def force(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      graft.ops.OpCaches.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    args.headOption.foreach(force) // warm-up
+    args.foreach { n =>
+      val t = math.min(force(n), force(n))
+      println(f"[qbench] $n ${t}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Bench regression gate: diff two BENCH_r*.json files per query and flag
+regressions beyond a threshold.
+
+Usage:
+    python3 tools/bench_gate.py [BENCH_prev.json BENCH_new.json] [--threshold 1.3]
+
+With no file arguments, picks the two highest-numbered BENCH_r*.json in
+the repo root. Exit code 1 if any flagged regression is NOT narrated in
+BENCH_NOTES.md (narrated = the query name appears in the notes file) —
+silent regressions are how engines rot; deliberate ones must be written
+down.
+"""
+import json
+import glob
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(path):
+    """Accepts either the raw Bench JSON line ({"metric":...,"queries":{...}})
+    or the driver's wrapper, which embeds that line inside a "tail" field of
+    captured stdout."""
+    with open(path) as f:
+        data = json.load(f)
+    if "queries" not in data and "tail" in data:
+        tail = data["tail"]
+        start = tail.rfind('{"metric"')
+        if start < 0:
+            raise ValueError(f"{path}: no embedded bench JSON found in 'tail'")
+        end = tail.find("\n", start)
+        data = json.loads(tail[start:] if end < 0 else tail[start:end])
+    return {k: v for k, v in data.get("queries", {}).items() if v >= 0}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    if len(args) >= 2:
+        prev_path, new_path = args[0], args[1]
+    else:
+        benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+        if len(benches) < 2:
+            print("bench_gate: need at least two BENCH_r*.json files")
+            return 0
+        prev_path, new_path = benches[-2], benches[-1]
+    prev, new = load(prev_path), load(new_path)
+    notes = ""
+    notes_path = os.path.join(ROOT, "BENCH_NOTES.md")
+    if os.path.exists(notes_path):
+        notes = open(notes_path).read()
+
+    print(f"bench_gate: {os.path.basename(prev_path)} -> {os.path.basename(new_path)} "
+          f"(threshold {threshold}x)")
+    shared = sorted(set(prev) & set(new))
+    tp = sum(prev[q] for q in shared)
+    tn = sum(new[q] for q in shared)
+    if tp > 0:
+        print(f"shared {len(shared)} queries: {tp:.2f}s -> {tn:.2f}s "
+              f"({(tn - tp) / tp:+.1%} vs prev)")
+    silent = []
+    for q in shared:
+        ratio = new[q] / prev[q] if prev[q] > 0 else float("inf")
+        # absolute floor: sub-300ms queries are dominated by job-submit
+        # latency; ratios there are noise, not plan regressions
+        if ratio > threshold and new[q] - prev[q] > 0.3:
+            narrated = re.search(re.escape(q.split("_")[0]), notes) is not None
+            tag = "narrated" if narrated else "SILENT"
+            print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({ratio:.2f}x) [{tag}]")
+            if not narrated:
+                silent.append(q)
+    added = sorted(set(new) - set(prev))
+    removed = sorted(set(prev) - set(new))
+    if added:
+        print(f"new queries: {', '.join(added)}")
+    if removed:
+        print(f"removed queries: {', '.join(removed)}")
+    if silent:
+        print(f"FAIL: {len(silent)} silent regression(s) — narrate them in BENCH_NOTES.md")
+        return 1
+    print("OK: no silent regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
