@@ -62,19 +62,46 @@ object Multimodal {
       md5(col("payload")).as("checksum"),
       col("meta.media_type").as("media_type"))
 
+  /** Vectorized decode contract — the seam a production codec drops into.
+    * One call per BATCH of payloads, columnar in / columnar out (the same
+    * shape an Arrow record batch or a vectorized Pandas-style UDF hands a
+    * native library): a JNI/FFI decoder amortizes its per-call overhead
+    * over the batch and can hand the whole array to SIMD/accelerator code.
+    * Implementations must be deterministic per payload and return exactly
+    * one `dim`-length vector per input, in order. */
+  trait BatchCodec extends Serializable {
+    def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]]
+  }
+
+  /** The deterministic stand-in codec (no media libraries in this
+    * container): per-payload byte-value histogram, L1-normalized. */
+  object StubCodec extends BatchCodec {
+    override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
+      payloads.map(b => decodeStub(b, dim).toArray)
+  }
+
   /** The decode/feature-extract stage: partition-parallel over blobs,
-    * batch-shaped like a vectorized decode would be. The per-blob decode is
-    * a deterministic stand-in (first-64-bytes histogram normalized to
-    * [0,1]) — swap [[decodeStub]] for a real codec in production. */
-  def decodeFeatures(media: DataFrame, featureDim: Int = 16): DataFrame = {
+    * iterated in `batchSize` groups so the codec sees columnar batches
+    * ([[BatchCodec]]) rather than single rows. The default codec is the
+    * documented deterministic stub — a real decoder is a one-object
+    * drop-in; everything else (schema, batching, checksum, partition
+    * parallelism) is engine-side and tested. */
+  def decodeFeatures(media: DataFrame, featureDim: Int = 16,
+      codec: BatchCodec = StubCodec, batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1)
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val feats = decodeStub(bytes, featureDim)
-          Row(id, bytes.length.toLong, checksumHex(bytes), feats)
+        rows.grouped(batchSize).flatMap { batch =>
+          val payloads = batch.map(_.getAs[Array[Byte]](1)).toArray
+          val feats = codec.decodeBatch(payloads, featureDim)
+          require(feats.length == payloads.length,
+            s"codec returned ${feats.length} vectors for ${payloads.length} payloads")
+          batch.indices.iterator.map { i =>
+            val bytes = payloads(i)
+            Row(batch(i).getLong(0), bytes.length.toLong, checksumHex(bytes),
+              feats(i).toSeq)
+          }
         }
       }(enc)
   }

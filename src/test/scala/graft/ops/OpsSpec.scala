@@ -142,6 +142,40 @@ class OpsSpec extends AnyFunSuite {
     assert(metaChk.except(decodeChk).count() == 0)
   }
 
+  test("multimodal codec seam: a custom batch codec is honored across batch boundaries") {
+    // codec that encodes (batch-local) determinism: first feature = payload
+    // length — verifiable per row regardless of how rows were batched
+    object LenCodec extends Multimodal.BatchCodec {
+      override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
+        payloads.map { b =>
+          val f = new Array[Float](dim); f(0) = b.length.toFloat; f
+        }
+    }
+    // batchSize 7 forces uneven final batches per partition
+    val media = Multimodal.asMediaTable(docs.limit(30), "doc_id", "text")
+    val out = Multimodal.decodeFeatures(media, featureDim = 4,
+      codec = LenCodec, batchSize = 7)
+    assert(out.filter(try_element_at(col("features"), lit(1)) =!=
+      col("n_bytes").cast("float")).count() == 0)
+    assert(out.count() == 30)
+  }
+
+  test("multimodal metadata queries prune the payload from the parquet scan") {
+    val media = Multimodal.asMediaTable(docs.limit(50), "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(dir)
+    // metadata-only projection: the binary payload column (the bulk of the
+    // bytes at 100 TB) must not be read — columnar pruning is the whole
+    // point of carrying media as (payload, meta) instead of opaque rows
+    val metaOnly = spark.read.parquet(dir).select(col("media_id"), col("meta.media_type"))
+    val plan = metaOnly.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("payload"), readSchema)
+    assert(readSchema.contains("media_id"), readSchema)
+    assert(metaOnly.count() == 50)
+  }
+
   test("contamination: every eval doc is flagged against itself") {
     val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
     val pairs = Dedup.contaminationPairs(docs, "doc_id", evalSet, "doc_id", "text")
