@@ -80,6 +80,71 @@ object Hashing {
       u, org.apache.spark.sql.types.StringType, 42L)
   }
 
+  /** MinHash signature in one compiled pass — semantics IDENTICAL to the
+    * composed HOF formulation
+    * `Dedup.minhashSignature(TextOps.hashedShingles(text, n), numHashes)`
+    * (FunctionsSpec pins the equivalence):
+    *  - token hashes: pmod(xxhash64(token), 2^31-1), tokens via
+    *    [[sparkTokens]] (Spark trim/split semantics, empties kept);
+    *  - shingle hashes: polynomial Σ tokHash(i+k)·31^k mod p for texts of
+    *    ≥ n tokens, else ONE Horner-fold hash of all tokens (the HOF's
+    *    short-text branch, reversed coefficient order — kept verbatim);
+    *  - signature: min over shingles of (x·a_i + b_i) mod p per hash i.
+    * Modular accumulation replaces the HOF's sum-then-pmod — congruent,
+    * and every intermediate stays < 2^62 for any shingle length.
+    * The HOF path walks interpreted lambdas per token × per hash; this is
+    * the hot loop of MinHash LSH at 100 TB, one static call in codegen. */
+  def minhashSig(s: UTF8String, n: Int, numHashes: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    val toks = sparkTokens(s.toString)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      th(i) = java.lang.Math.floorMod(xx(toks(i)), P31)
+      i += 1
+    }
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, P31)
+    def updateAll(x: Long): Unit = {
+      var j = 0
+      var a = 1103515245L % P31
+      var b = 12345L
+      while (j < numHashes) {
+        val cand = java.lang.Math.floorMod(x * a + b, P31)
+        if (cand < sig(j)) sig(j) = cand
+        a = (a + 2L) % P31
+        b += 1L
+        j += 1
+      }
+    }
+    if (th.length >= n) {
+      var s0 = 0
+      while (s0 <= th.length - n) {
+        var acc = 0L
+        var pow = 1L
+        var k = 0
+        while (k < n) {
+          acc = (acc + th(s0 + k) * pow) % P31
+          pow = pow * 31L % P31
+          k += 1
+        }
+        updateAll(acc)
+        s0 += 1
+      }
+    } else {
+      // HOF short-text branch: Horner fold over ALL token hashes
+      var acc = 0L
+      var j = 0
+      while (j < th.length) {
+        acc = acc * 31L % P31 + th(j)
+        j += 1
+      }
+      updateAll(java.lang.Math.floorMod(acc, P31))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
   /** Dot product of two double arrays, accumulated left-to-right — the
     * SAME sequential fold as the composed `aggregate(zip_with(...))`
     * formulation (Similarity.dotHof) and as DuckDB's list_dot_product, so
@@ -167,6 +232,21 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_minhash(text, n, numHashes)`: native MinHash signature. */
+case class MinHashSigExpr(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(n >= 1 && numHashes >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.minhashSig(v.asInstanceOf[UTF8String], n, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.minhashSig($c, $n, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
 /** `graft_dot(a, b)`: native sequential dot product over double arrays. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -197,6 +277,10 @@ object NativeFunctions {
       c, org.apache.spark.sql.functions.lit(n))
   def graft_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  def graft_minhash(c: Column, n: Int, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash",
+      c, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(numHashes))
 
   /** Register `graft_fingerprint` / `graft_simhash` in the session's
     * function registry (Column API + spark.sql both resolve through it). */
@@ -211,5 +295,9 @@ object NativeFunctions {
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSigExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

@@ -61,13 +61,19 @@ object Dedup {
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 4,
       minSim: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // signatures via the native codegen'd expression — FunctionsSpec pins
+    // it equal to the composed HOF formulation
+    // minhashSignature(TextOps.hashedShingles(...)), which walks
+    // interpreted lambdas per token × per hash and exists as the spec
+    graft.functions.NativeFunctions.register(df.sparkSession)
     // persisted via OpCaches (lifetime contract documented there): the
     // signature table is referenced three times below (bucket derivation +
     // both sides of the pair join); without caching the 32-hash minhash
     // computation would run once per reference
     val sigs = OpCaches.persist(df.select(
       col(idCol).as("doc_id"),
-      minhashSignature(TextOps.hashedShingles(col(textCol), shingleLen), numHashes).as("sig")))
+      graft.functions.NativeFunctions
+        .graft_minhash(col(textCol), shingleLen, numHashes).as("sig")))
     val buckets = sigs
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("bk"), col("doc_id"))
@@ -210,13 +216,21 @@ object Dedup {
     val pruned = sh.join(okBuckets, Seq("bucket"))
     // per-pair cost: ONE array_intersect; |A∪B| = |A|+|B|-|A∩B| from the
     // precomputed set sizes (array_union would build the union array just
-    // to measure it — twice the set-op work for the same integer)
+    // to measure it — twice the set-op work for the same integer).
+    // Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    // whose set sizes are too lopsided can never reach the threshold —
+    // the cheap integer conjunct short-circuits before the intersect is
+    // built. Purely a skip of provably-below-threshold pairs: the result
+    // set (and the SQL oracle) is unchanged.
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val sizesAdmit =
+      least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")).cast("double") * minJaccard
     pruned.select(col("bucket"), col("doc_id").as("id_a"),
         col("sh").as("sh_a"), col("n_sh").as("n_a"))
       .join(pruned.select(col("bucket"), col("doc_id").as("id_b"),
         col("sh").as("sh_b"), col("n_sh").as("n_b")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && sizesAdmit)
       .select(col("id_a"), col("id_b"),
         (inter.cast("double") / (col("n_a") + col("n_b") - inter).cast("double"))
           .as("jaccard"))

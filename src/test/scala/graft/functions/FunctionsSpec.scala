@@ -66,6 +66,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter(col("nw") =!= col("hw")).count() == 0, "shingles diverged")
   }
 
+  test("native minhash signature equals the composed HOF formulation") {
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"),
+        NativeFunctions.graft_minhash(col("text"), 3, 32).as("native"),
+        Dedup.minhashSignature(
+          TextOps.hashedShingles(col("text"), 3), 32).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    // short-text branch (< n tokens → single Horner-fold shingle) and
+    // adversarial whitespace must agree too
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genText: Gen[String] = Gen.listOfN(12,
+      Gen.oneOf(" ", "\t", "\n", "  ", "a", "bb", "the", "x9")).map(_.mkString)
+    val texts = "" :: " " :: "solo" :: "a b" :: Gen.listOfN(300, genText)
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    import spark.implicits._
+    val edge = texts.toDF("text").select(
+      NativeFunctions.graft_minhash(col("text"), 3, 16).as("native"),
+      Dedup.minhashSignature(
+        TextOps.hashedShingles(col("text"), 3), 16).as("hof"))
+    assert(edge.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("native dot product is bit-exact vs the higher-order-function fold") {
     import graft.ops.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
