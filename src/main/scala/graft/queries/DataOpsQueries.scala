@@ -364,6 +364,57 @@ object DataOpsQueries {
       """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_vectors,
         |TRUE AS k_ok, TRUE AS planted_found, TRUE AS twin_cos_ok
         |FROM embeddings""".stripMargin,
+    "q61_repetition" ->
+      """WITH pt AS (
+        |  SELECT doc_id, source, tok, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, source,
+        |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY 1, 2, 3
+        |), prof AS (
+        |  SELECT doc_id, source, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+        |    MAX(cnt) AS top_count
+        |  FROM pt GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT source,
+        |    (n_tokens - n_distinct) * 100 // n_tokens AS dup_frac,
+        |    top_count * 100 // n_tokens AS top_cov
+        |  FROM prof)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(dup_frac) AS BIGINT) AS sum_dup_frac_x100,
+        |CAST(SUM(CASE WHEN dup_frac >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |CAST(SUM(CASE WHEN top_cov >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_heavy
+        |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_c4_filters" ->
+      """WITH pt AS (
+        |  SELECT doc_id, source, tok, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, source,
+        |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY 1, 2, 3
+        |), prof AS (
+        |  SELECT doc_id, source, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+        |    MAX(LENGTH(tok)) AS max_token_len
+        |  FROM pt GROUP BY 1, 2
+        |), f AS (
+        |  SELECT source,
+        |    n_tokens BETWEEN 10 AND 180 AS len_ok,
+        |    max_token_len <= 15 AS word_ok,
+        |    n_distinct * 2 >= n_tokens AS div_ok
+        |  FROM prof)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        |CAST(SUM(CASE WHEN word_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_word_ok,
+        |CAST(SUM(CASE WHEN div_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_div_ok,
+        |CAST(SUM(CASE WHEN len_ok AND word_ok AND div_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_tfidf" ->
+      """WITH d AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |), f AS (SELECT tok, COUNT(*) AS df FROM d GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tok, df, ROUND(LN(CAST(n_docs AS DOUBLE) / df), 8) AS idf
+        |FROM f, n ORDER BY df DESC, tok ASC LIMIT 15""".stripMargin,
   )
 
   // ------------------- dedup / ANN queries (oracle or self-checking) ----
@@ -664,6 +715,62 @@ object DataOpsQueries {
       .orderBy("source")
   }
 
+  /** Gopher-style repetition signals per source: duplicate-token fraction
+    * and top-token coverage (the word-level analogues of repeated-line /
+    * most-common-word corpus filters), flagged at 50% / 20%. All-integer
+    * arithmetic over [[graft.ops.CorpusStats.tokenProfile]] → full DuckDB
+    * oracle. */
+  val q61Repetition: Q = (s, dir) => {
+    val prof = graft.ops.CorpusStats.tokenProfile(
+      load(s, dir, "documents"), "doc_id", "text", keep = Seq("source"))
+    prof.select(col("source"),
+        ((col("n_tokens") - col("n_distinct")) * 100L / col("n_tokens"))
+          .cast("long").as("dup_frac"),
+        (col("top_count") * 100L / col("n_tokens")).cast("long").as("top_cov"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dup_frac")).as("sum_dup_frac_x100"),
+        sum(when(col("dup_frac") >= 50, 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("top_cov") >= 20, 1L).otherwise(0L)).as("n_top_heavy"))
+      .orderBy("source")
+  }
+
+  /** C4-style heuristic pre-filters as per-doc verdicts rolled up per
+    * source: token-count band, longest-token cap, and lexical-diversity
+    * floor (distinct ≥ half of total). Counts per rule + docs passing all
+    * three — integer math, full DuckDB oracle. */
+  val q62C4Filters: Q = (s, dir) => {
+    val prof = graft.ops.CorpusStats.tokenProfile(
+      load(s, dir, "documents"), "doc_id", "text", keep = Seq("source"))
+    prof.select(col("source"),
+        col("n_tokens").between(10L, 180L).as("len_ok"),
+        (col("max_token_len") <= 15L).as("word_ok"),
+        (col("n_distinct") * 2L >= col("n_tokens")).as("div_ok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len_ok"),
+        sum(when(col("word_ok"), 1L).otherwise(0L)).as("n_word_ok"),
+        sum(when(col("div_ok"), 1L).otherwise(0L)).as("n_div_ok"),
+        sum(when(col("len_ok") && col("word_ok") && col("div_ok"), 1L)
+          .otherwise(0L)).as("n_pass_all"))
+      .orderBy("source")
+  }
+
+  /** Corpus TF-IDF surface: document frequency per token
+    * ([[graft.ops.CorpusStats.documentFrequency]] — map-side-distinct
+    * (doc, token) pairs, shuffle ∝ vocabulary) with the idf rounded to 8
+    * decimals (libm `ln` may differ in the last ulp across engines). Top
+    * 15 tokens by df with a deterministic tie-break. */
+  val q63Tfidf: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val dfreq = graft.ops.CorpusStats.documentFrequency(docs, "doc_id", "text")
+    dfreq.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("tok"), col("df"),
+        graft.ops.CorpusStats.idf(col("n_docs"), col("df")).as("idf"))
+      .orderBy(desc("df"), asc("tok"))
+      .limit(15)
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -690,5 +797,8 @@ object DataOpsQueries {
     "q58_shard" -> q58Shard,
     "q59_frame_sample" -> q59FrameSample,
     "q60_curate" -> q60Curate,
+    "q61_repetition" -> q61Repetition,
+    "q62_c4_filters" -> q62C4Filters,
+    "q63_tfidf" -> q63Tfidf,
   )
 }

@@ -176,6 +176,25 @@ class OpsSpec extends AnyFunSuite {
     assert(metaOnly.count() == 50)
   }
 
+  test("corpus stats: token-profile invariants and document-frequency bounds") {
+    val prof = CorpusStats.tokenProfile(docs, "doc_id", "text")
+    assert(prof.count() == docs.count()) // exactly one profile row per doc
+    assert(prof.filter(col("n_distinct") > col("n_tokens") ||
+      col("top_count") > col("n_tokens") || col("n_tokens") < 1).count() == 0)
+    val dfreq = CorpusStats.documentFrequency(docs, "doc_id", "text")
+    val n = docs.count()
+    assert(dfreq.filter(col("df") > n || col("df") < 1).count() == 0)
+    // Σ df over tokens == distinct (doc, token) pairs == Σ n_distinct
+    val sumDf = dfreq.agg(sum("df")).head().getLong(0)
+    val sumDistinct = prof.agg(sum("n_distinct")).head().getLong(0)
+    assert(sumDf == sumDistinct)
+    // a token planted in EVERY doc has df == corpus size
+    val planted = docs.withColumn("text", concat(col("text"), lit(" everydoc")))
+    val dfAll = CorpusStats.documentFrequency(planted, "doc_id", "text")
+      .filter(col("tok") === "everydoc").head().getLong(1)
+    assert(dfAll == n)
+  }
+
   test("contamination: every eval doc is flagged against itself") {
     val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
     val pairs = Dedup.contaminationPairs(docs, "doc_id", evalSet, "doc_id", "text")
