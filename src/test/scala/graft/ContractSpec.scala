@@ -21,9 +21,10 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("oracle coverage: at least 56 SQL-checked queries of 60 total") {
-    assert(SparkEntry.oracleSql.size >= 56)
-    assert(SparkEntry.queries.size >= 60)
+  test("oracle coverage: EVERY query is SQL-checked (63+, zero rows-only)") {
+    assert(SparkEntry.queries.size >= 63)
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracles: $unchecked")
   }
 
   test("oracle SQL only references driver-provided tables") {

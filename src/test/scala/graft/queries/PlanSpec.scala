@@ -84,6 +84,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), "global window would funnel the corpus:\n" + p)
   }
 
+  test("q61/q63: corpus stats aggregate partially and never Expand") {
+    for (q <- Seq("q61_repetition", "q63_tfidf")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q should combine map-side:\n$p")
+      assert(!p.contains("Expand"), s"$q: Expand multiplies shuffle volume:\n$p")
+    }
+  }
+
   test("entry: flagship query runs and returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
