@@ -144,4 +144,29 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** Per-group centroid accumulation over the first `dims` embedding
+    * dimensions, in FIXED-POINT: each component is truncated toward zero
+    * to `2^qBits` resolution and summed as a long. Integer sums are
+    * order-independent, so the result is deterministic under any partition
+    * layout or merge order — double summation is not (FP addition is
+    * non-associative), which matters both for cross-engine verification
+    * and for reproducible pipelines. The centroid is `sum_q / n / 2^qBits`
+    * in the consumer's precision of choice.
+    *
+    * Scale shape: posexplode (a Generate, no shuffle) then ONE partial
+    * aggregation on (group, dim) — shuffle rows = groups × dims,
+    * independent of corpus size. This is the building block for
+    * cluster-based curation (semantic dedup's per-cluster centroids). */
+  def groupCentroidFixedPoint(vectors: DataFrame, groupCol: String,
+      vecCol: String, dims: Int, qBits: Int = 20): DataFrame = {
+    require(dims >= 1 && qBits >= 0 && qBits <= 40)
+    val scale = 1L << qBits
+    vectors
+      .select(col(groupCol), posexplode(slice(col(vecCol), 1, dims)).as(Seq("dim", "v")))
+      .select(col(groupCol), col("dim"),
+        (col("v").cast("double") * scale).cast("long").as("vq"))
+      .groupBy(groupCol, "dim")
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("sum_q"))
+  }
 }

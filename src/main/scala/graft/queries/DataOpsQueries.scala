@@ -406,6 +406,12 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN div_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_div_ok,
         |CAST(SUM(CASE WHEN len_ok AND word_ok AND div_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q64_centroid" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+        |CAST(SUM(CAST(TRUNC(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM (SELECT label, UNNEST(embedding[1:8]) AS v, UNNEST(range(1, 9)) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q63_tfidf" ->
       """WITH d AS (
         |  SELECT DISTINCT doc_id, tok FROM (
@@ -771,6 +777,19 @@ object DataOpsQueries {
       .limit(15)
   }
 
+  /** Per-label embedding centroids over the first 8 dimensions via
+    * order-independent fixed-point accumulation
+    * ([[graft.ops.Similarity.groupCentroidFixedPoint]]): integer sums are
+    * deterministic under any partition/merge order (double sums are not),
+    * so the centroid math replays exactly in DuckDB (TRUNC = Spark's
+    * toward-zero long cast). The cluster-centroid building block of
+    * semantic-dedup-style curation. */
+  val q64Centroid: Q = (s, dir) => {
+    graft.ops.Similarity.groupCentroidFixedPoint(
+      load(s, dir, "embeddings"), "label", "embedding", dims = 8)
+      .orderBy("label", "dim")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -800,5 +819,6 @@ object DataOpsQueries {
     "q61_repetition" -> q61Repetition,
     "q62_c4_filters" -> q62C4Filters,
     "q63_tfidf" -> q63Tfidf,
+    "q64_centroid" -> q64Centroid,
   )
 }
