@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * analysis, multimodal plumbing) exercised on the driver's `documents` /
   * `embeddings` / `events` tables.
   *
-  * Oracle-checked queries (q21–q30) keep every value engine-deterministic:
+  * Every query is oracle-checked with engine-deterministic values:
   * integer arithmetic for text metrics, sequential double folds for vector
-  * math (verified bit-exact vs DuckDB's list_dot_product). The near-dup
-  * detectors (q40+) are not SQL-expressible → rows-only checks; their
-  * correctness is pinned by ScalaTest with planted duplicates.
+  * math (verified bit-exact vs DuckDB's list_dot_product), fixed-point
+  * accumulation for centroids. Detectors whose internals are not
+  * SQL-expressible (banded MinHash, SimHash, IVF) emit engine-independent
+  * VERDICT columns (planted-recall booleans, counts) that the oracle
+  * asserts, so a detection regression still hash-mismatches; ScalaTest
+  * additionally pins detection quality with planted duplicates.
   */
 object DataOpsQueries {
   type Q = (SparkSession, String) => DataFrame
