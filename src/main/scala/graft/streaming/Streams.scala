@@ -75,6 +75,30 @@ object Streams {
     rows.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming curation — the continuous-ingest twin of
+    * [[graft.ops.Curation.curate]]: the stateless stages (language
+    * allow-list, quality floor, PII redaction) are per-row Column
+    * expressions and apply to a stream UNCHANGED — same predicates, same
+    * codegen, no state store. The dedup stage is the one semantic delta:
+    * exact dedup's "keep the smallest id per text" needs the whole corpus,
+    * so continuous ingest swaps it for first-seen-wins within the
+    * watermark horizon ([[dedupStream]] keyed on the text) — bounded
+    * state, and the practical duplicate model (retries/replays arrive
+    * close together). StreamingSpec cross-checks the stream against the
+    * batch recipe on a replay. */
+  def curateStream(docs: DataFrame, textCol: String,
+      allowedLangs: Seq[String], minQuality: Int,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.TextOps
+    docs
+      .filter(TextOps.langGuess(col(textCol)).isInCollection(allowedLangs))
+      .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+      .withColumn(textCol, TextOps.redactEmails(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(textCol)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

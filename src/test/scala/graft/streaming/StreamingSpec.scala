@@ -77,6 +77,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").select("event_id").distinct().count() == events.size)
   }
 
+  test("streaming curation matches the batch stages on a replayed corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.TextOps
+    val langs = Seq("en", "de", "fr", "es")
+    // +1s offset: a row at exactly epoch 0 equals the operator's INITIAL
+    // watermark and is treated as late — degenerate for synthetic stamps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        timestamp_micros(col("doc_id") * 1000L + 1000000L).as("event_time"))
+    val rows = docs.as[(Long, String, java.sql.Timestamp)].collect().toSeq
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem.addData(rows ++ rows) // the retry/replay duplicate shape
+    val curated = Streams.curateStream(
+      mem.toDF().toDF("doc_id", "text", "event_time"), "text", langs, minQuality = 40)
+    val q = curated.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curate_stream").start()
+    q.processAllAvailable(); q.stop()
+    // batch twin of the stateless stages + first-seen text dedup
+    val batch = docs
+      .filter(TextOps.langGuess(col("text")).isInCollection(langs))
+      .filter(TextOps.qualityScore(col("text")) >= 40)
+      .select(TextOps.redactEmails(col("text")).as("text")).distinct()
+    assert(spark.table("curate_stream").count() == batch.count())
+    assert(spark.table("curate_stream").select("text")
+      .except(batch).count() == 0)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
