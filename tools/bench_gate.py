@@ -37,11 +37,20 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    threshold = 1.3
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, threshold = [], 1.3
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                threshold = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) >= 2:
         prev_path, new_path = args[0], args[1]
     else:
