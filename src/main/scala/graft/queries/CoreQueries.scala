@@ -248,11 +248,19 @@ object CoreQueries {
   val q19JoinAggHaving: Q = (s, dir) => {
     val o = load(s, dir, "orders")
     val li = load(s, dir, "lineitem")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderkey"))
+    // Pre-aggregate the fact BEFORE the join: the group key equals the
+    // join key and orders is unique per key, so aggregating first is
+    // result-identical while the join input shrinks from raw lineitem to
+    // one row per order (map-side partial combine then ~4× fewer shuffled
+    // rows at TPC-H shape), and the HAVING prunes before the join ever
+    // runs. Join-then-aggregate would shuffle the full fact — the version
+    // of this query that does not survive a 100× scale-up.
+    val perOrder = li.groupBy(col("l_orderkey"))
       .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_lines"))
       .filter(col("n_lines") >= 5)
+    perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("revenue"), col("n_lines"))
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(20)
   }

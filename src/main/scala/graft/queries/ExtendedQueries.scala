@@ -83,15 +83,19 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
-  /** Pivot (orderpriority × linestatus counts) — expressed as conditional
-    * aggregation so the Spark plan and DuckDB SQL match exactly. */
+  /** Pivot (orderpriority × linestatus counts). Same fact pre-aggregation
+    * as q19/q36: lineitem collapses to per-(order, status) counts before
+    * the join (result-identical, exact integer sums), so the pivot's
+    * input shuffle is orders-sized, not lines-sized. */
   val q33Pivot: Q = (s, dir) => {
     val o = load(s, dir, "orders")
-    val li = load(s, dir, "lineitem")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val liAgg = load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(count(lit(1)))
+      .agg(sum(col("cnt")))
       .na.fill(0L)
       .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
       .orderBy("o_orderpriority")
@@ -120,20 +124,31 @@ object ExtendedQueries {
   }
 
   /** Multi-level join + conditional + date arithmetic (TPC-H Q5-like
-    * shape): revenue by nation for orders within one year. */
+    * shape): revenue by nation for orders within one year.
+    *
+    * The fact is PRE-aggregated per order before any join (group key ==
+    * join key; orders is unique per key → result-identical): the join
+    * then carries one row per order instead of one per line — the only
+    * full-fact shuffle is the map-side-combined per-order aggregation.
+    * The per-order revenue stays exact DECIMAL through both aggregation
+    * levels (double only at the very end), so the two-level sum equals
+    * the oracle's one-level sum bit-for-bit in any merge order. */
   val q36RegionalRevenue: Q = (s, dir) => {
-    val li = load(s, dir, "lineitem")
     val o = load(s, dir, "orders")
     val c = load(s, dir, "customer")
     val n = load(s, dir, "nation")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val liAgg = load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .as("rev"), count(lit(1)).as("nl"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
         col("o_orderdate") < add_months(lit("1995-01-01").cast("date"), 12).cast("timestamp"))
       .groupBy("n_name")
-      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        sum(col("nl")).as("n_lines"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
