@@ -121,10 +121,12 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("native expressions stay inside whole-stage codegen") {
     val df = spark.read.parquet(docs)
-      .select(NativeFunctions.graft_fingerprint(col("text")))
+      .select(NativeFunctions.graft_fingerprint(col("text")),
+        NativeFunctions.graft_minhash(col("text"), 3, 32))
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(plan.contains("WholeStageCodegen"), plan.take(500))
     assert(plan.contains("Hashing.rollingHash"), "generated code should call the static helper")
+    assert(plan.contains("Hashing.minhashSig"), "minhash should codegen via the static helper")
   }
 }
