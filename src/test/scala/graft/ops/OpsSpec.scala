@@ -176,6 +176,16 @@ class OpsSpec extends AnyFunSuite {
     assert(metaOnly.count() == 50)
   }
 
+  test("fixed-point centroid is independent of partition layout") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Similarity.groupCentroidFixedPoint(emb, "label", "embedding", dims = 4)
+    val b = Similarity.groupCentroidFixedPoint(emb.repartition(13), "label", "embedding", dims = 4)
+    // integer accumulation ⇒ bit-identical under any merge order — the
+    // determinism double summation cannot provide
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    assert(a.count() == emb.select("label").distinct().count() * 4)
+  }
+
   test("corpus stats: token-profile invariants and document-frequency bounds") {
     val prof = CorpusStats.tokenProfile(docs, "doc_id", "text")
     assert(prof.count() == docs.count()) // exactly one profile row per doc
