@@ -34,10 +34,11 @@ object Curation {
     val deduped = filtered.join(keep, Seq(idCol), "left_semi")
     if (!nearDup) deduped
     else {
-      val losers = Dedup.minhashNearDups(deduped, idCol, textCol,
-          minSim = nearDupMinSim)
-        .select(col("id_b").as(idCol)) // drop the larger id of each pair
-        .distinct()
+      // keep one doc per CONNECTED COMPONENT of the pair graph (transitive
+      // closure), not per pair: pair-wise dropping over-deletes on chains
+      val losers = Dedup.nearDupLosers(
+          Dedup.minhashNearDups(deduped, idCol, textCol, minSim = nearDupMinSim))
+        .select(col("id").as(idCol))
       deduped.join(losers, Seq(idCol), "left_anti")
     }
   }

@@ -176,6 +176,72 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Connected components over a near-dup pair list: groups transitive
+    * duplicate chains (A~B, B~C ⇒ {A,B,C}) and returns one row per member
+    * with its component's canonical (minimum) id. Dropping `id_b` of every
+    * pair — the naive alternative — over-deletes on chains (B and C both
+    * lose even though B was C's only witness) and under-merges across
+    * bands; keep-one-per-COMPONENT is the production near-dup contract.
+    *
+    * Algorithm: iterative min-label propagation (large-/small-star
+    * simplified): every node starts as its own label; each round joins
+    * labels across edges and keeps the minimum seen. Rounds needed =
+    * graph diameter; near-dup components are tiny clusters (diameter ≤ a
+    * few), so the loop converges in 2–3 rounds — the convergence check is
+    * one count per round (a driver-side CONTROL decision, not a data
+    * loop; each round is a pair of hash joins at full parallelism).
+    * `maxIter` bounds the worst case; the loop exits early on fixpoint. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    // persist the INPUT first: `pairs` is typically an expensive LSH plan
+    // and is referenced once per direction of the edge union. The edge
+    // list and every iteration's labels are localCheckpoint()ed — an
+    // iterative algorithm that merely caches grows its logical plan by
+    // one join per round, and analysis/optimization time (and any cache
+    // miss) grows with it; truncating lineage keeps every round O(1)
+    // planning, the standard Spark idiom for iterative graph algorithms.
+    val p = OpCaches.persist(pairs.select(col("id_a"), col("id_b")))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    // Convergence signal: per-node labels are monotonically non-increasing
+    // (min over a set containing the own label), so the label SUM strictly
+    // decreases until fixpoint — one cheap aggregate on the checkpointed
+    // frame instead of a change-detection join. Decimal sum: exact and
+    // overflow-free at any id scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min over: own label, and every neighbor's label
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup removal keeping ONE document per connected component of the
+    * detected pair graph: returns the ids to DROP (every member except
+    * the component minimum). Compose with a left_anti join. */
+  def nearDupLosers(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+
   /** Exact n-gram Jaccard pairs with SINGLE-permutation MinHash bucketing:
     * candidates are documents agreeing on their lexicographic minimum
     * shingle (= MinHash with one permutation, the identity ordering), then

@@ -409,6 +409,9 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN div_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_div_ok,
         |CAST(SUM(CASE WHEN len_ok AND word_ok AND div_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_neardup_groups" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS twin_dedup_ok
+        |FROM documents""".stripMargin,
     "q64_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
         |CAST(SUM(CAST(TRUNC(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_q
@@ -793,6 +796,29 @@ object DataOpsQueries {
       .orderBy("label", "dim")
   }
 
+  /** Near-dup GROUP dedup: LSH pairs → connected components → keep one
+    * doc per component ([[graft.ops.Dedup.connectedComponents]]). Verdict
+    * columns (engine-independent, the q40 pattern): `n_planted` plus
+    * `twin_dedup_ok`, true iff ≤5% of the planted (i, i+1,000,000) twin
+    * pairs BOTH survive the component-based removal — the oracle asserts
+    * COUNT(*) and TRUE, so a grouping or recall regression
+    * hash-mismatches. */
+  val q65NearDupGroups: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val all = withPlantedTwins(docs)
+    val pairs = Dedup.minhashNearDups(all, "doc_id", "text", minSim = 0.5)
+    val losers = Dedup.nearDupLosers(pairs).select(col("id").as("doc_id"))
+    val survivors = all.join(losers, Seq("doc_id"), "left_anti")
+    val bothSurvive = survivors.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id"))
+      .join(survivors.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id")), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    docs.agg(count(lit(1)).as("n_planted")).crossJoin(bothSurvive)
+      .select(col("n_planted"),
+        (col("n_both") * 100L <= col("n_planted") * 5L).as("twin_dedup_ok"))
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -823,5 +849,6 @@ object DataOpsQueries {
     "q62_c4_filters" -> q62C4Filters,
     "q63_tfidf" -> q63Tfidf,
     "q64_centroid" -> q64Centroid,
+    "q65_neardup_groups" -> q65NearDupGroups,
   )
 }

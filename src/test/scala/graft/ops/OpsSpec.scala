@@ -176,6 +176,23 @@ class OpsSpec extends AnyFunSuite {
     assert(metaOnly.count() == 50)
   }
 
+  test("connected components merge chains; losers keep one doc per component") {
+    import spark.implicits._
+    // chain 1—2—3 (transitive) + isolated pair 10—11 + star 20—{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // keep-one-per-component: naive per-pair id_b dropping would keep only
+    // {1, 10, 20} too here, but on chain A—B, B—C with A≁C it deletes C
+    // even though C's only witness B is itself deleted; CC never does
+    val losers = Dedup.nearDupLosers(pairs).as[Long].collect().toSet
+    assert(losers == Set(2L, 3L, 11L, 21L, 22L))
+    OpCaches.releaseAll()
+  }
+
   test("fixed-point centroid is independent of partition layout") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.groupCentroidFixedPoint(emb, "label", "embedding", dims = 4)
