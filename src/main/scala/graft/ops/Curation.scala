@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Surviving documents after the curation recipe. Keeps the input
-    * columns. `nearDup = true` additionally removes LSH near-duplicates
-    * (keeping the smaller id of each pair). */
+    * columns. `nearDup = true` additionally removes LSH near-duplicates,
+    * keeping ONE document (the minimum id) per connected component of the
+    * pair graph — note that this path runs Spark jobs EAGERLY at call
+    * time (the component computation is iterative, see
+    * [[Dedup.connectedComponents]]); with `nearDup = false` the result is
+    * a single lazy plan. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Int,
       nearDup: Boolean = false, nearDupMinSim: Double = 0.8): DataFrame = {

@@ -190,7 +190,15 @@ object Dedup {
     * few), so the loop converges in 2–3 rounds — the convergence check is
     * one count per round (a driver-side CONTROL decision, not a data
     * loop; each round is a pair of hash joins at full parallelism).
-    * `maxIter` bounds the worst case; the loop exits early on fixpoint. */
+    * `maxIter` bounds the worst case; the loop exits early on fixpoint.
+    *
+    * EXECUTION NOTE: unlike the other operators (lazy plans), this one
+    * runs Spark jobs EAGERLY at call time — iterative convergence cannot
+    * be expressed as one lazy plan. Each round's labels are
+    * localCheckpoint()ed; that storage is not under [[OpCaches]] and is
+    * reclaimed by Spark's ContextCleaner once the intermediate frames are
+    * garbage-collected (long-lived services should scope heavy curation
+    * runs per session/job as usual). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.DataFrame
     // persist the INPUT first: `pairs` is typically an expensive LSH plan
@@ -213,10 +221,11 @@ object Dedup {
     // frame instead of a change-detection join. Decimal sum: exact and
     // overflow-free at any id scale.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // SUM over zero rows is null
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum.signum == 0 && labels.isEmpty // no edges → done
     while (iter < maxIter && !converged) {
       // min over: own label, and every neighbor's label
       val viaEdges = edges
@@ -231,6 +240,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Refuse to return silently-wrong labels: if the last round still
+    // changed something, the graph diameter exceeds maxIter and several
+    // nodes carry non-minimal components — raise maxIter for such graphs
+    // (near-dup clusters have tiny diameters; long chains are pathological).
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — component " +
+        "diameter exceeds maxIter; raise it for long-chain graphs")
     labels
   }
 

@@ -50,15 +50,19 @@ object Skew {
   /** Key-frequency profile: the first thing to look at when a join is
     * slow — returns the heaviest keys and their share of rows.
     *
-    * Single-pass: the total comes from an unpartitioned window over the
-    * ALREADY-GROUPED per-key counts (cardinality = distinct keys, not
-    * rows), not from a separate `df.count()` job that would re-scan the
-    * full input a second time. */
+    * One scan, fully parallel: the raw input is grouped once; the total
+    * comes from a parallel aggregate over those per-key counts, attached
+    * via a broadcast of its single row. Both consumers share the same
+    * grouping Exchange (ReuseExchange), so the raw data is read and
+    * shuffled exactly once — and, unlike an unpartitioned window over
+    * the counts, no step funnels the (potentially high-cardinality)
+    * distinct-key set through a single task. */
   def keyProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .withColumn("share",
-        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__total"))))
+      .withColumn("share", col("n").cast("double") / col("__total"))
+      .drop("__total")
       .orderBy(desc("n"))
       .limit(topK)
   }

@@ -75,17 +75,22 @@ object Streams {
     rows.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
-  /** Streaming curation — the continuous-ingest twin of
-    * [[graft.ops.Curation.curate]]: the stateless stages (language
-    * allow-list, quality floor, PII redaction) are per-row Column
-    * expressions and apply to a stream UNCHANGED — same predicates, same
-    * codegen, no state store. The dedup stage is the one semantic delta:
-    * exact dedup's "keep the smallest id per text" needs the whole corpus,
-    * so continuous ingest swaps it for first-seen-wins within the
-    * watermark horizon ([[dedupStream]] keyed on the text) — bounded
-    * state, and the practical duplicate model (retries/replays arrive
-    * close together). StreamingSpec cross-checks the stream against the
-    * batch recipe on a replay. */
+  /** Streaming curation — the continuous-ingest sibling of
+    * [[graft.ops.Curation.curate]]: the language allow-list and quality
+    * floor are the batch recipe's per-row predicates applied unchanged
+    * (same expressions, same codegen, no state store). TWO deliberate
+    * semantic deltas from the batch recipe:
+    *  - dedup is first-seen-wins within the watermark horizon
+    *    ([[dedupStream]] keyed on the text) instead of keep-min-id over
+    *    the whole corpus — bounded state, and the practical duplicate
+    *    model (retries/replays arrive close together);
+    *  - PII redaction ([[graft.ops.TextOps.redactEmails]], not part of
+    *    the batch recipe) runs inline BEFORE the dedup, so replays that
+    *    differ only in volatile PII still deduplicate — continuous ingest
+    *    is the one pass that sees every raw record, so scrubbing belongs
+    *    here.
+    * StreamingSpec cross-checks the stream against the equivalent batch
+    * stages (filters → redact → distinct) on a replayed corpus. */
   def curateStream(docs: DataFrame, textCol: String,
       allowedLangs: Seq[String], minQuality: Int,
       eventTimeCol: String = "event_time",

@@ -45,9 +45,12 @@ def main():
         if a.startswith("--threshold"):
             if "=" in a:
                 threshold = float(a.split("=", 1)[1])
-            else:
+            elif i + 1 < len(argv):
                 i += 1
                 threshold = float(argv[i])
+            else:
+                print("bench_gate: --threshold requires a value")
+                return 2
         else:
             args.append(a)
         i += 1
@@ -60,10 +63,15 @@ def main():
             return 0
         prev_path, new_path = benches[-2], benches[-1]
     prev, new = load(prev_path), load(new_path)
+    # Narration scope: only the NEWEST round section of BENCH_NOTES.md
+    # (convention: newest "## Round N" first). Matching the whole file
+    # would permanently exempt any query ever mentioned in a past round.
     notes = ""
     notes_path = os.path.join(ROOT, "BENCH_NOTES.md")
     if os.path.exists(notes_path):
-        notes = open(notes_path).read()
+        whole = open(notes_path).read()
+        sections = re.split(r"(?m)^## ", whole)
+        notes = next((s for s in sections if s.startswith("Round")), whole)
 
     print(f"bench_gate: {os.path.basename(prev_path)} -> {os.path.basename(new_path)} "
           f"(threshold {threshold}x)")
@@ -79,7 +87,7 @@ def main():
         # absolute floor: sub-300ms queries are dominated by job-submit
         # latency; ratios there are noise, not plan regressions
         if ratio > threshold and new[q] - prev[q] > 0.3:
-            narrated = re.search(re.escape(q.split("_")[0]), notes) is not None
+            narrated = q.split("_")[0] in notes
             tag = "narrated" if narrated else "SILENT"
             print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({ratio:.2f}x) [{tag}]")
             if not narrated:
