@@ -193,6 +193,22 @@ class OpsSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("connected components: empty input and non-convergence guard") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+    assert(Dedup.nearDupLosers(empty).isEmpty)
+    // a 12-node path has diameter 11: the default 10 rounds MUST refuse
+    // (silently-wrong labels otherwise); enough rounds converge to one
+    // component rooted at the minimum id
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](Dedup.connectedComponents(chain))
+    val cc = Dedup.connectedComponents(chain, maxIter = 15)
+    assert(cc.filter(col("component") =!= 1L).count() == 0)
+    assert(cc.count() == 12)
+    OpCaches.releaseAll()
+  }
+
   test("fixed-point centroid is independent of partition layout") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.groupCentroidFixedPoint(emb, "label", "embedding", dims = 4)
