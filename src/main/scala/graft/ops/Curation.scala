@@ -46,4 +46,21 @@ object Curation {
       deduped.join(losers, Seq(idCol), "left_anti")
     }
   }
+
+  /** Semantic (embedding-space) deduplication: documents whose embeddings
+    * are near-identical in cosine are grouped transitively and only one
+    * per cluster survives — the SemDeDup-style stage that catches
+    * paraphrases and re-encodings lexical near-dup misses. Pure
+    * composition of tested operators: LSH-bucketed cosine pairs
+    * ([[Similarity.cosineNearDupPairs]], auto-width signatures + bucket
+    * cap) → connected components ([[Dedup.connectedComponents]], eager —
+    * see its execution note) → keep-min-id anti-join. Returns the
+    * surviving rows of `docs`. */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.99, maxBucket: Int = 4096): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(docs, idCol, vecCol,
+      dim = dim, threshold = threshold, maxBucket = maxBucket)
+    val losers = Dedup.nearDupLosers(pairs).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -412,6 +412,10 @@ object DataOpsQueries {
     "q65_neardup_groups" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS twin_dedup_ok
         |FROM documents""".stripMargin,
+    "q66_semantic_dedup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |TRUE AS twin_dedup_ok, TRUE AS kept_leq_input_ok
+        |FROM embeddings""".stripMargin,
     "q64_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
         |CAST(SUM(CAST(TRUNC(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_q
@@ -819,6 +823,30 @@ object DataOpsQueries {
         (col("n_both") * 100L <= col("n_planted") * 5L).as("twin_dedup_ok"))
   }
 
+  /** Semantic dedup over embeddings ([[graft.ops.Curation.semanticDedup]]):
+    * planted identical twin vectors (id + 1,000,000) must collapse to one
+    * survivor per pair. Verdict columns (q40/q65 pattern): `n_planted`
+    * plus `twin_dedup_ok` — true iff ≤5% of the twin pairs both survive —
+    * and `kept_leq_input_ok` (survivors never exceed the input). The
+    * oracle asserts COUNT(*) and TRUE×2. */
+  val q66SemanticDedup: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val all = emb.unionByName(twins)
+    val survivors = graft.ops.Curation.semanticDedup(all, "vec_id", "embedding",
+      dim = EmbeddingDim, threshold = 0.999999)
+    val bothSurvive = survivors.filter(col("vec_id") < 1000000L)
+      .select(col("vec_id"))
+      .join(survivors.filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val nKept = survivors.agg(count(lit(1)).as("n_kept"))
+    emb.agg(count(lit(1)).as("n_planted")).crossJoin(bothSurvive).crossJoin(nKept)
+      .select(col("n_planted"),
+        (col("n_both") * 100L <= col("n_planted") * 5L).as("twin_dedup_ok"),
+        (col("n_kept") <= col("n_planted") * 2L).as("kept_leq_input_ok"))
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -850,5 +878,6 @@ object DataOpsQueries {
     "q63_tfidf" -> q63Tfidf,
     "q64_centroid" -> q64Centroid,
     "q65_neardup_groups" -> q65NearDupGroups,
+    "q66_semantic_dedup" -> q66SemanticDedup,
   )
 }
