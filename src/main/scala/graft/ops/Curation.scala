@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *   1. language filter ([[TextOps.langGuess]] against an allow-list),
   *   2. quality floor ([[TextOps.qualityScore]]),
   *   3. exact dedup ([[Dedup.exactDedup]] — keep the smallest id per text),
-  *   4. optionally near-dup removal ([[Dedup.minhashNearDups]] — drop the
-  *      larger id of each detected pair).
+  *   4. optionally near-dup removal ([[Dedup.minhashNearDups]] pairs →
+  *      [[Dedup.connectedComponents]] — keep the smallest id of each
+  *      transitive duplicate cluster).
   *
   * Stages 1–3 fuse into ONE Catalyst plan (filters are per-row expressions,
   * the dedup is a single groupBy shuffle carrying (text-key, id), and the

@@ -190,7 +190,10 @@ object Dedup {
     * few), so the loop converges in 2–3 rounds — the convergence check is
     * one count per round (a driver-side CONTROL decision, not a data
     * loop; each round is a pair of hash joins at full parallelism).
-    * `maxIter` bounds the worst case; the loop exits early on fixpoint.
+    * `maxIter` bounds the supported component DIAMETER (the loop runs up
+    * to maxIter+1 rounds — the extra one is the no-change round the
+    * sum-based detection needs) and the method REFUSES to return
+    * unconverged labels; the loop exits early on fixpoint.
     *
     * EXECUTION NOTE: unlike the other operators (lazy plans), this one
     * runs Spark jobs EAGERLY at call time — iterative convergence cannot
@@ -226,7 +229,10 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = prevSum.signum == 0 && labels.isEmpty // no edges → done
-    while (iter < maxIter && !converged) {
+    // maxIter + 1: a diameter-D graph needs D label-changing rounds plus
+    // ONE no-change round for the sum-based detection — maxIter bounds the
+    // supported diameter, not the raw loop count
+    while (iter < maxIter + 1 && !converged) {
       // min over: own label, and every neighbor's label
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))

@@ -414,7 +414,7 @@ object DataOpsQueries {
         |FROM documents""".stripMargin,
     "q66_semantic_dedup" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
-        |TRUE AS twin_dedup_ok, TRUE AS kept_leq_input_ok
+        |TRUE AS twin_dedup_ok, TRUE AS kept_bounds_ok
         |FROM embeddings""".stripMargin,
     "q64_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
@@ -827,8 +827,11 @@ object DataOpsQueries {
     * planted identical twin vectors (id + 1,000,000) must collapse to one
     * survivor per pair. Verdict columns (q40/q65 pattern): `n_planted`
     * plus `twin_dedup_ok` — true iff ≤5% of the twin pairs both survive —
-    * and `kept_leq_input_ok` (survivors never exceed the input). The
-    * oracle asserts COUNT(*) and TRUE×2. */
+    * and `kept_bounds_ok`, which pins the survivor count into
+    * [n/2, n·1.05]: the upper bound fails if dedup under-merges, the
+    * lower if it over-deletes (an all-drop bug would otherwise make
+    * `twin_dedup_ok` vacuously true). The oracle asserts COUNT(*) and
+    * TRUE×2. */
   val q66SemanticDedup: Q = (s, dir) => {
     val emb = load(s, dir, "embeddings")
     val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
@@ -844,7 +847,8 @@ object DataOpsQueries {
     emb.agg(count(lit(1)).as("n_planted")).crossJoin(bothSurvive).crossJoin(nKept)
       .select(col("n_planted"),
         (col("n_both") * 100L <= col("n_planted") * 5L).as("twin_dedup_ok"),
-        (col("n_kept") <= col("n_planted") * 2L).as("kept_leq_input_ok"))
+        (col("n_kept") * 2L >= col("n_planted") &&
+          col("n_kept") * 100L <= col("n_planted") * 105L).as("kept_bounds_ok"))
   }
 
   val all: Map[String, Q] = Map(

@@ -13,6 +13,12 @@ import java.nio.file.{Files, Paths}
   * broadcast used to be, a surprise Expand, a nested-loop join that is
   * not a deliberate one-row verdict crossJoin).
   *
+  * Known blind spots (documented in the generated header): operators
+  * inside Subqueries sections are not tabulated (no current query plans
+  * one), and queries with an EAGER phase (q65/q66's connected
+  * components) show only their post-checkpoint plan — the LSH pair-join
+  * shapes of that phase are asserted by PlanSpec/OpsSpec instead.
+  *
   * {{{ runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLAN_AUDIT.md }}}
   */
 object PlanAudit {
@@ -54,7 +60,10 @@ object PlanAudit {
          |joins, and codegen'd operators / total operators. Nested-loop
          |entries correspond to deliberate ONE-ROW verdict-column crossJoins
          |(the q40/q47 oracle pattern) — PlanSpec asserts the dangerous cases
-         |(near-dup pair joins, range join) stay equi-joins. Regenerate:
+         |(near-dup pair joins, range join) stay equi-joins. Blind spots:
+         |Subqueries sections are not tabulated, and q65/q66 show only the
+         |plan AFTER their eager connected-components phase (its LSH join
+         |shapes are asserted in PlanSpec/OpsSpec). Regenerate:
          |`sbt "runMain graft.tools.PlanAudit <sfDir> PLAN_AUDIT.md"`.
          |
          || query | Exchange | BHJ | SMJ | Expand | nested-loop | codegen |

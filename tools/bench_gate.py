@@ -7,9 +7,11 @@ Usage:
 
 With no file arguments, picks the two highest-numbered BENCH_r*.json in
 the repo root. Exit code 1 if any flagged regression is NOT narrated in
-BENCH_NOTES.md (narrated = the query name appears in the notes file) —
-silent regressions are how engines rot; deliberate ones must be written
-down.
+BENCH_NOTES.md. Narrated = the query name appears in the NEWEST
+"## Round N" section of the notes (convention: newest round first) —
+mentions in older rounds do not exempt new regressions. Silent
+regressions are how engines rot; deliberate ones must be written down
+in the current round's section.
 """
 import json
 import glob
