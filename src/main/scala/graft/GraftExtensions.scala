@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{DotProductExpr, MinHashSigExpr, RollingHashExpr, SimHashExpr, WordShinglesExpr}
+import graft.functions.{BloomContainsExpr, DotProductExpr, MinHashSigExpr, RollingHashExpr, SimHashExpr, WordShinglesExpr}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigExpr(exprs.head,
           exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContainsExpr(exprs.head,
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray(),
           exprs(2).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }

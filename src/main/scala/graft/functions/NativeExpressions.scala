@@ -195,6 +195,53 @@ object Hashing {
   }
 }
 
+/** Bloom-filter bit math shared by the build aggregator ([[graft.ops.Bloom]])
+  * and the probe expression ([[BloomContainsExpr]]). Kirsch–Mitzenmacher
+  * double hashing over a splitmix64 avalanche of the (64-bit) key: bit i of
+  * k is `(h1 + i·h2) & (m-1)` with m a power of two. Plain JVM `Long`
+  * arithmetic (wrapping is intended — this is compiled code, not an ANSI
+  * SQL expression).
+  */
+object BloomBits {
+
+  /** splitmix64 finalizer — full-avalanche mix of a 64-bit key. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Set the k bloom bits of `key` in `bits` (length must be a power of
+    * two so the index mask is exact). */
+  def set(bits: Array[Long], key: Long, k: Int): Unit = {
+    val m = bits.length.toLong << 6
+    val h1 = mix(key)
+    val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i * h2) & (m - 1)
+      bits((pos >>> 6).toInt) |= 1L << (pos & 63L)
+      i += 1
+    }
+  }
+
+  /** Probe: true iff all k bloom bits of `key` are set. No false
+    * negatives by construction; false-positive rate ≈ (1-e^(-kn/m))^k. */
+  def mightContain(bits: Array[Long], key: Long, k: Int): Boolean = {
+    val m = bits.length.toLong << 6
+    val h1 = mix(key)
+    val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = (h1 + i * h2) & (m - 1)
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** `graft_fingerprint(text)`: native rolling-hash fingerprint. */
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -262,6 +309,30 @@ case class DotProductExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProductExpr = copy(left = l, right = r)
 }
 
+/** `graft_bloom_contains(key, bits, k)`: native bloom-filter membership
+  * probe. The bit array (built once from the SMALL side — see
+  * [[graft.ops.Bloom]]) rides the compiled plan as a codegen reference
+  * object, so the probe over the BIG side is a per-row branchy bit test
+  * inside whole-stage codegen — no join, no shuffle, no broadcast
+  * exchange. This is the same physical shape as Spark's own runtime
+  * bloom filtering (`InjectRuntimeFilter`), exposed as a first-class
+  * expression the user can aim at any long key. */
+case class BloomContainsExpr(child: Expression, bits: Array[Long], k: Int)
+    extends UnaryExpression {
+  require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+    "bloom bit-array length (in longs) must be a power of two")
+  require(k >= 1, "bloom needs at least one hash function")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(v: Any): Any =
+    BloomBits.mightContain(bits, v.asInstanceOf[Long], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomBits.mightContain($ref, $c, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomContainsExpr =
+    copy(child = c)
+}
+
 /** Column-API + SQL registration for the native expressions. The Column
   * constructors go through the function registry + `call_function` (the
   * public route to a custom Expression since Spark 4 hid Column(expr)),
@@ -281,6 +352,10 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_minhash",
       c, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(numHashes))
+  def graft_bloom_contains(key: Column, bits: Array[Long], k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_contains",
+      key, org.apache.spark.sql.functions.typedLit(bits),
+      org.apache.spark.sql.functions.lit(k))
 
   /** Register `graft_fingerprint` / `graft_simhash` in the session's
     * function registry (Column API + spark.sql both resolve through it). */
@@ -298,6 +373,11 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashSigExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => BloomContainsExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray(),
         exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

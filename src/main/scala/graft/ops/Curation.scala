@@ -48,6 +48,30 @@ object Curation {
     }
   }
 
+  /** Per-group cap (anti-domination): keep at most `k` rows per value of
+    * `groupCol`, preferring the smallest `orderCol` — the standard
+    * "max N documents per domain" curation stage that stops a single
+    * crawled host from dominating the training mix.
+    *
+    * Expressed as `row_number() <= k` over a window: ONE shuffle on the
+    * group key, per-group sort bounded by the group size. When groups are
+    * pathological (one domain holding a measurable fraction of the corpus)
+    * the bounded-buffer alternative is [[graft.functions.TopKAggregator]]
+    * (map-side partials carry at most k rows per key — see q70), at the
+    * cost of re-joining for payload columns; for the typical many-domains
+    * regime the window IS the right plan: Spark's window exec spills group
+    * runs, and the filter prunes to ≤k rows per group before anything else
+    * happens downstream. */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Semantic (embedding-space) deduplication: documents whose embeddings
     * are near-identical in cosine are grouped transitively and only one
     * per cluster survives — the SemDeDup-style stage that catches

@@ -33,4 +33,21 @@ object Sampling {
         pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
   }
+
+  /** Weighted deterministic keep-condition: row kept iff its id's Knuth
+    * hash lands below `weightPct` (an integer percentage 0–100), i.e. keep
+    * probability = weight/100 — quality-weighted downsampling where better
+    * documents survive proportionally more often. Same invertible affine
+    * hash as [[deterministicShard]]: per-row arithmetic (no shuffle, no
+    * RNG state), reproducible across retries, engines and partitionings —
+    * `rand() < w` is none of those. Returns the boolean COLUMN so callers
+    * can either filter on it or aggregate kept/dropped in one pass. */
+  def keepByWeight(idCol: org.apache.spark.sql.Column,
+      weightPct: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(idCol * lit(2654435761L), lit(2147483648L)), lit(100L)) < weightPct
+
+  /** Filter form of [[keepByWeight]]. */
+  def weightedSample(df: DataFrame, idCol: String,
+      weightPct: org.apache.spark.sql.Column): DataFrame =
+    df.filter(keepByWeight(col(idCol), weightPct))
 }

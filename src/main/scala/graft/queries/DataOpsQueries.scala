@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Bloom, Curation, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -431,6 +431,48 @@ object DataOpsQueries {
         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
         |SELECT tok, df, ROUND(LN(CAST(n_docs AS DOUBLE) / df), 8) AS idf
         |FROM f, n ORDER BY df DESC, tok ASC LIMIT 15""".stripMargin,
+    "q67_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN rn <= 30 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays TextOps.qualityScore (the q60 scored CTE) + the Knuth affine
+    // keep-hash: all-integer arithmetic, positive operands, so DuckDB's %
+    // equals Spark's pmod.
+    "q68_weighted_sample" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN ntok BETWEEN 20 AND 1000 THEN 40 WHEN ntok BETWEEN 5 AND 19 THEN 20 ELSE 0 END)
+        |    + (CASE WHEN nstop * 10 >= ntok THEN 30 WHEN nstop > 0 THEN 15 ELSE 0 END)
+        |    + (CASE WHEN npunct * 4 <= nlen THEN 30 ELSE 0 END) AS score
+        |  FROM (
+        |    SELECT doc_id, source, LENGTH(text) AS nlen,
+        |      CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |        ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS ntok,
+        |      LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |        w -> w IN ('the','a','an','and','of','to','in','is','it','for'))) AS nstop,
+        |      LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\p{P}\p{S}]', '', 'g')) AS npunct
+        |    FROM documents)),
+        |w AS (SELECT source, score,
+        |  (doc_id * 2654435761) % 2147483648 % 100 < score AS keep FROM scored)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN keep THEN score ELSE 0 END) AS BIGINT) AS sum_kept_score
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_bloom_decontam" ->
+      """WITH ev AS (SELECT DISTINCT text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_train,
+        |CAST((SELECT COUNT(*) FROM documents WHERE text IN (SELECT text FROM ev)) AS BIGINT) AS n_contaminated,
+        |TRUE AS no_false_negatives, TRUE AS fp_bounded""".stripMargin,
+    "q70_group_topk" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, CAST(rn AS INT) AS rk, doc_id, n_chars
+        |FROM r WHERE rn <= 3 ORDER BY lang, rk""".stripMargin,
   )
 
   // ------------------- dedup / ANN queries (oracle or self-checking) ----
@@ -851,6 +893,82 @@ object DataOpsQueries {
           col("n_kept") * 100L <= col("n_planted") * 105L).as("kept_bounds_ok"))
   }
 
+  /** Per-domain cap ([[Curation.capPerGroup]]): at most 30 documents per
+    * source, preferring the smallest ids. The oracle replays the
+    * `row_number() <= k` semantics exactly; `sum_kept_ids` pins WHICH rows
+    * survived, not just how many. */
+  val q67DomainCap: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val capped = Curation.capPerGroup(docs, "source", "doc_id", 30)
+    val total = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val kept = capped.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+    total.join(kept, Seq("source")).orderBy("source")
+  }
+
+  /** Quality-weighted deterministic sampling ([[Sampling.keepByWeight]]):
+    * keep probability = qualityScore/100 via the Knuth affine hash — fully
+    * engine-replayable (the oracle recomputes both the integer score and
+    * the hash), unlike `rand() < w`. Single pass: the keep-condition is a
+    * per-row boolean aggregated alongside the totals, no second scan. */
+  val q68WeightedSample: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val keep = Sampling.keepByWeight(col("doc_id"), col("score"))
+    docs.withColumn("score", TextOps.qualityScore(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("score").cast("long")).otherwise(0L)).as("sum_kept_score"))
+      .orderBy("source")
+  }
+
+  /** Bloom-filter decontamination prefilter ([[Bloom]]): the eval side
+    * (every 50th doc, mirroring q56) builds a 2^20-bit filter via the
+    * distributed OR-aggregator; the corpus is probed by a codegen'd bit
+    * test on the engine-independent `graft_fingerprint` — no join or
+    * shuffle touches the train side. Verdict columns (q40 pattern):
+    * `n_train`/`n_contaminated` are exact and DuckDB-replayable;
+    * `no_false_negatives` asserts the bloom guarantee in-query (every
+    * exactly-contaminated doc must be flagged — any miss flips it false);
+    * `fp_bounded` caps flagged rows at contaminated + max(25, 5% of
+    * train), generous against the ~10^-6 design FP rate. */
+  val q69BloomDecontam: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val bits = Bloom.buildFromText(evalSet, col("text")) // eager small-side job
+    val flagged = docs.filter(Bloom.mightContainText(col("text"), bits))
+    val exact = docs.join(evalSet.select("text").distinct(), Seq("text"), "left_semi")
+    val missed = exact.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+    docs.agg(count(lit(1)).as("n_train"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_contaminated")))
+      .crossJoin(flagged.agg(count(lit(1)).as("n_flagged_cnt")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .select(col("n_train"), col("n_contaminated"),
+        (col("n_missed") === 0L).as("no_false_negatives"),
+        (col("n_flagged_cnt") <= col("n_contaminated")
+          + greatest(lit(25L), col("n_train") / 20L)).as("fp_bounded"))
+  }
+
+  /** Per-group top-k via the bounded-buffer typed
+    * [[graft.functions.TopKAggregator]] — the scale path for "top N per
+    * key" whose shuffle carries at most k rows per key from each map task
+    * (the window formulation shuffles EVERY row; the spec pins the two
+    * equal). Top-3 longest documents per language, ties to the smaller
+    * id, checked against the oracle's window replay. */
+  val q70GroupTopk: Q = (s, dir) => {
+    import s.implicits._
+    val docs = load(s, dir, "documents")
+    val ds = docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+    val topk = new graft.functions.TopKAggregator[(String, Long, Long)](
+      3, _._3.toDouble, _._2).toColumn
+    ds.groupByKey(_._1).agg(topk).toDF("lang", "topk")
+      .select(col("lang"), posexplode(col("topk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("n_chars"))
+      .orderBy("lang", "rk")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -883,5 +1001,9 @@ object DataOpsQueries {
     "q64_centroid" -> q64Centroid,
     "q65_neardup_groups" -> q65NearDupGroups,
     "q66_semantic_dedup" -> q66SemanticDedup,
+    "q67_domain_cap" -> q67DomainCap,
+    "q68_weighted_sample" -> q68WeightedSample,
+    "q69_bloom_decontam" -> q69BloomDecontam,
+    "q70_group_topk" -> q70GroupTopk,
   )
 }

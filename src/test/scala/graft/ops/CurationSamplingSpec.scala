@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the per-group cap and weighted-sampling operators. */
+class CurationSamplingSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("capPerGroup: at most k rows per group, and exactly the smallest ids") {
+    val k = 2
+    val capped = Curation.capPerGroup(docs, "source", "doc_id", k)
+    val sizes = capped.groupBy("source").agg(count(lit(1)).as("n"))
+    assert(sizes.filter(col("n") > k).count() == 0)
+    // survivors per group are exactly the k smallest doc_ids of that group
+    val expected = docs.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")))
+      .filter(col("rn") <= k).select("source", "doc_id")
+    assert(capped.select("source", "doc_id").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(capped.select("source", "doc_id")).count() == 0)
+  }
+
+  test("capPerGroup keeps groups smaller than k whole") {
+    val capped = Curation.capPerGroup(docs, "source", "doc_id", 1000000)
+    assert(capped.count() == docs.count())
+  }
+
+  test("keepByWeight: weight 0 keeps nothing, 100 keeps everything, deterministic") {
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0)).count() == 0)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(100)).count() == docs.count())
+    val once = Sampling.weightedSample(docs, "doc_id", lit(37))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.weightedSample(docs, "doc_id", lit(37))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again)
+    assert(once.nonEmpty && once.size < docs.count())
+  }
+
+  test("keepByWeight realized rate tracks the weight (Knuth hash uniformity)") {
+    val n = docs.count()
+    val kept = Sampling.weightedSample(docs, "doc_id", lit(50)).count()
+    // 500 draws at p=.5: ±4σ ≈ ±45
+    assert(math.abs(kept - n / 2) <= 4 * math.sqrt(n / 4.0) + 4,
+      s"kept $kept of $n at weight 50")
+  }
+}
