@@ -104,6 +104,22 @@ object Streams {
       .dropDuplicatesWithinWatermark(textCol)
   }
 
+  /** Stateless streaming decontamination: drop stream rows whose text
+    * might be in the eval bloom filter ([[graft.ops.Bloom]] — bits built
+    * ONCE in batch from the eval suite, baked into the plan as a codegen
+    * constant). Being a pure per-row filter it needs no state store, no
+    * watermark and no output-mode constraints — exactly why the bloom
+    * probe (and not the exact join) is the decontamination shape that
+    * composes with continuous ingest. False positives (rate ≈ 10^-6 at
+    * design sizing) drop a clean row; false negatives cannot happen, so
+    * nothing contaminated ever passes. */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+      bloomBits: Array[Long],
+      k: Int = graft.ops.Bloom.DefaultK): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    docs.filter(!graft.ops.Bloom.mightContainText(col(textCol), bloomBits, k))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

@@ -101,6 +101,26 @@ class ScaleSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("bloom scale drill: 1M-key distributed build, no false negatives") {
+    val n = 1000000L
+    val m = 1 << 26 // 2^26 bits = 8 MiB, 64 bits/key at 1M keys
+    // deterministic synthetic keys, built fully distributed (32 partitions)
+    val keyExpr = xxhash64(col("id") * 7919L + 17L)
+    val keys = spark.range(n).repartition(32).select(keyExpr.as("k"))
+    val bits = Bloom.build(keys, col("k"), numBits = m)
+    // every key present: probe ALL 1M through the codegen'd expression
+    graft.functions.NativeFunctions.register(spark)
+    val missed = spark.range(n)
+      .filter(!Bloom.mightContain(keyExpr, bits)).count()
+    assert(missed == 0L, s"false negatives at scale: $missed")
+    // disjoint probe set: FP rate stays near the (1-e^(-kn/m))^k design
+    // value (~1.2e-4 at 64 bits/key, k=3) — allow 4x slack
+    val fp = spark.range(n)
+      .filter(Bloom.mightContain(xxhash64(col("id") * 104729L + 29L), bits))
+      .count()
+    assert(fp < n / 2000, s"FP rate too high at scale: $fp/$n")
+  }
+
   test("greedy sequence packing: invariants at small scale") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val packs = Packing.packGreedy(docs, "source", "doc_id", "text", tokenBudget = 512)

@@ -106,6 +106,32 @@ class StreamingSpec extends AnyFunSuite {
       .except(batch).count() == 0)
   }
 
+  test("streaming bloom decontamination matches the batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val bits = graft.ops.Bloom.buildFromText(evalSet, col("text"))
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows)
+    val clean = Streams.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), "text", bits)
+    val q = clean.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decontam_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batchClean = docs
+      .filter(!graft.ops.Bloom.mightContainText(col("text"), bits))
+      .select("doc_id")
+    val streamed = spark.table("decontam_stream").select("doc_id")
+    assert(streamed.count() == batchClean.count())
+    assert(streamed.except(batchClean).count() == 0)
+    // nothing from the eval suite survives (no-false-negative guarantee)
+    assert(streamed.join(evalSet, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
