@@ -169,4 +169,36 @@ object Similarity {
       .groupBy(groupCol, "dim")
       .agg(count(lit(1)).as("n"), sum(col("vq")).as("sum_q"))
   }
+
+  /** Symmetric per-vector int8 quantization — the storage/serving format
+    * for embeddings at corpus scale (4× smaller than float32; dot products
+    * stay integer until the final rescale). Adds `q_scale` (the vector's
+    * max |x|, double) and `q_vec` (array<int> in [-127, 127]):
+    * `q_i = floor(x_i·127/scale + 0.5)`, zero vectors quantize to zeros.
+    *
+    * Deterministic by construction: float32 → double casts are exact, and
+    * the multiply/divide/floor chain is IEEE-defined — the SAME expression
+    * evaluates bit-identically in any engine (the q71 oracle replays it in
+    * DuckDB), unlike library round() conventions. `q_scale` is computed in
+    * a separate projection so Catalyst evaluates it once per row, not once
+    * per element. Per-row expression work only — no shuffle, and the
+    * common subexpressions stay inside whole-stage codegen. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val d = transform(col(vecCol), x => x.cast("double"))
+    val withScale = df.withColumn("q_scale", array_max(transform(d, x => abs(x))))
+    withScale.withColumn("q_vec",
+      when(col("q_scale") === 0d,
+        transform(d, _ => lit(0)))
+      .otherwise(
+        transform(d, x => floor(x * lit(127d) / col("q_scale") + lit(0.5d)).cast("int"))))
+  }
+
+  /** Max |dequantized − original| over a quantized vector: the in-query
+    * audit column for [[quantizeInt8]] (bounded by scale/254 when the
+    * quantizer is correct). Same IEEE-deterministic arithmetic contract. */
+  def dequantMaxErr(qVec: Column, origVec: Column, scale: Column): Column =
+    aggregate(
+      zip_with(qVec, origVec,
+        (q, x) => abs(q.cast("double") * scale / lit(127d) - x.cast("double"))),
+      lit(0d), (acc, e) => greatest(acc, e))
 }

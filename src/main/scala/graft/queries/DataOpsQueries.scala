@@ -473,6 +473,22 @@ object DataOpsQueries {
         |  FROM documents)
         |SELECT lang, CAST(rn AS INT) AS rk, doc_id, n_chars
         |FROM r WHERE rn <= 3 ORDER BY lang, rk""".stripMargin,
+    "q71_quantize_int8" ->
+      """WITH d AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS scale FROM d),
+        |q AS (SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0 THEN [0 FOR x IN v]
+        |    ELSE [CAST(FLOOR(x * 127.0 / scale + 0.5) AS INT) FOR x IN v] END AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |CAST(FLOOR(scale * 1e9) AS BIGINT) AS scale_x1e9,
+        |list_min(qv) AS q_min,
+        |list_max(qv) AS q_max,
+        |CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |CAST(FLOOR(list_max([abs(qv[i] * scale / 127.0 - v[i])
+        |  FOR i IN range(1, len(v) + 1)]) * 1e9) AS BIGINT) AS max_err_x1e9
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 
   // ------------------- dedup / ANN queries (oracle or self-checking) ----
@@ -969,6 +985,26 @@ object DataOpsQueries {
       .orderBy("lang", "rk")
   }
 
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]) with an
+    * in-query dequantization audit. Every emitted column is either integer
+    * or a floor-scaled integer of IEEE-deterministic double arithmetic
+    * (float32→double casts are exact; the multiply/divide/floor chain is
+    * evaluated in the same order by both engines), so the DuckDB oracle
+    * replays the quantizer bit-for-bit — the q64-centroid methodology
+    * applied to the quantization kernel. */
+  val q71QuantizeInt8: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    q.select(col("vec_id"),
+        floor(col("q_scale") * lit(1e9)).cast("long").as("scale_x1e9"),
+        array_min(col("q_vec")).as("q_min"),
+        array_max(col("q_vec")).as("q_max"),
+        aggregate(col("q_vec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        floor(Similarity.dequantMaxErr(col("q_vec"), col("embedding"),
+          col("q_scale")) * lit(1e9)).cast("long").as("max_err_x1e9"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1005,5 +1041,6 @@ object DataOpsQueries {
     "q68_weighted_sample" -> q68WeightedSample,
     "q69_bloom_decontam" -> q69BloomDecontam,
     "q70_group_topk" -> q70GroupTopk,
+    "q71_quantize_int8" -> q71QuantizeInt8,
   )
 }
