@@ -92,6 +92,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q69: bloom probe is a codegen'd filter — no join, exchange, or broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val bits = graft.ops.Bloom.buildFromText(evalSet, col("text"))
+    val probe = docs.filter(graft.ops.Bloom.mightContainText(col("text"), bits))
+    val p = probe.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    // the probe must stay inside whole-stage codegen: formatted-mode marks
+    // codegen'd operators with "*" and a codegen id — a filter without the
+    // star would mean BloomContainsExpr broke the codegen stage
+    assert(p.contains("* Filter"), s"bloom filter fell out of codegen:\n$p")
+    assert(p.contains("codegen id"), p)
+  }
+
+  test("q67/q70: per-group cap windows shard by group; top-k aggregates partially") {
+    val pCap = plan("q67_domain_cap")
+    assert(!pCap.contains("SinglePartition"), pCap)
+    val pTopk = plan("q70_group_topk")
+    // typed aggregator path: partial ObjectHashAggregate before the shuffle
+    assert(pTopk.contains("ObjectHashAggregate"), pTopk)
+    assert(!pTopk.contains("CartesianProduct"), pTopk)
+  }
+
   test("entry: flagship query runs and returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
