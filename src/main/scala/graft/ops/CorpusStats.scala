@@ -56,4 +56,22 @@ object CorpusStats {
     * may differ in the last ulp across engines) compares exactly. */
   def idf(nDocs: Column, df: Column): Column =
     round(log(nDocs.cast("double") / df.cast("double")), 8)
+
+  /** Adjacent token-pair (bigram) frequencies — the counting step of a
+    * BPE-style vocabulary-training round (the most frequent pair is the
+    * next merge). One explode + one partial-aggregating groupBy: shuffle
+    * rows bounded by distinct pairs per partition, never raw occurrences.
+    * Documents with fewer than two tokens contribute nothing (the size
+    * guard also keeps ANSI mode happy — `slice` with a negative length
+    * throws). */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -473,6 +473,13 @@ object DataOpsQueries {
         |  FROM documents)
         |SELECT lang, CAST(rn AS INT) AS rk, doc_id, n_chars
         |FROM r WHERE rn <= 3 ORDER BY lang, rk""".stripMargin,
+    "q72_bpe_bigrams" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |p AS (SELECT UNNEST([tk[i] || ' ' || tk[i + 1]
+        |  FOR i IN range(1, len(tk))]) AS pair FROM t)
+        |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "q71_quantize_int8" ->
       """WITH d AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
         |  FROM embeddings),
@@ -1005,6 +1012,17 @@ object DataOpsQueries {
       .orderBy("vec_id")
   }
 
+  /** BPE-round bigram counts ([[graft.ops.CorpusStats.bigramCounts]]):
+    * the 20 most frequent adjacent token pairs — what a BPE vocabulary
+    * trainer would merge next. Ties broken by pair text so the top-k is
+    * deterministic; the oracle replays the zipped-adjacent UNNEST. */
+  val q72BpeBigrams: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    graft.ops.CorpusStats.bigramCounts(docs, "text")
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(20)
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1042,5 +1060,6 @@ object DataOpsQueries {
     "q69_bloom_decontam" -> q69BloomDecontam,
     "q70_group_topk" -> q70GroupTopk,
     "q71_quantize_int8" -> q71QuantizeInt8,
+    "q72_bpe_bigrams" -> q72BpeBigrams,
   )
 }

@@ -41,6 +41,19 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(once.nonEmpty && once.size < docs.count())
   }
 
+  test("bigramCounts: total pairs = sum of max(0, n_tokens - 1)") {
+    val total = CorpusStats.bigramCounts(docs, "text")
+      .agg(sum("cnt")).head().getLong(0)
+    val expected = docs.select(
+        greatest(size(TextOps.tokens(col("text"))) - 1, lit(0)).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(total == expected)
+    // and the top pair is an actual adjacent pair with a sane count
+    val top = CorpusStats.bigramCounts(docs, "text")
+      .orderBy(desc("cnt")).head()
+    assert(top.getString(0).split(" ").length >= 2 && top.getLong(1) >= 1L)
+  }
+
   test("keepByWeight realized rate tracks the weight (Knuth hash uniformity)") {
     val n = docs.count()
     val kept = Sampling.weightedSample(docs, "doc_id", lit(50)).count()
