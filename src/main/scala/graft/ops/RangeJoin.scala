@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * bin they overlap, points under their own bin, and the join becomes an
   * EQUI-join on the bin id followed by the exact predicate. Cost is
   * O(points + intervals·span/bin + matches) with an ordinary hash-shuffle
-  * join — AQE/skew handling apply as usual. `binWidth` should be on the
-  * order of the typical interval span (wider ⇒ fewer duplicate interval
-  * registrations; narrower ⇒ fewer false bin-mates to filter).
+  * join — AQE/skew handling apply as usual. Candidate volume is
+  * ∝ density·(span + binWidth) while interval registrations are
+  * ∝ span/binWidth, so when the interval side broadcasts (registrations
+  * cheap) the optimum sits BELOW the typical span — measured ~span/2 at
+  * sf0.1 (2.1× over span-width bins; `graft.tools.RangeJoinTune` sweeps
+  * the trade for any SF dir). Without the broadcast, wider bins re-balance
+  * toward fewer registrations.
   */
 object RangeJoin {
 
