@@ -101,6 +101,26 @@ class ScaleSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("domain cap scale drill: 1M rows with a 500k-row hot domain") {
+    val n = 1000000L
+    val k = 100
+    // even ids → one "hot" domain (half the corpus); odd ids spread over
+    // 500 normal domains of ~1000 rows — the adversarial shape where a
+    // naive per-group collect would blow a reducer
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, lit("hot"))
+        .otherwise(concat(lit("dom_"), pmod(col("id"), lit(1000)))).as("source"))
+    val capped = Curation.capPerGroup(df, "source", "doc_id", k)
+    // 501 groups, every one at or above the cap → exactly k survivors each
+    assert(capped.count() == 501L * k)
+    assert(capped.groupBy("source").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= k).count() == 0)
+    // the hot domain keeps exactly its k smallest ids (0, 2, ..., 198)
+    val hotMax = capped.filter(col("source") === "hot")
+      .agg(max("doc_id")).head().getLong(0)
+    assert(hotMax == 2L * (k - 1))
+  }
+
   test("bloom scale drill: 1M-key distributed build, no false negatives") {
     val n = 1000000L
     val m = 1 << 26 // 2^26 bits = 8 MiB, 64 bits/key at 1M keys
