@@ -43,6 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval().asInstanceOf[Int],
           exprs(2).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("graft_cms_est"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstExpr].getName, "graft_cms_est"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CmsEstExpr(exprs.head,
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray(),
+          exprs(2).eval().asInstanceOf[Int],
+          exprs(3).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

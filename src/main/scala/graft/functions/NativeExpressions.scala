@@ -242,6 +242,40 @@ object BloomBits {
   }
 }
 
+/** Count-min-sketch cell math shared by the build aggregator
+  * ([[graft.ops.CountMin]]) and the estimate expression ([[CmsEstExpr]]).
+  * Same double-hashing scheme as [[BloomBits]] (splitmix64 h1/h2); row i
+  * owns cells [i·w, (i+1)·w) and the key lands in cell `i·w + ((h1 + i·h2)
+  * & (w-1))`. Estimates are min-over-rows: never below the true count
+  * (cells only ever accumulate), above it only by colliding keys' mass. */
+object CmsBits {
+
+  /** Add one occurrence of `key` to each of the d rows of `grid`. */
+  def add(grid: Array[Long], key: Long, w: Int, d: Int): Unit = {
+    val h1 = BloomBits.mix(key)
+    val h2 = BloomBits.mix(h1) | 1L
+    var i = 0
+    while (i < d) {
+      grid(i * w + ((h1 + i * h2) & (w - 1)).toInt) += 1L
+      i += 1
+    }
+  }
+
+  /** Point estimate: min over the key's d cells. */
+  def estimate(grid: Array[Long], key: Long, w: Int, d: Int): Long = {
+    val h1 = BloomBits.mix(key)
+    val h2 = BloomBits.mix(h1) | 1L
+    var est = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = grid(i * w + ((h1 + i * h2) & (w - 1)).toInt)
+      if (c < est) est = c
+      i += 1
+    }
+    est
+  }
+}
+
 /** `graft_fingerprint(text)`: native rolling-hash fingerprint. */
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -333,6 +367,26 @@ case class BloomContainsExpr(child: Expression, bits: Array[Long], k: Int)
     copy(child = c)
 }
 
+/** `graft_cms_est(key, grid, w, d)`: native count-min point estimate. The
+  * grid (built once by the distributed [[graft.ops.CountMin]] aggregator)
+  * rides the compiled plan as a codegen reference object, exactly like the
+  * bloom bit array — per-row estimation is d array reads inside
+  * whole-stage codegen, no join against the sketch. */
+case class CmsEstExpr(child: Expression, grid: Array[Long], w: Int, d: Int)
+    extends UnaryExpression {
+  require(w >= 64 && (w & (w - 1)) == 0, "CMS width must be a power of two >= 64")
+  require(d >= 1 && grid.length == w * d, "grid length must be w*d")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    CmsBits.estimate(grid, v.asInstanceOf[Long], w, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsGrid", grid, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CmsBits.estimate($ref, $c, $w, $d)")
+  }
+  override protected def withNewChildInternal(c: Expression): CmsEstExpr =
+    copy(child = c)
+}
+
 /** Column-API + SQL registration for the native expressions. The Column
   * constructors go through the function registry + `call_function` (the
   * public route to a custom Expression since Spark 4 hid Column(expr)),
@@ -356,6 +410,10 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_bloom_contains",
       key, org.apache.spark.sql.functions.typedLit(bits),
       org.apache.spark.sql.functions.lit(k))
+  def graft_cms_est(key: Column, grid: Array[Long], w: Int, d: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_cms_est",
+      key, org.apache.spark.sql.functions.typedLit(grid),
+      org.apache.spark.sql.functions.lit(w), org.apache.spark.sql.functions.lit(d))
 
   /** Register `graft_fingerprint` / `graft_simhash` in the session's
     * function registry (Column API + spark.sql both resolve through it). */
@@ -379,5 +437,11 @@ object NativeFunctions {
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toLongArray(),
         exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cms_est",
+      exprs => CmsEstExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray(),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

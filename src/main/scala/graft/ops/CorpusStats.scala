@@ -64,14 +64,20 @@ object CorpusStats {
     * Documents with fewer than two tokens contribute nothing (the size
     * guard also keeps ANSI mode happy — `slice` with a negative length
     * throws). */
-  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    bigramOccurrences(docs, textCol)
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** One row per adjacent-pair OCCURRENCE (`pair` column, pre-aggregation)
+    * — the raw stream [[bigramCounts]] groups and sketches
+    * ([[CountMin]]) consume. */
+  def bigramOccurrences(docs: DataFrame, textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val pairs = when(size(toks) >= 2,
         zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
           (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     docs.select(explode(pairs).as("pair"))
-      .groupBy("pair")
-      .agg(count(lit(1)).as("cnt"))
   }
 }

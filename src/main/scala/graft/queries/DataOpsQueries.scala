@@ -480,6 +480,15 @@ object DataOpsQueries {
         |  FOR i IN range(1, len(tk))]) AS pair FROM t)
         |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q73_cms_heavy_hitters" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |p AS (SELECT UNNEST([tk[i] || ' ' || tk[i + 1]
+        |  FOR i IN range(1, len(tk))]) AS pair FROM t)
+        |SELECT pair, COUNT(*) AS cnt,
+        |TRUE AS est_ge_exact, TRUE AS est_within_bound
+        |FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "q71_quantize_int8" ->
       """WITH d AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
         |  FROM embeddings),
@@ -1023,6 +1032,29 @@ object DataOpsQueries {
       .limit(20)
   }
 
+  /** Count-min heavy hitters ([[graft.ops.CountMin]]): sketch the bigram
+    * stream, then audit the sketch against the exact top-20 (q72's
+    * counts). Verdict columns (q69 pattern): `est_ge_exact` is the CMS
+    * one-sided guarantee (cells only accumulate — any violation is a
+    * sketch bug), `est_within_bound` caps overshoot at max(50, 4N/w).
+    * Both deterministic (hash-based, no RNG), so the oracle asserts
+    * exact counts + TRUE×2 and any estimation regression
+    * hash-mismatches. */
+  val q73CmsHeavyHitters: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val occ = graft.ops.CorpusStats.bigramOccurrences(docs, "text")
+    val grid = graft.ops.CountMin.buildFromText(occ, col("pair")) // eager build
+    val est = graft.ops.CountMin.estimateText(col("pair"), grid)
+    graft.ops.CorpusStats.bigramCounts(docs, "text")
+      .orderBy(desc("cnt"), asc("pair")).limit(20)
+      .crossJoin(occ.agg(count(lit(1)).as("n_stream")))
+      .select(col("pair"), col("cnt"),
+        (est >= col("cnt")).as("est_ge_exact"),
+        (est <= col("cnt") +
+          greatest(lit(50L), col("n_stream") * 4L / 65536L)).as("est_within_bound"))
+      .orderBy(desc("cnt"), asc("pair"))
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1061,5 +1093,6 @@ object DataOpsQueries {
     "q70_group_topk" -> q70GroupTopk,
     "q71_quantize_int8" -> q71QuantizeInt8,
     "q72_bpe_bigrams" -> q72BpeBigrams,
+    "q73_cms_heavy_hitters" -> q73CmsHeavyHitters,
   )
 }
