@@ -50,4 +50,20 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String,
       weightPct: org.apache.spark.sql.Column): DataFrame =
     df.filter(keepByWeight(col(idCol), weightPct))
+
+  /** EXACT-size uniform sample via hash order statistics: the k rows with
+    * the smallest Knuth-hash of their id. Bernoulli sampling
+    * ([[stratified]]) only hits the target size in expectation; this is
+    * the reproducible "give me exactly 10k documents" — same sample on
+    * every rerun, engine, and partitioning. The hash is a bijection on
+    * ids below 2^31 (odd multiplier mod 2^31), so keys never tie and the
+    * order is total. Plans as TakeOrderedAndProject: each partition keeps
+    * a k-row heap, no global sort, no shuffle of the corpus. */
+  def uniformExactK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    df.withColumn("sample_key",
+        pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
+      .orderBy("sample_key")
+      .limit(k)
+  }
 }

@@ -480,6 +480,9 @@ object DataOpsQueries {
         |  FOR i IN range(1, len(tk))]) AS pair FROM t)
         |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q74_uniform_sample" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS sample_key, source
+        |FROM documents ORDER BY sample_key LIMIT 25""".stripMargin,
     "q73_cms_heavy_hitters" ->
       """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
         |  FROM documents),
@@ -1055,6 +1058,16 @@ object DataOpsQueries {
       .orderBy(desc("cnt"), asc("pair"))
   }
 
+  /** Exact-k uniform sample ([[Sampling.uniformExactK]]): the 25 documents
+    * with the smallest id-hash — fully engine-replayable order statistics
+    * (PlanSpec asserts the TakeOrderedAndProject shape). */
+  val q74UniformSample: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    Sampling.uniformExactK(docs, "doc_id", 25)
+      .select(col("doc_id"), col("sample_key"), col("source"))
+      .orderBy("sample_key")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1094,5 +1107,6 @@ object DataOpsQueries {
     "q71_quantize_int8" -> q71QuantizeInt8,
     "q72_bpe_bigrams" -> q72BpeBigrams,
     "q73_cms_heavy_hitters" -> q73CmsHeavyHitters,
+    "q74_uniform_sample" -> q74UniformSample,
   )
 }

@@ -54,6 +54,19 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(top.getString(0).split(" ").length >= 2 && top.getLong(1) >= 1L)
   }
 
+  test("uniformExactK: exact size, stable across reruns and partitionings") {
+    val k = 17
+    val a = Sampling.uniformExactK(docs, "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniformExactK(docs.repartition(13), "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.size == k && a == b)
+    // plans as a bounded top-k, not a global sort
+    val plan = Sampling.uniformExactK(docs, "doc_id", k).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("keepByWeight realized rate tracks the weight (Knuth hash uniformity)") {
     val n = docs.count()
     val kept = Sampling.weightedSample(docs, "doc_id", lit(50)).count()
