@@ -229,7 +229,10 @@ object ExtendedQueries {
     // sf0.1 (candidates ∝ span+binWidth; see tools/RangeJoinTune)
     graft.ops.RangeJoin.pointInInterval(points, "value", bands, "lo", "hi", binWidth = 0.5)
       .groupBy("p_partkey")
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      // lsum, not dsum: this aggregation runs over the full ~matches
+      // volume (events × overlapping bands) — the long accumulator is the
+      // hot-path variant, bit-identical by the lsum contract
+      .agg(count(lit(1)).as("n_events"), lsum(col("value")).as("sum_value"))
       .orderBy("p_partkey")
   }
 
@@ -276,7 +279,7 @@ object ExtendedQueries {
          |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 - 0.5 AS lo,
          |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 10 + 0.5 AS hi
          |  FROM part)
-         |SELECT p_partkey, COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+         |SELECT p_partkey, COUNT(*) AS n_events, ${sqlLsum("value")} AS sum_value
          |FROM events JOIN bands ON value >= lo AND value < hi
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_set_ops" ->
