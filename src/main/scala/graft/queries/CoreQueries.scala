@@ -24,9 +24,9 @@ object CoreQueries {
     val li = load(s, dir, "lineitem")
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        davg(col("l_discount")).as("avg_disc"),
+        lsum(col("l_quantity")).as("sum_qty"),
+        lsum(col("l_extendedprice")).as("sum_base_price"),
+        lavg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -38,7 +38,7 @@ object CoreQueries {
     li.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_quantity") < 24)
-      .agg(dsumProd(col("l_extendedprice"), col("l_discount")).as("revenue"),
+      .agg(lsumProd(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -54,7 +54,7 @@ object CoreQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(lsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("r_name", "n_name")
   }
 
@@ -150,7 +150,7 @@ object CoreQueries {
   val q12Cube: Q = (s, dir) => {
     load(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
-      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(lsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
@@ -187,7 +187,7 @@ object CoreQueries {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").cast("date").as("d"))
       .groupBy(year(col("d")).as("y"), quarter(col("d")).as("q"))
       .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("revenue"),
+        lsum(col("o_totalprice")).as("revenue"),
         min(col("d")).as("first_day"),
         max(col("d")).as("last_day"))
       .orderBy("y", "q")
@@ -229,7 +229,7 @@ object CoreQueries {
         coalesce(col("s_flag"), lit("UNKNOWN")).as("flag"),
         col("s_orderkey").cast("int").as("ik"))
       .groupBy("flag")
-      .agg(count(lit(1)).as("n"), dsum(col("quantity")).as("sum_qty"),
+      .agg(count(lit(1)).as("n"), lsum(col("quantity")).as("sum_qty"),
         max(col("orderkey")).as("max_key"))
       .orderBy("flag")
   }
@@ -256,7 +256,7 @@ object CoreQueries {
     // runs. Join-then-aggregate would shuffle the full fact — the version
     // of this query that does not survive a 100× scale-up.
     val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+      .agg(lsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_lines"))
       .filter(col("n_lines") >= 5)
     perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
@@ -271,7 +271,7 @@ object CoreQueries {
     val li = load(s, dir, "lineitem")
     val su = load(s, dir, "supplier")
     val rev = li.groupBy(col("l_suppkey"))
-      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("total_rev"))
+      .agg(lsumRevenue(col("l_extendedprice"), col("l_discount")).as("total_rev"))
     su.join(rev, su("s_suppkey") === rev("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
       .orderBy(desc("total_rev"), asc("s_suppkey"))
@@ -303,18 +303,18 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q01_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |${sqlSum("l_quantity")} AS sum_qty,
-         |${sqlSum("l_extendedprice")} AS sum_base_price,
-         |${sqlAvg("l_discount")} AS avg_disc,
+         |${sqlLsum("l_quantity")} AS sum_qty,
+         |${sqlLsum("l_extendedprice")} AS sum_base_price,
+         |${sqlLavg("l_discount")} AS avg_disc,
          |COUNT(*) AS count_order
          |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q02_filter_pushdown" ->
-      s"""SELECT ${sqlSumProd("l_extendedprice", "l_discount")} AS revenue, COUNT(*) AS n
+      s"""SELECT ${sqlLsumProd("l_extendedprice", "l_discount")} AS revenue, COUNT(*) AS n
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
          |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
     "q03_join_dims" ->
-      s"""SELECT r_name, n_name, ${sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+      s"""SELECT r_name, n_name, ${sqlLsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -362,7 +362,7 @@ object CoreQueries {
     "q12_cube" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          |COALESCE(l_linestatus, 'ALL') AS linestatus,
-         |${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |${sqlLsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY 1,2""".stripMargin,
     "q13_case_when" ->
       """SELECT l_linestatus,
@@ -380,7 +380,7 @@ object CoreQueries {
     "q15_date_funcs" ->
       s"""SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS INT) AS y,
          |CAST(EXTRACT(QUARTER FROM CAST(o_orderdate AS DATE)) AS INT) AS q,
-         |COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue,
+         |COUNT(*) AS n_orders, ${sqlLsum("o_totalprice")} AS revenue,
          |MIN(CAST(o_orderdate AS DATE)) AS first_day,
          |MAX(CAST(o_orderdate AS DATE)) AS last_day
          |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -408,7 +408,7 @@ object CoreQueries {
          |    CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS s_flag
          |  FROM lineitem)
          |SELECT COALESCE(s_flag, 'UNKNOWN') AS flag, COUNT(*) AS n,
-         |${sqlSum("CAST(s_quantity AS DOUBLE)")} AS sum_qty,
+         |${sqlLsum("CAST(s_quantity AS DOUBLE)")} AS sum_qty,
          |MAX(CAST(s_orderkey AS BIGINT)) AS max_key
          |FROM stringly GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_count_distinct" ->
@@ -417,14 +417,14 @@ object CoreQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_join_agg_having" ->
       s"""SELECT o_orderkey,
-         |${sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |${sqlLsumRevenue("l_extendedprice", "l_discount")} AS revenue,
          |COUNT(*) AS n_lines
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 HAVING COUNT(*) >= 5
          |ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "q20_subquery_agg" ->
       s"""SELECT s_suppkey, s_name, total_rev FROM supplier
-         |JOIN (SELECT l_suppkey, ${sqlSumRevenue("l_extendedprice", "l_discount")} AS total_rev
+         |JOIN (SELECT l_suppkey, ${sqlLsumRevenue("l_extendedprice", "l_discount")} AS total_rev
          |      FROM lineitem GROUP BY 1) ON s_suppkey = l_suppkey
          |ORDER BY total_rev DESC, s_suppkey ASC""".stripMargin,
   )
