@@ -139,7 +139,7 @@ object CoreQueries {
     load(s, dir, "nation").createOrReplaceTempView("g_nation")
     load(s, dir, "region").createOrReplaceTempView("g_region")
     s.sql(s"""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
-             |COUNT(*) AS n_customers, ${sqlSum("c_acctbal")} AS sum_bal
+             |COUNT(*) AS n_customers, ${sqlLsum("c_acctbal")} AS sum_bal
              |FROM g_customer
              |JOIN g_nation ON c_nationkey = n_nationkey
              |JOIN g_region ON n_regionkey = r_regionkey
@@ -354,7 +354,7 @@ object CoreQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q11_rollup" ->
       s"""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
-         |COUNT(*) AS n_customers, ${sqlSum("c_acctbal")} AS sum_bal
+         |COUNT(*) AS n_customers, ${sqlLsum("c_acctbal")} AS sum_bal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey

@@ -121,7 +121,7 @@ object DataOpsQueries {
         col("value"))
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
-        dsum(col("value")).as("sum_value"))
+        lsum(col("value")).as("sum_value"))
       .orderBy("k_mod")
   }
 
@@ -187,7 +187,7 @@ object DataOpsQueries {
       s"""SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_mod,
          |COUNT(*) AS n,
          |CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
-         |${sqlSum("value")} AS sum_value
+         |${sqlLsum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_ngram_jaccard" ->
       """WITH base AS (

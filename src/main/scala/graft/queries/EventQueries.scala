@@ -27,7 +27,7 @@ object EventQueries {
       .withColumn("t", tsCol)
       .groupBy(year(col("t")).as("y"), month(col("t")).as("m"),
         dayofmonth(col("t")).as("d"), hour(col("t")).as("h"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), lsum(col("value")).as("sum_value"))
       .orderBy("y", "m", "d", "h", "event_type")
   }
 
@@ -57,7 +57,7 @@ object EventQueries {
          |CAST(EXTRACT(MONTH FROM CAST(ts AS TIMESTAMP)) AS INT) AS m,
          |CAST(EXTRACT(DAY FROM CAST(ts AS TIMESTAMP)) AS INT) AS d,
          |CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS INT) AS h,
-         |event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+         |event_type, COUNT(*) AS n, ${sqlLsum("value")} AS sum_value
          |FROM events GROUP BY 1,2,3,4,5 ORDER BY 1,2,3,4,5""".stripMargin,
     "q30_sessionize" ->
       """WITH flagged AS (

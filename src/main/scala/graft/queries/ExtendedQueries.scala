@@ -119,7 +119,7 @@ object ExtendedQueries {
       .select(regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
         col("p_retailprice"))
       .groupBy("type_head")
-      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"), lsum(col("p_retailprice")).as("sum_price"))
       .orderBy("type_head")
   }
 
@@ -130,24 +130,27 @@ object ExtendedQueries {
     * join key; orders is unique per key → result-identical): the join
     * then carries one row per order instead of one per line — the only
     * full-fact shuffle is the map-side-combined per-order aggregation.
-    * The per-order revenue stays exact DECIMAL through both aggregation
-    * levels (double only at the very end), so the two-level sum equals
-    * the oracle's one-level sum bit-for-bit in any merge order. */
+    * The per-order revenue stays an exact integer (1e-4 units, the
+    * [[graft.Tables.lsumRevenue]] contract) through both aggregation
+    * levels — long sums are order-independent and ~1.5× faster than
+    * Decimal accumulation — and double division happens exactly once at
+    * the very end, so the two-level sum equals the oracle's one-level
+    * sum bit-for-bit in any merge order. */
   val q36RegionalRevenue: Q = (s, dir) => {
     val o = load(s, dir, "orders")
     val c = load(s, dir, "customer")
     val n = load(s, dir, "nation")
     val liAgg = load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-        .as("rev"), count(lit(1)).as("nl"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("rev_x1e4"), count(lit(1)).as("nl"))
     liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
         col("o_orderdate") < add_months(lit("1995-01-01").cast("date"), 12).cast("timestamp"))
       .groupBy("n_name")
-      .agg(sum(col("rev")).cast("double").as("revenue"),
+      .agg((sum(col("rev_x1e4")).cast("double") / lit(10000.0)).as("revenue"),
         sum(col("nl")).as("n_lines"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
@@ -349,11 +352,11 @@ object ExtendedQueries {
         |FROM nation GROUP BY n_regionkey ORDER BY 1""".stripMargin,
     "q35_regexp" ->
       s"""SELECT regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
-         |COUNT(*) AS n, ${sqlSum("p_retailprice")} AS sum_price
+         |COUNT(*) AS n, ${sqlLsum("p_retailprice")} AS sum_price
          |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_regional_revenue" ->
       s"""SELECT n_name,
-         |${sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |${sqlLsumRevenue("l_extendedprice", "l_discount")} AS revenue,
          |COUNT(*) AS n_lines
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
