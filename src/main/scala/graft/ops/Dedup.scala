@@ -187,9 +187,10 @@ object Dedup {
     * simplified): every node starts as its own label; each round joins
     * labels across edges and keeps the minimum seen. Rounds needed =
     * graph diameter; near-dup components are tiny clusters (diameter ≤ a
-    * few), so the loop converges in 2–3 rounds — the convergence check is
-    * one count per round (a driver-side CONTROL decision, not a data
-    * loop; each round is a pair of hash joins at full parallelism).
+    * few), so the loop converges in 2–3 rounds — each round is ONE Spark
+    * job (the convergence aggregate rides the checkpoint job as an
+    * observed metric; picking the next round is a driver-side CONTROL
+    * decision, not a data loop).
     * `maxIter` bounds the supported component DIAMETER (the loop runs up
     * to maxIter+1 rounds — the extra one is the no-change round the
     * sum-based detection needs) and the method REFUSES to return
@@ -215,20 +216,33 @@ object Dedup {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
     // Convergence signal: per-node labels are monotonically non-increasing
     // (min over a set containing the own label), so the label SUM strictly
-    // decreases until fixpoint — one cheap aggregate on the checkpointed
-    // frame instead of a change-detection join. Decimal sum: exact and
-    // overflow-free at any id scale.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // SUM over zero rows is null
-    var prevSum = labelSum(labels)
+    // decreases until fixpoint. Decimal sum: exact and overflow-free at
+    // any id scale.
+    //
+    // ONE Spark job per round, not two: the sum (and row count) is
+    // OBSERVED — a CollectMetrics node whose accumulators fill during the
+    // checkpoint's own materialization job — instead of re-scanned as a
+    // second aggregate job. The wall clock of this operator on real
+    // clusters (and loaded driver machines) is dominated by per-job
+    // scheduling latency, not by the tiny label shuffles, so job count is
+    // the lever that makes single-shot timings robust.
+    var roundId = 0
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal, Long) = {
+      val name = s"cc_round_$roundId"; roundId += 1
+      val observed = df.observe(name,
+        sum(col("component").cast("decimal(38,0)")).as("label_sum"),
+        count(lit(1)).as("n"))
+      val ck = observed.localCheckpoint() // eager: runs the job, fills metrics
+      val m = observed.queryExecution.observedMetrics(name)
+      (ck, Option(m.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), m.getLong(1))
+    }
+    var (labels, prevSum, n0) = checkpointWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iter = 0
-    var converged = prevSum.signum == 0 && labels.isEmpty // no edges → done
+    var converged = n0 == 0L // no edges → done
     // maxIter + 1: a diameter-D graph needs D label-changing rounds plus
     // ONE no-change round for the sum-based detection — maxIter bounds the
     // supported diameter, not the raw loop count
@@ -237,10 +251,9 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val s = labelSum(next)
+      val (next, s, _) = checkpointWithSum(
+        labels.unionByName(viaEdges)
+          .groupBy("id").agg(min(col("component")).as("component")))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
