@@ -145,6 +145,38 @@ object Hashing {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** One greedy left-to-right BPE merge pass: every non-overlapping
+    * occurrence of the adjacent token pair (a, b) collapses into the
+    * single token "a b" (space-joined — the same rendering
+    * [[graft.ops.CorpusStats.bigramCounts]] gives pairs, so merged
+    * tokens participate in later rounds' pair counts unambiguously via
+    * the (left, right) struct key). Greedy means a token consumed by a
+    * merge cannot start another: in a run of identical tokens
+    * ("x x x" merging (x,x)) only alternating positions merge —
+    * ["x x", "x"]. One compiled scan per row, no shuffle; the corpus
+    * loop lives in [[graft.ops.CorpusStats.bpeTrain]]. */
+  def bpeMerge(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: UTF8String, b: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (arr == null) return null
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (i + 1 < n && t != null && t.equals(a) && {
+            val t2 = arr.getUTF8String(i + 1); t2 != null && t2.equals(b)
+          }) {
+        out.add(UTF8String.concat(a, sep, b))
+        i += 2
+      } else {
+        out.add(t)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Dot product of two double arrays, accumulated left-to-right — the
     * SAME sequential fold as the composed `aggregate(zip_with(...))`
     * formulation (Similarity.dotHof) and as DuckDB's list_dot_product, so
@@ -343,6 +375,31 @@ case class DotProductExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProductExpr = copy(left = l, right = r)
 }
 
+/** `graft_bpe_merge(tokens, a, b)`: one greedy BPE merge pass over a
+  * token array. The merge pair is fixed per round (chosen by the driver
+  * loop from the corpus-wide pair counts, the CC-convergence control
+  * pattern), so it rides the compiled plan as two codegen reference
+  * objects — the per-row work is a single branchy scan inside
+  * whole-stage codegen. */
+case class BpeMergeExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.bpeMerge(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      UTF8String.fromString(a), UTF8String.fromString(b))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("bpeA", UTF8String.fromString(a),
+      "org.apache.spark.unsafe.types.UTF8String")
+    val rb = ctx.addReferenceObj("bpeB", UTF8String.fromString(b),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.bpeMerge($c, $ra, $rb)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeExpr =
+    copy(child = c)
+}
+
 /** `graft_bloom_contains(key, bits, k)`: native bloom-filter membership
   * probe. The bit array (built once from the SMALL side — see
   * [[graft.ops.Bloom]]) rides the compiled plan as a codegen reference
@@ -410,6 +467,10 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_bloom_contains",
       key, org.apache.spark.sql.functions.typedLit(bits),
       org.apache.spark.sql.functions.lit(k))
+  def graft_bpe_merge(tokens: Column, a: String, b: String): Column =
+    org.apache.spark.sql.functions.call_function("graft_bpe_merge",
+      tokens, org.apache.spark.sql.functions.lit(a),
+      org.apache.spark.sql.functions.lit(b))
   def graft_cms_est(key: Column, grid: Array[Long], w: Int, d: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_cms_est",
       key, org.apache.spark.sql.functions.typedLit(grid),
@@ -437,6 +498,9 @@ object NativeFunctions {
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toLongArray(),
         exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_merge",
+      exprs => BpeMergeExpr(exprs.head,
+        exprs(1).eval().toString, exprs(2).eval().toString), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cms_est",
       exprs => CmsEstExpr(exprs.head,
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

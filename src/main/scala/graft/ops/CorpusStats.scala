@@ -69,6 +69,67 @@ object CorpusStats {
       .groupBy("pair")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Iterative BPE merge trainer: `rounds` rounds of (count adjacent
+    * pairs → pick the most frequent → greedily merge it corpus-wide).
+    * Extends the one counting round of [[bigramCounts]] into the full
+    * training loop; returns one row per executed round with the merged
+    * pair, its pre-merge frequency, and the corpus token count after the
+    * merge.
+    *
+    * Control flow is the [[Dedup.connectedComponents]] eager-loop idiom:
+    * the DRIVER holds only one (a, b, cnt) row per round (the next merge
+    * — genuinely global control state, like CC's convergence sum), each
+    * round's token arrays are `localCheckpoint()`ed so planning stays
+    * O(1) per round, and the post-merge token count is OBSERVED on the
+    * checkpoint's own materialization job rather than re-scanned — two
+    * Spark jobs per round total (top-pair agg + merge/checkpoint).
+    *
+    * Pair selection keys on the (left, right) token STRUCT, never on the
+    * space-joined rendering — merged tokens contain spaces, so the
+    * string form is ambiguous as a key (the rendering is output-only).
+    * Ties break by (count desc, left asc, right asc): deterministic and
+    * engine-replayable.
+    *
+    * At 100 TB: per round, one partial-aggregated pair-count shuffle
+    * (rows ∝ distinct pairs) feeding a driver top-1, plus one
+    * shuffle-free compiled merge pass ([[graft.functions.BpeMergeExpr]]).
+    * Round count is the vocabulary budget (k merges), not data-sized. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "bpeTrain needs at least one merge round")
+    val spark = docs.sparkSession
+    var toks = docs.select(TextOps.tokens(col(textCol)).as("toks")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = toks.where(size(col("toks")) >= 2)
+        .select(explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // no doc has 2 tokens left
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val name = s"bpe_round_$r"
+        val merged = toks
+          .select(graft.functions.NativeFunctions.graft_bpe_merge(col("toks"), a, b).as("toks"))
+          .observe(name, sum(size(col("toks")).cast("long")).as("n_tokens"))
+        val ck = merged.localCheckpoint() // eager: runs the job, fills metrics
+        val nAfter = merged.queryExecution.observedMetrics(name).getLong(0)
+        out += ((r, a + " " + b, cnt, nAfter))
+        toks = ck
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "pair", "cnt", "n_tokens_after")
+  }
+
   /** One row per adjacent-pair OCCURRENCE (`pair` column, pre-aggregation)
     * — the raw stream [[bigramCounts]] groups and sketches
     * ([[CountMin]]) consume. */

@@ -480,6 +480,7 @@ object DataOpsQueries {
         |  FOR i IN range(1, len(tk))]) AS pair FROM t)
         |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q75_bpe_train" -> sqlBpeTrain(3),
     "q74_uniform_sample" ->
       """SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS sample_key, source
         |FROM documents ORDER BY sample_key LIMIT 25""".stripMargin,
@@ -509,6 +510,57 @@ object DataOpsQueries {
         |  FOR i IN range(1, len(v) + 1)]) * 1e9) AS BIGINT) AS max_err_x1e9
         |FROM q ORDER BY vec_id""".stripMargin,
   )
+
+  /** One DuckDB round of [[graft.ops.CorpusStats.bpeTrain]] as CTEs over
+    * `t{n-1}(did, tk)`: top-pair selection on the (left, right) key with
+    * the (cnt DESC, l, r) tie-break, then the greedy merge replayed via
+    * run-parity — within each maximal run of CONSECUTIVE match positions
+    * the left-to-right scan merges exactly the even offsets (overlapping
+    * matches require t[i+1] = b = a, i.e. runs of identical tokens, where
+    * greedy consumes alternating pairs; for a ≠ b every run has length 1
+    * and the parity rule degenerates to "merge every match"). */
+  private def sqlBpeRound(n: Int): String =
+    s"""u$n AS (SELECT did, UNNEST(tk) AS tok, UNNEST(range(1, len(tk) + 1)) AS i
+       |  FROM t${n - 1}),
+       |top$n AS (SELECT tok AS a, nxt AS b, COUNT(*) AS cnt FROM (
+       |    SELECT did, tok, LEAD(tok) OVER (PARTITION BY did ORDER BY i) AS nxt
+       |    FROM u$n)
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+       |m$n AS (SELECT did, i, tok, COALESCE(tok = (SELECT a FROM top$n)
+       |    AND LEAD(tok) OVER (PARTITION BY did ORDER BY i) = (SELECT b FROM top$n),
+       |    FALSE) AS mt
+       |  FROM u$n),
+       |k$n AS (SELECT did, i, tok, CASE WHEN mt THEN
+       |    (ROW_NUMBER() OVER (PARTITION BY did, runid ORDER BY i) - 1) % 2 = 0
+       |    ELSE FALSE END AS kept
+       |  FROM (SELECT *, CASE WHEN mt THEN
+       |      i - ROW_NUMBER() OVER (PARTITION BY did, mt ORDER BY i) END AS runid
+       |    FROM m$n)),
+       |e$n AS (SELECT did, i, kept,
+       |    CASE WHEN kept THEN tok || ' ' || LEAD(tok) OVER (PARTITION BY did ORDER BY i)
+       |      ELSE tok END AS otok,
+       |    COALESCE(LAG(kept) OVER (PARTITION BY did ORDER BY i), FALSE) AS skip
+       |  FROM k$n),
+       |t$n AS (SELECT did, LIST(otok ORDER BY i) AS tk FROM e$n WHERE NOT skip
+       |  GROUP BY did)""".stripMargin
+
+  /** Full [[sqlBpeRound]] replay of `rounds` BPE merge rounds — one output
+    * row per round, matching [[graft.ops.CorpusStats.bpeTrain]]. */
+  private def sqlBpeTrain(rounds: Int): String = {
+    val blocks = (1 to rounds).map(sqlBpeRound).mkString(",\n")
+    val rows = (1 to rounds).map { n =>
+      s"""SELECT CAST($n AS INT) AS round,
+         |(SELECT a || ' ' || b FROM top$n) AS pair,
+         |(SELECT CAST(cnt AS BIGINT) FROM top$n) AS cnt,
+         |(SELECT CAST(SUM(len(tk)) AS BIGINT) FROM t$n) AS n_tokens_after""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (SELECT doc_id AS did,
+       |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+       |$blocks
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
 
   // ------------------- dedup / ANN queries (oracle or self-checking) ----
 
@@ -1068,6 +1120,21 @@ object DataOpsQueries {
       .orderBy("sample_key")
   }
 
+  /** Iterative BPE merge trainer ([[graft.ops.CorpusStats.bpeTrain]]):
+    * three (count pairs → merge the most frequent) rounds over the
+    * documents corpus — one row per round with the merged pair, its
+    * pre-merge frequency, and the corpus token count after the merge.
+    * The oracle replays each round in full: top-pair selection keyed on
+    * the (left, right) struct with (cnt DESC, l, r) tie-break, then the
+    * GREEDY non-overlap merge via run-parity (within each maximal run of
+    * consecutive match positions, merges land on even offsets — provably
+    * identical to the native left-to-right scan, since overlapping
+    * matches only arise in runs of identical tokens). */
+  val q75BpeTrain: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    graft.ops.CorpusStats.bpeTrain(docs, "text", 3).orderBy("round")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1106,6 +1173,7 @@ object DataOpsQueries {
     "q70_group_topk" -> q70GroupTopk,
     "q71_quantize_int8" -> q71QuantizeInt8,
     "q72_bpe_bigrams" -> q72BpeBigrams,
+    "q75_bpe_train" -> q75BpeTrain,
     "q73_cms_heavy_hitters" -> q73CmsHeavyHitters,
     "q74_uniform_sample" -> q74UniformSample,
   )

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.GraftSession
+import graft.functions.NativeFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the iterative BPE merge trainer (q75) and its native
+  * single-pass merge expression. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    NativeFunctions.register(s)
+    s
+  }
+  import spark.implicits._
+
+  private def mergeOne(toks: Seq[String], a: String, b: String): Seq[String] =
+    Seq(Tuple1(toks)).toDF("toks")
+      .select(NativeFunctions.graft_bpe_merge(col("toks"), a, b).as("m"))
+      .head().getSeq[String](0)
+
+  test("bpeMerge: plain non-overlapping merge") {
+    assert(mergeOne(Seq("a", "b", "c", "a", "b"), "a", "b") ==
+      Seq("a b", "c", "a b"))
+  }
+
+  test("bpeMerge: greedy left-to-right on runs of identical tokens") {
+    // "x x x" merging (x,x): first pair consumes positions 0-1, the
+    // remaining lone x stays — NOT ["x", "x x"].
+    assert(mergeOne(Seq("x", "x", "x"), "x", "x") == Seq("x x", "x"))
+    assert(mergeOne(Seq("x", "x", "x", "x"), "x", "x") == Seq("x x", "x x"))
+    assert(mergeOne(Seq("x", "x", "x", "x", "x"), "x", "x") ==
+      Seq("x x", "x x", "x"))
+  }
+
+  test("bpeMerge: no match / short arrays are identity") {
+    assert(mergeOne(Seq("a", "b"), "b", "a") == Seq("a", "b"))
+    assert(mergeOne(Seq("a"), "a", "a") == Seq("a"))
+    assert(mergeOne(Seq.empty[String], "a", "b") == Seq.empty[String])
+  }
+
+  test("bpeMerge: merged tokens can merge again in a later round") {
+    val r1 = mergeOne(Seq("a", "b", "c"), "a", "b")
+    assert(r1 == Seq("a b", "c"))
+    assert(mergeOne(r1, "a b", "c") == Seq("a b c"))
+  }
+
+  test("bpeTrain: known tiny corpus — pair choice, counts, token law") {
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b d"),
+      (3L, "c d")).toDF("doc_id", "text")
+    // round 1: (a,b) appears 3 times — the unambiguous top pair.
+    // 10 tokens total, 3 merges → 7 tokens after.
+    val out = CorpusStats.bpeTrain(docs, "text", 2)
+      .orderBy("round").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "a b" && out(0).getLong(2) == 3L &&
+      out(0).getLong(3) == 7L)
+    // round 2 ties at cnt=1 break by (l, r) ascending: tokens now
+    // {a b, a b, c / a b, d / c, d} → pairs (ab,ab)? no — adjacent pairs
+    // are ("a b","a b")x1? doc1 = [a b, a b, c]: ("a b","a b"),("a b",c);
+    // doc2 = [a b, d]; doc3 = [c, d]. All cnt=1 → lexicographic min
+    // ("a b","a b") wins (space sorts below letters).
+    assert(out(1).getLong(2) == 1L)
+    val nBefore = out(0).getLong(3)
+    assert(out(1).getLong(3) == nBefore - out(1).getLong(2))
+  }
+
+  test("bpeTrain: per-round token count drops by the executed merge count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = CorpusStats.bpeTrain(docs, "text", 3).orderBy("round").collect()
+    val n0 = docs.select(sum(size(TextOps.tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    var prev = n0
+    rows.foreach { r =>
+      val drop = prev - r.getLong(3)
+      val Array(a, b) = { // pair is space-joined; round-1 parts are atomic
+        val p = r.getString(1); val cnt = r.getLong(2)
+        // reported cnt counts OVERLAPPING occurrences; greedy executes
+        // every one when left != right, and between half and all of them
+        // in runs of identical tokens.
+        if (r.getInt(0) == 1 && p.split(" ").length == 2) p.split(" ")
+        else Array("", "")
+      }
+      if (a.nonEmpty && a != b) assert(drop == r.getLong(2),
+        s"round ${r.getInt(0)}: drop $drop != cnt ${r.getLong(2)}")
+      else assert(drop >= (r.getLong(2) + 1) / 2 && drop <= r.getLong(2),
+        s"round ${r.getInt(0)}: drop $drop outside [cnt/2, cnt] of ${r.getLong(2)}")
+      prev = r.getLong(3)
+    }
+  }
+
+  test("bpeTrain: exhausts early when no doc has two tokens") {
+    val docs = Seq((1L, "solo"), (2L, "alone")).toDF("doc_id", "text")
+    assert(CorpusStats.bpeTrain(docs, "text", 5).count() == 0)
+  }
+}
