@@ -22,7 +22,11 @@ object Bench {
       finally graft.ops.OpCaches.releaseAll() // per-query cache hygiene
       (System.nanoTime() - t0) / 1e9
     }
+    // optional comma-separated filter for local iteration (driver sets
+    // only SF_DIR/CPUS/BENCH_OUT, so driver runs always bench everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // one warm-up of the first query amortizes JVM/codegen startup
     names.headOption.foreach(force)
     // min of two runs per query: second run benefits from JIT-warmed

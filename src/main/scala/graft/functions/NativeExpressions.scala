@@ -308,6 +308,72 @@ object CmsBits {
   }
 }
 
+/** HyperLogLog register math shared by the build/merge aggregators
+  * ([[graft.ops.Hll]]) and the estimate expression ([[HllEstExpr]]).
+  * m = 2^p byte registers; a key is avalanche-mixed ([[BloomBits.mix]]),
+  * its top p bits pick the register and the register keeps the max rank
+  * (leading-zero count + 1) of the remaining 64-p bits. Register merge is
+  * elementwise max — a commutative, idempotent monoid, so per-shard
+  * sketches union EXACTLY: sketch(A ∪ B) is bit-identical to
+  * merge(sketch(A), sketch(B)) regardless of how rows were partitioned.
+  * That exactness (not just approximate agreement) is what makes the
+  * sketch safe distinct-count bookkeeping across 100 TB of shards. */
+object HllBits {
+
+  /** Standard HLL bias constant α_m (Flajolet et al. 2007, Fig. 3). */
+  def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Fold one key into the register array (p = log2(regs.length)). */
+  def add(regs: Array[Byte], key: Long, p: Int): Unit = {
+    val h = BloomBits.mix(key)
+    val idx = (h >>> (64 - p)).toInt
+    val w = h << p
+    // rank of the remaining 64-p bits; all-zero suffix saturates at 64-p+1
+    val rho = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rho > regs(idx)) regs(idx) = rho.toByte
+  }
+
+  /** Elementwise-max merge of `b` into `a` (in place, returns `a`). */
+  def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) {
+      if (b(i) > a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  /** Cardinality estimate: harmonic-mean raw estimate with the standard
+    * linear-counting small-range correction (E ≤ 2.5m with empty
+    * registers). No large-range correction — the 64-bit mixed hash makes
+    * hash collisions negligible at any realistic cardinality (HLL++'s
+    * choice). Deterministic: a sequential fold over the register array. */
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    require(m >= 16 && (m & (m - 1)) == 0,
+      "HLL register count must be a power of two >= 16")
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val r = regs(i) & 0xff
+      sum += 1.0 / (1L << r) // r <= 64-p+1 <= 61 for p >= 4
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha(m) * m.toDouble * m.toDouble / sum
+    val corrected =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    math.round(corrected)
+  }
+}
+
 /** `graft_fingerprint(text)`: native rolling-hash fingerprint. */
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -444,6 +510,22 @@ case class CmsEstExpr(child: Expression, grid: Array[Long], w: Int, d: Int)
     copy(child = c)
 }
 
+/** `graft_hll_est(sketch)`: native HyperLogLog cardinality estimate over
+  * a register-array sketch column (built by the [[graft.ops.Hll]]
+  * aggregators). Unlike the bloom/CMS probes the sketch here is per-ROW
+  * data (one sketch per group/shard), so the child is a real binary
+  * column, not a plan-riding reference object — the estimate is a single
+  * compiled fold per row inside whole-stage codegen. */
+case class HllEstExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HllBits.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HllBits.estimate($c)")
+  override protected def withNewChildInternal(c: Expression): HllEstExpr =
+    copy(child = c)
+}
+
 /** Column-API + SQL registration for the native expressions. The Column
   * constructors go through the function registry + `call_function` (the
   * public route to a custom Expression since Spark 4 hid Column(expr)),
@@ -475,6 +557,24 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_cms_est",
       key, org.apache.spark.sql.functions.typedLit(grid),
       org.apache.spark.sql.functions.lit(w), org.apache.spark.sql.functions.lit(d))
+  def graft_hll_est(sketch: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_hll_est", sketch)
+
+  /** Evaluate a registration-time scalar argument (shingle width, merge
+    * pair, sketch geometry…). These parameterize the EXPRESSION — they
+    * must be literals/foldable, or `eval()` with no input row would throw
+    * an opaque error or silently bind a wrong constant from a column's
+    * default evaluation. Fail analysis with the function named instead. */
+  private def constArg(fn: String, param: String, exprs: Seq[Expression], i: Int): Any = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> s""""${e.dataType.simpleString}""""))
+    e.eval()
+  }
 
   /** Register `graft_fingerprint` / `graft_simhash` in the session's
     * function registry (Column API + spark.sql both resolve through it). */
@@ -486,26 +586,31 @@ object NativeFunctions {
       exprs => SimHashExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_word_shingles",
       exprs => WordShinglesExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        constArg("graft_word_shingles", "n", exprs, 1).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashSigExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+        constArg("graft_minhash", "n", exprs, 1).asInstanceOf[Int],
+        constArg("graft_minhash", "numHashes", exprs, 2).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       exprs => BloomContainsExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        constArg("graft_bloom_contains", "bits", exprs, 1)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toLongArray(),
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+        constArg("graft_bloom_contains", "k", exprs, 2).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bpe_merge",
       exprs => BpeMergeExpr(exprs.head,
-        exprs(1).eval().toString, exprs(2).eval().toString), "scala_udf")
+        constArg("graft_bpe_merge", "a", exprs, 1).toString,
+        constArg("graft_bpe_merge", "b", exprs, 2).toString), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cms_est",
       exprs => CmsEstExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        constArg("graft_cms_est", "grid", exprs, 1)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toLongArray(),
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int]), "scala_udf")
+        constArg("graft_cms_est", "w", exprs, 2).asInstanceOf[Int],
+        constArg("graft_cms_est", "d", exprs, 3).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hll_est",
+      exprs => HllEstExpr(exprs.head), "scala_udf")
   }
 }

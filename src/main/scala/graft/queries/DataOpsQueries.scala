@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Bloom, Curation, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Bloom, Curation, Dedup, Hll, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -338,6 +338,11 @@ object DataOpsQueries {
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |TRUE AS parts_approx_ok, TRUE AS orders_approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_hll_distinct" ->
+      """SELECT l_returnflag,
+        |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |TRUE AS est_ok, TRUE AS merge_exact
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_minhash_neardup" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
@@ -750,6 +755,40 @@ object DataOpsQueries {
           .as("parts_approx_ok"),
         (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.15 + 10)
           .as("orders_approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Mergeable HLL distinct sketch ([[graft.ops.Hll]]) audited against the
+    * exact counts — the per-shard → global distinct-count roll-up that
+    * exact COUNT(DISTINCT) cannot support (per-shard exact counts don't
+    * add; per-shard sketches max-merge exactly). Per return flag:
+    *  - `exact_parts` — exact distinct part keys (two-phase, q47 shape);
+    *  - `est_ok` — the direct per-group sketch estimate lands within
+    *    10%+10 of exact (≈ 6σ of the p=12 sketch's 1.6% rsd; the sketch is
+    *    hash-based, no RNG, so the verdict is deterministic);
+    *  - `merge_exact` — the group sketch rebuilt by max-merging 8
+    *    orderkey-sharded sub-sketches is BIT-IDENTICAL to the directly
+    *    built one (the mergeability contract itself, in-query).
+    * The oracle asserts the exact counts + TRUE×2 (q47/q73 pattern), so an
+    * estimation or merge regression hash-mismatches. */
+  val q76HllDistinct: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    val li = load(s, dir, "lineitem")
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    val direct = li.groupBy("l_returnflag")
+      .agg(Hll.sketch(col("l_partkey")).as("sk_direct"))
+    val sharded = li
+      .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_returnflag", "shard")
+      .agg(Hll.sketch(col("l_partkey")).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(Hll.merge(col("sk")).as("sk_merged"))
+    exact.join(direct, Seq("l_returnflag")).join(sharded, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(Hll.estimate(col("sk_direct")) - col("exact_parts")) <=
+          col("exact_parts") * 0.1 + 10).as("est_ok"),
+        (col("sk_direct") === col("sk_merged")).as("merge_exact"))
       .orderBy("l_returnflag")
   }
 
@@ -1176,5 +1215,6 @@ object DataOpsQueries {
     "q75_bpe_train" -> q75BpeTrain,
     "q73_cms_heavy_hitters" -> q73CmsHeavyHitters,
     "q74_uniform_sample" -> q74UniformSample,
+    "q76_hll_distinct" -> q76HllDistinct,
   )
 }
