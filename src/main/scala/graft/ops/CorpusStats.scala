@@ -115,17 +115,21 @@ object CorpusStats {
       if (top.isEmpty) exhausted = true // no doc has 2 tokens left
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val name = s"bpe_round_$r"
-        val merged = toks
-          .select(graft.functions.NativeFunctions.graft_bpe_merge(col("toks"), a, b).as("toks"))
-          .observe(name, sum(size(col("toks")).cast("long")).as("n_tokens"))
-        val ck = merged.localCheckpoint() // eager: runs the job, fills metrics
-        val nAfter = merged.queryExecution.observedMetrics(name).getLong(0)
-        out += ((r, a + " " + b, cnt, nAfter))
+        // one job: compiled merge pass + checkpoint, token count observed;
+        // the superseded round's corpus blocks are released immediately
+        // (k merge rounds would otherwise pin k corpus copies in storage)
+        val (ck, m) = Iterative.checkpointWithMetrics(
+          toks.select(
+            graft.functions.NativeFunctions.graft_bpe_merge(col("toks"), a, b).as("toks")),
+          s"bpe_round_$r",
+          Seq(sum(size(col("toks")).cast("long")).as("n_tokens")),
+          releasePrev = Some(toks))
+        out += ((r, a + " " + b, cnt, m.getLong(0)))
         toks = ck
         r += 1
       }
     }
+    Iterative.release(toks) // the final corpus copy is not returned
     import spark.implicits._
     out.toSeq.toDF("round", "pair", "cnt", "n_tokens_after")
   }

@@ -229,18 +229,17 @@ object Dedup {
     // scheduling latency, not by the tiny label shuffles, so job count is
     // the lever that makes single-shot timings robust.
     var roundId = 0
-    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal, Long) = {
+    def checkpointWithSum(df: DataFrame, prev: Option[DataFrame])
+        : (DataFrame, java.math.BigDecimal, Long) = {
       val name = s"cc_round_$roundId"; roundId += 1
-      val observed = df.observe(name,
+      val (ck, m) = Iterative.checkpointWithMetrics(df, name, Seq(
         sum(col("component").cast("decimal(38,0)")).as("label_sum"),
-        count(lit(1)).as("n"))
-      val ck = observed.localCheckpoint() // eager: runs the job, fills metrics
-      val m = observed.queryExecution.observedMetrics(name)
+        count(lit(1)).as("n")), prev)
       (ck, Option(m.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), m.getLong(1))
     }
     var (labels, prevSum, n0) = checkpointWithSum(
       edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")))
+        .withColumn("component", col("id")), None)
     var iter = 0
     var converged = n0 == 0L // no edges → done
     // maxIter + 1: a diameter-D graph needs D label-changing rounds plus
@@ -251,14 +250,19 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
+      // the new checkpoint supersedes the old labels — release those
+      // blocks now rather than waiting for the ContextCleaner (edges is
+      // loop-invariant and stays)
       val (next, s, _) = checkpointWithSum(
         labels.unionByName(viaEdges)
-          .groupBy("id").agg(min(col("component")).as("component")))
+          .groupBy("id").agg(min(col("component")).as("component")),
+        Some(labels))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
     }
+    Iterative.release(edges) // nothing reads the edge list after the loop
     // Refuse to return silently-wrong labels: if the last round still
     // changed something, the graph diameter exceeds maxIter and several
     // nodes carry non-minimal components — raise maxIter for such graphs

@@ -554,11 +554,15 @@ object DataOpsQueries {
     * row per round, matching [[graft.ops.CorpusStats.bpeTrain]]. */
   private def sqlBpeTrain(rounds: Int): String = {
     val blocks = (1 to rounds).map(sqlBpeRound).mkString(",\n")
+    // WHERE EXISTS: an exhausted round (empty topN) emits NO row, matching
+    // the engine's early stop — without it the oracle would pad NULL-pair
+    // rows on degenerate corpora where no document has two tokens left
     val rows = (1 to rounds).map { n =>
       s"""SELECT CAST($n AS INT) AS round,
          |(SELECT a || ' ' || b FROM top$n) AS pair,
          |(SELECT CAST(cnt AS BIGINT) FROM top$n) AS cnt,
-         |(SELECT CAST(SUM(len(tk)) AS BIGINT) FROM t$n) AS n_tokens_after""".stripMargin
+         |(SELECT CAST(SUM(len(tk)) AS BIGINT) FROM t$n) AS n_tokens_after
+         |WHERE EXISTS (SELECT 1 FROM top$n)""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH t0 AS (SELECT doc_id AS did,
        |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),

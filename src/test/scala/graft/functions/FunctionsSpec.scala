@@ -119,6 +119,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("registration-time scalar args reject non-foldable expressions with a clear error") {
+    NativeFunctions.register(spark)
+    // a real column as the merge pair would otherwise eval() with no input
+    // row — silently binding a wrong constant or throwing opaquely
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bpe_merge(array('a','b'), text, 'b') FROM parquet.`" +
+        docs + "` LIMIT 1").collect()
+    }
+    assert(e.getMessage.contains("graft_bpe_merge"), e.getMessage)
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.getCondition)
+    // foldable NON-literal expressions still work (constant-folded exprs)
+    val ok = spark.sql(
+      "SELECT graft_word_shingles('a b c d', 1 + 1) AS sh").head().getSeq[String](0)
+    assert(ok == Seq("a b", "b c", "c d"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val df = spark.read.parquet(docs)
       .select(NativeFunctions.graft_fingerprint(col("text")),
