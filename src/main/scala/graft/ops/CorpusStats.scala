@@ -97,6 +97,7 @@ object CorpusStats {
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "bpeTrain needs at least one merge round")
     val spark = docs.sparkSession
+    graft.functions.NativeFunctions.register(spark) // graft_bpe_merge
     var toks = docs.select(TextOps.tokens(col(textCol)).as("toks")).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     var r = 1

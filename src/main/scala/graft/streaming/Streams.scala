@@ -120,6 +120,19 @@ object Streams {
     docs.filter(!graft.ops.Bloom.mightContainText(col(textCol), bloomBits, k))
   }
 
+  /** Stateless streaming weighted sampling — the continuous-ingest twin
+    * of [[graft.ops.Sampling.weightedSample]] (q68): keep a stream row
+    * iff its id's Knuth hash lands below the per-row weight percentage
+    * (e.g. a quality score). The keep decision is pure per-row
+    * arithmetic — no RNG state, no state store, no watermark — so a
+    * replayed micro-batch keeps EXACTLY the same rows (retries stay
+    * deterministic, unlike `rand() < w` sampling which resamples on every
+    * replay) and the stream output equals the batch operator on the same
+    * data (StreamingSpec pins the replay-twice == 2× batch law). */
+  def weightedSampleStream(docs: DataFrame, idCol: String,
+      weightPct: org.apache.spark.sql.Column): DataFrame =
+    docs.filter(graft.ops.Sampling.keepByWeight(col(idCol), weightPct))
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

@@ -59,6 +59,32 @@ class IvfSpec extends AnyFunSuite {
     assert(src.contains(".sample(withReplacement"), "Ivf.train should use seeded sample()")
   }
 
+  test("multi-probe recall is monotone in nProbe and beats single-cell") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Ivf.trainCached("ivfspec-recall", emb, "embedding", k = 8)
+    val indexed = Ivf.index(model, emb, "embedding").cache()
+    val queries = emb.filter(col("vec_id") % 25 === 0) // 20 probes at sf0.001
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def recallAt(nProbe: Int): Double = {
+      val hits = queries.map { case (_, q) =>
+        val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val ivf = Ivf.topK(model, indexed, "vec_id", "embedding", q, k = 10,
+          nProbe = nProbe).collect().map(_.getLong(0)).toSet
+        (ivf & brute).size.toDouble / brute.size
+      }
+      hits.sum / hits.length
+    }
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    val r8 = recallAt(8) // probing every cell IS brute force
+    indexed.unpersist()
+    assert(r2 >= r1, s"recall(nProbe=2)=$r2 < recall(nProbe=1)=$r1")
+    assert(r8 >= r2 && r8 == 1.0, s"full probe must equal brute force, got $r8")
+    assert(r1 > 0.3, s"single-cell recall implausibly low: $r1")
+  }
+
   /** The 100 TB probe story: `ivf_cell` as a PARTITION COLUMN means a cell
     * probe prunes whole files/directories from the listing — the scan never
     * touches the other cells' data. */

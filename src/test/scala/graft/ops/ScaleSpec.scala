@@ -239,6 +239,108 @@ class ScaleSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  /** The non-broadcast fallback of [[RangeJoin.pointInInterval]] — the
+    * path a too-large-to-broadcast interval table takes. Construction:
+    * 1M points (value = id) against 100k tiling intervals [10i, 10i+10)
+    * (every point matches exactly one) PLUS 200k identical hot intervals
+    * [0, 10) piling a 200k-registration key onto bin 0 — the skewed-bin
+    * shape the docstring warns about. Broadcast is disabled outright, so
+    * the drill proves the binned equi-join (a) never degenerates to a
+    * nested-loop plan, (b) produces the exact analytic match count, and
+    * (c) AQE splits the hot bin's reducer instead of funneling it. */
+  test("range join non-broadcast fallback: skewed bins, no BNLJ, AQE skew split") {
+    val nPts = 1000000L
+    val nIv = 100000L
+    val hot = 200000L
+    val points = spark.range(nPts).select(col("id").cast("double").as("pt"))
+    // md5 payload: incompressible bytes, so the hot bin's shuffle
+    // partition SIZE (what AQE's skew detector measures) scales with its
+    // row count instead of collapsing under lz4
+    val tiling = spark.range(nIv).select(
+      (col("id") * 10).cast("double").as("lo"),
+      (col("id") * 10 + 10).cast("double").as("hi"),
+      md5(col("id").cast("string")).as("payload"))
+    val hotIv = spark.range(hot).select(
+      lit(0.0).as("lo"), lit(10.0).as("hi"),
+      md5((col("id") + 7000000L).cast("string")).as("payload"))
+    val joined = RangeJoin.pointInInterval(points, "pt",
+      tiling.unionByName(hotIv), "lo", "hi",
+      binWidth = 10.0, broadcastIntervals = false)
+    // tune AQE so the ~200k-row bin-0 reducer crosses the skew thresholds
+    // at this synthetic size (defaults are sized for 100 TB clusters)
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // count through the dataframe's OWN QueryExecution so the adaptive
+      // plan finalizes on this instance and can be inspected afterwards
+      // (df.count() builds a separate QueryExecution for the agg)
+      val got = joined.queryExecution.toRdd.count()
+      // every point matches its tile once; points 0..9 also match the
+      // 200k hot intervals
+      assert(got == nPts + 10L * hot, s"match count $got")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        "inequality join degenerated to a nested loop:\n" + plan.take(2000))
+      assert(plan.contains("MergeJoin") || plan.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on the bin key:\n" + plan.take(2000))
+      assert(plan.toLowerCase.contains("skew=true"),
+        "AQE did not split the hot bin:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The BPE trainer's scale drill (sibling of the CC convergence drill):
+    * 20 merge rounds over the 10⁶-document synthetic corpus. Asserts the
+    * loop's scale contracts — rounds complete, token mass strictly
+    * decreases by exactly the merged-pair count each round (the observed
+    * metric is consistent with the returned frequency), and per-round
+    * cost stays FLAT: localCheckpoint truncates lineage so round 20
+    * plans/runs like round 1 (a merely-cached loop re-plans a 20-join
+    * lineage and degrades super-linearly), while the released prior-round
+    * blocks keep executor storage at one corpus copy. The flatness proxy
+    * compares a 2-round run against the 20-round run: linear scaling
+    * keeps t(20)/t(2) near 10; lineage growth would push it toward
+    * quadratic (≈100×). Driver state is one (pair, cnt) row per round by
+    * construction. */
+  test("bpe trainer scale drill: 20 rounds over 1M docs, flat per-round cost") {
+    val n = 1000000L
+    // truncate to ~17 tokens/doc: the drill scales in ROUND COUNT over a
+    // wide corpus (1M rows × 20 rounds), not in per-document length — the
+    // full-width synth corpus is ~110M tokens and adds nothing but wall
+    val docs = spark.read.format("graft-synth")
+      .option("rows", n).option("partitions", 32).option("dupfraction", 0.0)
+      .load()
+      .withColumn("text", substring(col("text"), 1, 100))
+    def timed(rounds: Int): (Double, Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime()
+      val rows = CorpusStats.bpeTrain(docs, "text", rounds).orderBy("round").collect()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (t2, _) = timed(2) // also the JIT/codegen warm-up
+    val (t20, rows) = timed(20)
+    assert(rows.length == 20, s"trainer exhausted early: ${rows.length} rounds")
+    // token mass strictly decreases, by at most the pair count: cnt
+    // includes OVERLAPPING occurrences (runs like "x x x" count 2 pairs)
+    // while the greedy merge collapses only non-overlapping ones
+    val masses = rows.map(_.getAs[Long]("n_tokens_after"))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    masses.indices.drop(1).foreach { i =>
+      assert(masses(i) < masses(i - 1) && masses(i) >= masses(i - 1) - cnts(i),
+        s"round ${i + 1}: mass ${masses(i)} vs ${masses(i - 1)} - ${cnts(i)}")
+    }
+    // flat per-round cost: 10x the rounds should cost ~10x, not ~100x
+    assert(t20 <= t2 * 25,
+      f"per-round cost not flat: 2 rounds $t2%.1fs vs 20 rounds $t20%.1fs")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

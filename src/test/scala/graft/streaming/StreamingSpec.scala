@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.join(evalSet, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("streaming weighted sample matches the batch operator, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.{Sampling, TextOps}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows ++ rows) // the retry/replay duplicate shape
+    val weight = TextOps.qualityScore(col("text")) // the q68 weighting
+    val kept = Streams.weightedSampleStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", weight)
+    val q = kept.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wsample_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batch = Sampling.weightedSample(docs, "doc_id", weight).select("doc_id")
+    val streamed = spark.table("wsample_stream").select("doc_id")
+    // stateless determinism: the replayed copy keeps exactly the same
+    // rows, so the stream holds each batch-kept id exactly twice
+    assert(streamed.count() == 2 * batch.count())
+    assert(streamed.distinct().except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
