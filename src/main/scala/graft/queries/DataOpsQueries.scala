@@ -952,7 +952,18 @@ object DataOpsQueries {
   val q63Tfidf: Q = (s, dir) => {
     val docs = load(s, dir, "documents")
     val dfreq = graft.ops.CorpusStats.documentFrequency(docs, "doc_id", "text")
-    dfreq.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    // The corpus total is a SEPARATE aggregate over documents — by
+    // measurement the cheapest formulation, not an oversight: column
+    // pruning empties its ReadSchema (PlanSpec pins `struct<>`), so the
+    // "second scan" reads parquet footers only, no data pages. The
+    // alternatives are all worse at scale: persisting the distinct
+    // (doc, token) pairs for reuse pins O(vocabulary × docs) in executor
+    // storage for one extra scalar, and exchange-reuse formulations
+    // (count_distinct / two-level groupBy over the pairs) get rewritten
+    // by the optimizer into a differently-pruned child that defeats
+    // ReuseExchange anyway — while forcing the count through the explode.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    dfreq.crossJoin(nDocs)
       .select(col("tok"), col("df"),
         graft.ops.CorpusStats.idf(col("n_docs"), col("df")).as("idf"))
       .orderBy(desc("df"), asc("tok"))

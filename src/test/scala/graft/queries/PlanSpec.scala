@@ -92,6 +92,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q63: the corpus-total scan reads no data columns (footer-only count)") {
+    val p = plan("q63_tfidf")
+    // two scan nodes, but the n_docs one is pruned to an EMPTY schema —
+    // a parquet count over zero columns touches footers, not data pages,
+    // which beats both a cached-pairs reuse (pins vocab×docs storage)
+    // and any exchange-reuse formulation (optimizer re-prunes the child)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(schemas.size == 2, s"expected 2 scans:\n$p")
+    assert(schemas.exists(_.trim.endsWith("ReadSchema: struct<>")),
+      s"corpus-total scan should read zero columns:\n$p")
+    assert(schemas.exists(s => s.contains("doc_id") && s.contains("text")),
+      s"df scan should read exactly (doc_id, text):\n$p")
+  }
+
+  test("q71/q74: per-row pipelines stay at most one exchange") {
+    for (q <- Seq("q71_quantize_int8", "q74_uniform_sample")) {
+      val p = plan(q)
+      // count node-detail headers ("(5) Exchange"), not the tree echo of
+      // the same node; exclude broadcast/reused (no data shuffle)
+      val exchanges = p.linesIterator.count(
+        _.matches("""\(\d+\) Exchange.*"""))
+      assert(exchanges <= 1, s"$q shuffles more than once:\n$p")
+    }
+  }
+
   test("q69: bloom probe is a codegen'd filter — no join, exchange, or broadcast") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
