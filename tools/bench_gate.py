@@ -31,10 +31,16 @@ def load(path):
     if "queries" not in data and "tail" in data:
         tail = data["tail"]
         start = tail.rfind('{"metric"')
-        if start < 0:
-            raise ValueError(f"{path}: no embedded bench JSON found in 'tail'")
-        end = tail.find("\n", start)
-        data = json.loads(tail[start:] if end < 0 else tail[start:end])
+        if start >= 0:
+            end = tail.find("\n", start)
+            data = json.loads(tail[start:] if end < 0 else tail[start:end])
+        else:
+            # the driver caps 'tail' length and can cut the line's head off;
+            # salvage whatever per-query pairs survive
+            pairs = re.findall(r'"(q\w+)":(-?[0-9.]+)', tail)
+            if not pairs:
+                raise ValueError(f"{path}: no embedded bench JSON found in 'tail'")
+            data = {"queries": {q: float(v) for q, v in pairs}}
     return {k: v for k, v in data.get("queries", {}).items() if v >= 0}
 
 
@@ -69,11 +75,20 @@ def main():
     # (convention: newest "## Round N" first). Matching the whole file
     # would permanently exempt any query ever mentioned in a past round.
     notes = ""
+    noise_mult = {}
     notes_path = os.path.join(ROOT, "BENCH_NOTES.md")
     if os.path.exists(notes_path):
         whole = open(notes_path).read()
         sections = re.split(r"(?m)^## ", whole)
         notes = next((s for s in sections if s.startswith("Round")), whole)
+        # Standing "Expected noise" annotations: eager multi-job queries
+        # (iterative loops, sketch builds) whose single-shot timings swing
+        # with scheduler load get a per-query threshold multiplier — e.g.
+        # "- q65_neardup_groups 3x — ...". Beyond the widened bound they
+        # still flag and still need narration.
+        noise_sec = next((s for s in sections if s.startswith("Expected noise")), "")
+        for q, f in re.findall(r"(?m)^-\s+(\w+)\s+([\d.]+)x", noise_sec):
+            noise_mult[q] = float(f)
 
     print(f"bench_gate: {os.path.basename(prev_path)} -> {os.path.basename(new_path)} "
           f"(threshold {threshold}x)")
@@ -86,12 +101,15 @@ def main():
     silent = []
     for q in shared:
         ratio = new[q] / prev[q] if prev[q] > 0 else float("inf")
+        eff = threshold * noise_mult.get(q, 1.0)
         # absolute floor: sub-300ms queries are dominated by job-submit
         # latency; ratios there are noise, not plan regressions
-        if ratio > threshold and new[q] - prev[q] > 0.3:
+        if ratio > eff and new[q] - prev[q] > 0.3:
             narrated = q.split("_")[0] in notes
             tag = "narrated" if narrated else "SILENT"
-            print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({ratio:.2f}x) [{tag}]")
+            noisy = f", noise-tolerant {eff:.1f}x" if q in noise_mult else ""
+            print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s "
+                  f"({ratio:.2f}x{noisy}) [{tag}]")
             if not narrated:
                 silent.append(q)
     added = sorted(set(new) - set(prev))
