@@ -94,12 +94,29 @@ object CorpusStats {
     * (rows ∝ distinct pairs) feeding a driver top-1, plus one
     * shuffle-free compiled merge pass ([[graft.functions.BpeMergeExpr]]).
     * Round count is the vocabulary budget (k merges), not data-sized. */
+  /** One trained merge: the pair (a, b), its pre-merge corpus frequency,
+    * and the corpus token count after applying it. `a`/`b` are kept as
+    * SEPARATE tokens (merged tokens contain spaces, so the space-joined
+    * rendering is ambiguous as an input to further processing). */
+  case class BpeMerge(a: String, b: String, cnt: Long, nTokensAfter: Long)
+
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMerges(docs, textCol, rounds).zipWithIndex
+      .map { case (m, i) => (i + 1, m.a + " " + m.b, m.cnt, m.nTokensAfter) }
+      .toDF("round", "pair", "cnt", "n_tokens_after")
+  }
+
+  /** The trainer's driver-side merge table — the vocabulary artifact a
+    * downstream [[bpeEncode]] consumes. Same loop as [[bpeTrain]] (which
+    * is now a thin rendering of this). */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): Seq[BpeMerge] = {
     require(rounds >= 1, "bpeTrain needs at least one merge round")
     val spark = docs.sparkSession
     graft.functions.NativeFunctions.register(spark) // graft_bpe_merge
     var toks = docs.select(TextOps.tokens(col(textCol)).as("toks")).localCheckpoint()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -125,14 +142,33 @@ object CorpusStats {
           s"bpe_round_$r",
           Seq(sum(size(col("toks")).cast("long")).as("n_tokens")),
           releasePrev = Some(toks))
-        out += ((r, a + " " + b, cnt, m.getLong(0)))
+        out += BpeMerge(a, b, cnt, m.getLong(0))
         toks = ck
         r += 1
       }
     }
     Iterative.release(toks) // the final corpus copy is not returned
-    import spark.implicits._
-    out.toSeq.toDF("round", "pair", "cnt", "n_tokens_after")
+    out.toSeq
+  }
+
+  /** BPE ENCODE — apply a trained merge list ([[bpeMerges]]) to a corpus:
+    * the tokenizer-application step that follows vocabulary training in
+    * an LM data pipeline. Adds `outCol: array<string>` holding the
+    * encoded tokens.
+    *
+    * Scale shape: ONE map-only projection — the k merges compose as k
+    * nested [[graft.functions.BpeMergeExpr]] calls inside a single
+    * whole-stage-codegen pass over the corpus. No shuffle, no state, no
+    * per-merge materialization; encoding 100 TB is exactly one read.
+    * (Training pays jobs per round; encoding must not.) BpeSpec pins
+    * encode == the trainer's own final corpus, token for token. */
+  def bpeEncode(docs: DataFrame, textCol: String,
+      merges: Seq[BpeMerge], outCol: String = "tokens"): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val encoded = merges.foldLeft(TextOps.tokens(col(textCol))) { (c, m) =>
+      graft.functions.NativeFunctions.graft_bpe_merge(c, m.a, m.b)
+    }
+    docs.withColumn(outCol, encoded)
   }
 
   /** One row per adjacent-pair OCCURRENCE (`pair` column, pre-aggregation)

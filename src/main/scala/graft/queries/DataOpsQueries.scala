@@ -486,6 +486,7 @@ object DataOpsQueries {
         |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "q75_bpe_train" -> sqlBpeTrain(3),
+    "q77_bpe_encode" -> sqlBpeEncode(3),
     "q74_uniform_sample" ->
       """SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS sample_key, source
         |FROM documents ORDER BY sample_key LIMIT 25""".stripMargin,
@@ -549,6 +550,21 @@ object DataOpsQueries {
        |  FROM k$n),
        |t$n AS (SELECT did, LIST(otok ORDER BY i) AS tk FROM e$n WHERE NOT skip
        |  GROUP BY did)""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.CorpusStats.bpeEncode]] after `rounds`
+    * training rounds on the same corpus: the trainer's final token table
+    * t{rounds} IS the encoded corpus, so the oracle aggregates it per
+    * source. Exercises train + encode end-to-end at the value level. */
+  private def sqlBpeEncode(rounds: Int): String = {
+    val blocks = (1 to rounds).map(sqlBpeRound).mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id AS did,
+       |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+       |$blocks
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |CAST(SUM(len(t$rounds.tk)) AS BIGINT) AS sum_tokens
+       |FROM t$rounds JOIN documents d ON t$rounds.did = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Full [[sqlBpeRound]] replay of `rounds` BPE merge rounds — one output
     * row per round, matching [[graft.ops.CorpusStats.bpeTrain]]. */
@@ -1189,6 +1205,22 @@ object DataOpsQueries {
     graft.ops.CorpusStats.bpeTrain(docs, "text", 3).orderBy("round")
   }
 
+  /** Train-then-ENCODE ([[graft.ops.CorpusStats.bpeEncode]]): the trained
+    * 3-merge vocabulary applied back to the corpus as ONE map-only
+    * whole-stage-codegen pass (k merges = k nested compiled calls — no
+    * shuffle, no per-merge materialization; the 100 TB encode is exactly
+    * one read). The oracle replays train + encode in full: its round-3
+    * token table IS the encoded corpus, aggregated per source. */
+  val q77BpeEncode: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val merges = graft.ops.CorpusStats.bpeMerges(docs, "text", 3)
+    graft.ops.CorpusStats.bpeEncode(docs, "text", merges)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tokens")).cast("long")).as("sum_tokens"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1231,5 +1263,6 @@ object DataOpsQueries {
     "q73_cms_heavy_hitters" -> q73CmsHeavyHitters,
     "q74_uniform_sample" -> q74UniformSample,
     "q76_hll_distinct" -> q76HllDistinct,
+    "q77_bpe_encode" -> q77BpeEncode,
   )
 }

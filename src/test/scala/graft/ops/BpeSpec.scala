@@ -97,4 +97,37 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq((1L, "solo"), (2L, "alone")).toDF("doc_id", "text")
     assert(CorpusStats.bpeTrain(docs, "text", 5).count() == 0)
   }
+
+  test("bpeEncode: replays the trainer's own final corpus token-for-token") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = CorpusStats.bpeMerges(docs, "text", 3)
+    assert(merges.length == 3)
+    val encoded = CorpusStats.bpeEncode(docs, "text", merges)
+    // corpus-level law: one map-only encode pass lands exactly on the
+    // trainer's post-round-3 token count
+    val total = encoded.select(sum(size(col("tokens"))).cast("long"))
+      .head().getLong(0)
+    assert(total == merges.last.nTokensAfter)
+    // token-level law on a sample: nested single-pass composition equals
+    // applying the merges one materialized round at a time
+    val sample = docs.filter(col("doc_id") % 37 === 0)
+    val oneShot = CorpusStats.bpeEncode(sample, "text", merges)
+      .select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    var stepwise = sample.select(col("doc_id"), TextOps.tokens(col("text")).as("tokens"))
+    merges.foreach { m =>
+      stepwise = stepwise.select(col("doc_id"),
+        NativeFunctions.graft_bpe_merge(col("tokens"), m.a, m.b).as("tokens"))
+        .localCheckpoint() // materialize the round boundary
+    }
+    stepwise.collect().foreach { r =>
+      assert(r.getSeq[String](1) == oneShot(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("bpeEncode: empty merge list is plain tokenization") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = CorpusStats.bpeEncode(docs, "text", Nil).head().getSeq[String](2)
+    assert(out == Seq("a", "b", "c"))
+  }
 }
