@@ -78,6 +78,70 @@ object Ivf {
   def index(model: IvfModel, vectors: DataFrame, vecCol: String): DataFrame =
     vectors.withColumn("ivf_cell", assign(model, col(vecCol)))
 
+  /** A refined model plus the per-round inertia trace (Σ squared distance
+    * to the assigned centroid, in 2^-qBits fixed-point units — integer,
+    * so the trace is exactly reproducible). */
+  case class Refined(model: IvfModel, inertiaQ: Seq[Long])
+
+  /** Distributed Lloyd refinement: `iters` rounds of (assign every vector
+    * to its nearest centroid → recompute centroids as per-cell means).
+    * [[train]] fits k-means on a bounded SAMPLE; this polishes that model
+    * against the FULL corpus — the standard two-stage recipe when the
+    * sample's cell boundaries drift from the real distribution.
+    *
+    * Scale shape, per round: ONE Spark job — assignment is the same
+    * broadcast-centroid codegen expression the probe uses, the per-cell
+    * mean is a partial aggregation whose shuffle carries k × dim rows
+    * (independent of corpus size), and the round's inertia rides the same
+    * aggregation as a quantized column instead of a second scan (the
+    * CC/BPE observed-control pattern; here the control state IS the
+    * aggregate output). Driver holds k × dim rows per round. No
+    * checkpointing needed: each round's input is the ORIGINAL vector
+    * table plus new centroid literals, so lineage never grows.
+    *
+    * Deterministic by construction: per-cell sums accumulate in 2^qBits
+    * fixed-point longs (order-independent under any partitioning — the
+    * [[Similarity.groupCentroidFixedPoint]] idiom), and assignment
+    * tie-breaks by centroid index. Empty cells keep their previous
+    * centroid. Lloyd's monotone-inertia guarantee holds up to the
+    * quantization granularity (IvfSpec pins the trace). */
+  def refine(model: IvfModel, vectors: DataFrame, vecCol: String,
+      iters: Int, qBits: Int = 20): Refined = {
+    require(iters >= 1 && qBits >= 0 && qBits <= 40)
+    val scale = (1L << qBits).toDouble
+    var cur = model
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to iters) {
+      val dists = cur.centroids.zipWithIndex.map { case (c, i) =>
+        struct(l2sq(col(vecCol), c).as("d"), lit(i).as("i"))
+      }
+      val best = array_min(array(dists: _*))
+      val rows = vectors
+        // two selects: posexplode is a Generate, and its extraction
+        // re-resolves getField before the struct aliases land — naming
+        // the struct column first sidesteps the resolution-order trap
+        .select(best.as("best"), col(vecCol).as("v"))
+        .select(col("best.i").as("cell"), col("best.d").as("d"),
+          posexplode(transform(col("v"), x => x.cast("double")))
+            .as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum((col("x") * scale).cast("long")).as("sum_q"),
+          // one inertia contribution per VECTOR, not per dim
+          sum(when(col("dim") === 0, (col("d") * scale).cast("long"))).as("in_q"))
+        .collect()
+      inertias += rows.map(r =>
+        Option(r.getAs[java.lang.Long]("in_q")).map(_.longValue).getOrElse(0L)).sum
+      val next = cur.centroids.map(_.clone()) // empty cells keep position
+      rows.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
+          r.getAs[Long]("sum_q").toDouble / r.getAs[Long]("n") / scale
+      }
+      cur = IvfModel(next)
+    }
+    Refined(cur, inertias.toSeq)
+  }
+
   /** Top-k by cosine probing only the `nProbe` cells nearest the query. */
   def topK(model: IvfModel, indexed: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {

@@ -487,6 +487,11 @@ object DataOpsQueries {
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "q75_bpe_train" -> sqlBpeTrain(3),
     "q77_bpe_encode" -> sqlBpeEncode(3),
+    "q78_kmeans_refine" ->
+      """SELECT CAST(8 AS INT) AS k,
+        |CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |TRUE AS inertia_monotone, TRUE AS improved
+        |FROM embeddings""".stripMargin,
     "q74_uniform_sample" ->
       """SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS sample_key, source
         |FROM documents ORDER BY sample_key LIMIT 25""".stripMargin,
@@ -1221,6 +1226,34 @@ object DataOpsQueries {
       .orderBy("source")
   }
 
+  /** Distributed Lloyd refinement ([[graft.ops.Ivf.refine]]) of the
+    * sample-trained IVF model against the full corpus — 5 rounds, each
+    * one Spark job with a k×dim-row shuffle. Verdict columns (the
+    * q48/q76 pattern): `inertia_monotone` pins Lloyd's non-increasing
+    * cost trace (up to fixed-point granularity: tolerance 1e-6 relative
+    * + 1024 quantized units ≈ 1e-3 absolute), `improved` pins that the
+    * full-corpus polish never leaves the model worse than it found it
+    * (same tolerance — at these SFs the trainer's sample IS the full
+    * corpus, so refinement is already converged and the trace only
+    * wobbles at quantization granularity; at 100 TB, where the sample
+    * is a sliver, this is where the real descent shows). Both
+    * deterministic: assignments tie-break by index and the sums are
+    * order-independent quantized longs. */
+  val q78KmeansRefine: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    val model = graft.ops.Ivf.trainCached(s"$dir/embeddings", emb, "embedding", k = 8)
+    val r = graft.ops.Ivf.refine(model, emb, "embedding", iters = 5)
+    def leq(b: Long, a: Long): Boolean = b <= a + a / 1000000L + 1024L
+    val monotone = r.inertiaQ.sliding(2).forall {
+      case Seq(a, b) => leq(b, a)
+      case _ => true
+    }
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .select(lit(8).as("k"), col("n_vectors"),
+        lit(monotone).as("inertia_monotone"),
+        lit(leq(r.inertiaQ.last, r.inertiaQ.head)).as("improved"))
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1264,5 +1297,6 @@ object DataOpsQueries {
     "q74_uniform_sample" -> q74UniformSample,
     "q76_hll_distinct" -> q76HllDistinct,
     "q77_bpe_encode" -> q77BpeEncode,
+    "q78_kmeans_refine" -> q78KmeansRefine,
   )
 }

@@ -85,6 +85,36 @@ class IvfSpec extends AnyFunSuite {
     assert(r1 > 0.3, s"single-cell recall implausibly low: $r1")
   }
 
+  test("Lloyd refinement: deterministic, monotone inertia, full-corpus improvement") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val m0 = Ivf.trainCached("ivfspec-refine", emb, "embedding", k = 8)
+    val r1 = Ivf.refine(m0, emb, "embedding", iters = 4)
+    val r2 = Ivf.refine(m0, emb, "embedding", iters = 4)
+    // fixed-point sums + index tie-breaks → bit-identical reruns
+    assert(r1.model.centroids.map(_.toSeq).toSeq == r2.model.centroids.map(_.toSeq).toSeq)
+    assert(r1.inertiaQ == r2.inertiaQ)
+    // Lloyd: non-increasing cost, up to the quantization granularity
+    r1.inertiaQ.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + a / 1000000L + 1024L, s"$b > $a")
+      case _ =>
+    }
+    // never worse than the input model beyond quantization granularity
+    // (at this SF the trainer already saw the full corpus, so the trace
+    // is flat-to-descending rather than strictly descending)
+    assert(r1.inertiaQ.last <= r1.inertiaQ.head + r1.inertiaQ.head / 1000000L + 1024L,
+      s"refinement degraded the model: ${r1.inertiaQ}")
+  }
+
+  test("Lloyd refinement: empty cells keep their centroid, no NaN") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    // second centroid absurdly far away → never assigned → must survive
+    val m = Ivf.IvfModel(Array(Array.fill(dim)(0.0), Array.fill(dim)(1e9)))
+    val r = Ivf.refine(m, emb, "embedding", iters = 2)
+    assert(r.model.centroids(1).forall(_ == 1e9))
+    assert(r.model.centroids(0).forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   /** The 100 TB probe story: `ivf_cell` as a PARTITION COLUMN means a cell
     * probe prunes whole files/directories from the listing — the scan never
     * touches the other cells' data. */
