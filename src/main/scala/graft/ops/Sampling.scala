@@ -66,4 +66,27 @@ object Sampling {
       .orderBy("sample_key")
       .limit(k)
   }
+
+  /** EXACT-size uniform sample PER GROUP — [[uniformExactK]]'s stratified
+    * sibling: the k smallest id-hash rows within each group ("exactly 10k
+    * documents per language"), reproducible across reruns, engines and
+    * partitionings. Emits `sample_key` and the within-group `rk` (1..k).
+    *
+    * Scale shape: one shuffle on the group key, then a partition-local
+    * window — the same shard-by-group shape as [[Curation.capPerGroup]]
+    * (q67), with AQE skew-splitting as the hot-group backstop. For tiny k
+    * over millions of groups, the bounded-buffer typed aggregator
+    * ([[graft.functions.TopKAggregator]], q70) is the map-side-partial
+    * alternative; the window form keeps arbitrary payload columns without
+    * packing them through an aggregation buffer. */
+  def uniformExactKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("sample_key")
+    df.withColumn("sample_key",
+        pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

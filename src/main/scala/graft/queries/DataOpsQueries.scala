@@ -492,6 +492,14 @@ object DataOpsQueries {
         |CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |TRUE AS inertia_monotone, TRUE AS improved
         |FROM embeddings""".stripMargin,
+    "q79_group_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  (doc_id * 2654435761) % 2147483648 AS sample_key,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 2147483648) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS INT) AS rk, doc_id, sample_key
+        |FROM r WHERE rk <= 4 ORDER BY lang, rk""".stripMargin,
     "q74_uniform_sample" ->
       """SELECT doc_id, (doc_id * 2654435761) % 2147483648 AS sample_key, source
         |FROM documents ORDER BY sample_key LIMIT 25""".stripMargin,
@@ -1254,6 +1262,17 @@ object DataOpsQueries {
         lit(leq(r.inertiaQ.last, r.inertiaQ.head)).as("improved"))
   }
 
+  /** Per-group exact-k uniform sample ([[Sampling.uniformExactKPerGroup]]):
+    * exactly 4 documents per language by hash order statistics — the
+    * balanced-sample builder (eval slices, per-language probes). Fully
+    * SQL-replayable (Knuth hash + ROW_NUMBER) → true DuckDB value oracle. */
+  val q79GroupSample: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    Sampling.uniformExactKPerGroup(docs, "lang", "doc_id", 4)
+      .select(col("lang"), col("rk"), col("doc_id"), col("sample_key"))
+      .orderBy("lang", "rk")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1298,5 +1317,6 @@ object DataOpsQueries {
     "q76_hll_distinct" -> q76HllDistinct,
     "q77_bpe_encode" -> q77BpeEncode,
     "q78_kmeans_refine" -> q78KmeansRefine,
+    "q79_group_sample" -> q79GroupSample,
   )
 }

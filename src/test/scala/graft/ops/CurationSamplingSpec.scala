@@ -67,6 +67,25 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("uniformExactKPerGroup: exactly min(k, group size) per group, partition-stable") {
+    import org.apache.spark.sql.functions._
+    val k = 4
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.uniformExactKPerGroup(docs, "lang", "doc_id", k)
+    val perGroup = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup == sizes.map { case (g, n) => g -> math.min(k.toLong, n) })
+    // same rows under a different partitioning (hash order, no RNG)
+    val a = sampled.select("lang", "doc_id").collect().map(_.toSeq).toSet
+    val b = Sampling.uniformExactKPerGroup(docs.repartition(13), "lang", "doc_id", k)
+      .select("lang", "doc_id").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // the window shards by group, never funnels through one partition
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("keepByWeight realized rate tracks the weight (Knuth hash uniformity)") {
     val n = docs.count()
     val kept = Sampling.weightedSample(docs, "doc_id", lit(50)).count()
