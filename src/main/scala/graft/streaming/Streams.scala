@@ -120,6 +120,31 @@ object Streams {
     docs.filter(!graft.ops.Bloom.mightContainText(col(textCol), bloomBits, k))
   }
 
+  /** Streaming distinct-count sketch — the continuous-ingest twin of
+    * [[graft.ops.Hll]] (q76): per event-time window, the HLL register
+    * array builds as a streaming aggregate. The sketch's elementwise-max
+    * merge is a commutative idempotent monoid — exactly the shape a
+    * streaming aggregation wants: each micro-batch folds its rows into
+    * partial registers, state per window is ONE 2^p-byte array bounded by
+    * the watermark, late data max-merges in without rescans, and replayed
+    * rows are absorbed by idempotence (a COUNT would double-count them).
+    * Emits the window, the codegen'd estimate, and the raw sketch (so
+    * downstream can roll windows up into days/weeks by max-merge —
+    * distinct counts that stay mergeable after aggregation, which no
+    * exact streaming count can offer). */
+  def distinctSketchStream(rows: DataFrame, keyCol: String,
+      eventTimeCol: String = "event_time", window_ : String = "1 hour",
+      watermark: String = "10 minutes",
+      p: Int = graft.ops.Hll.DefaultP): DataFrame = {
+    graft.functions.NativeFunctions.register(rows.sparkSession)
+    rows.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), window_))
+      .agg(graft.ops.Hll.sketch(col(keyCol), p).as("sketch"))
+      .select(col("window"),
+        graft.ops.Hll.estimate(col("sketch")).as("n_distinct_est"),
+        col("sketch"))
+  }
+
   /** Stateless streaming weighted sampling — the continuous-ingest twin
     * of [[graft.ops.Sampling.weightedSample]] (q68): keep a stream row
     * iff its id's Knuth hash lands below the per-row weight percentage

@@ -132,6 +132,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.join(evalSet, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("streaming distinct sketch: per-window registers bit-identical to batch, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.Hll
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+    val rows = events.as[(Long, java.sql.Timestamp)].collect().toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // two micro-batches with an overlapping replayed slice: the sketch
+    // must merge across batches and absorb the duplicates
+    val (first, second) = rows.splitAt(rows.size / 2)
+    mem.addData(first)
+    mem.addData(second ++ first.take(500))
+    val agg = Streams.distinctSketchStream(
+      mem.toDF().toDF("user_id", "event_time"), "user_id")
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hll_stream").start()
+    q.processAllAvailable(); q.stop()
+    // last update per window = final state
+    val streamed = spark.table("hll_stream")
+      .groupBy("window").agg(last("sketch").as("sketch"), last("n_distinct_est").as("est"))
+      .collect().map(r => r.get(0).toString ->
+        (r.getAs[Array[Byte]]("sketch").toSeq, r.getLong(2))).toMap
+    val batch = events
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(Hll.sketch(col("user_id")).as("sketch"))
+      .select(col("window"), col("sketch"), Hll.estimate(col("sketch")).as("est"))
+      .collect().map(r => r.get(0).toString ->
+        (r.getAs[Array[Byte]]("sketch").toSeq, r.getLong(2))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (w, (sk, est)) =>
+      assert(sk == batch(w)._1, s"window $w sketch diverged")
+      assert(est == batch(w)._2, s"window $w estimate diverged")
+    }
+  }
+
   test("streaming weighted sample matches the batch operator, replay-deterministic") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
