@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles with BOUNDED reducer memory.
+  *
+  * Spark's `percentile` (like DuckDB's `quantile_cont`) is a
+  * TypedImperativeAggregate that buffers EVERY group value on the
+  * reducer — with few groups at 100 TB that is the whole column on a
+  * handful of executors (the q32 memory contract). This operator computes
+  * the SAME interpolated order statistic from a per-(group, value)
+  * histogram instead:
+  *
+  *   1. `groupBy(group, value).count()` — partial map-side aggregation;
+  *      shuffle rows ∝ DISTINCT values per group, never raw occurrences;
+  *   2. cumulative counts over the value order within each group (a
+  *      shard-by-group window — partition-parallel, state O(1) per row);
+  *   3. the two order statistics bracketing each requested rank are read
+  *      off the cumulative ranges, and the interpolation replicates
+  *      Spark's own formula bit-for-bit:
+  *      `(higher − pos)·lower + (pos − lower)·higher` with
+  *      `pos = p·(n−1)` (`Percentile.getPercentile` — same expression,
+  *      same double arithmetic, so the histogram path hash-matches the
+  *      buffering path and the DuckDB oracle).
+  *
+  * The right tool when the value domain is DISCRETE (prices in cents,
+  * quantities, scores, token counts — TPC-H `l_quantity` has 50 distinct
+  * values): reducer state collapses from "every row" to "every distinct
+  * value". For continuous high-cardinality domains distinct ≈ rows and
+  * nothing is saved — there the bounded-error sketch
+  * (`approx_percentile`, q52) is the scale path. Exactness has no
+  * single-pass bounded-memory form on continuous domains; this is the
+  * exact-AND-bounded option its discreteness buys.
+  */
+object ExactPercentile {
+
+  /** Per-group exact percentiles of `valCol` at the given (outputName,
+    * fraction) list. NULL values are ignored (the `percentile` contract).
+    * Returns one row per group: (groupCol, outputs...). */
+  def byHistogram(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val byVal = Window.partitionBy(groupCol).orderBy("__v")
+    val byGrp = Window.partitionBy(groupCol)
+    val hist = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(byVal))
+      .withColumn("__n", sum("__c").over(byGrp))
+    // per requested fraction: the values covering ranks floor(pos) and
+    // ceil(pos), picked out of each value's cumulative range [cum−c, cum)
+    val pickers = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      def owns(rank: org.apache.spark.sql.Column) =
+        col("__cum") - col("__c") <= rank && rank < col("__cum")
+      Seq(
+        max(when(owns(floor(pos)), col("__v"))).as(s"__lo_$i"),
+        max(when(owns(ceil(pos)), col("__v"))).as(s"__hi_$i"))
+    }
+    val aggCols = first(col("__n")).as("__n") +: pickers
+    val agged = hist.groupBy(groupCol).agg(aggCols.head, aggCols.drop(1): _*)
+    val outputs = ps.zipWithIndex.map { case ((name, p), i) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      val (lo, hi) = (col(s"__lo_$i"), col(s"__hi_$i"))
+      when(ceil(pos) === floor(pos), lo)
+        .otherwise((ceil(pos) - pos) * lo + (pos - floor(pos)) * hi)
+        .as(name)
+    }
+    agged.select(col(groupCol) +: outputs: _*)
+  }
+}

@@ -29,9 +29,10 @@ object ExtendedQueries {
     * MEMORY CONTRACT: exact `percentile` is a TypedImperativeAggregate that
     * buffers EVERY value of the group on the reducer — with few groups at
     * 100 TB that is the whole column on a handful of executors. This query
-    * exists for cross-engine oracle parity; the scale path is
-    * [[q52ApproxPercentile]] (t-digest-style bounded sketch, constant
-    * memory per group, mergeable map-side). */
+    * exists for cross-engine oracle parity; the scale paths are
+    * [[q80PercentileHist]] (EXACT via value histogram — reducer state ∝
+    * distinct values, the right tool on discrete domains) and
+    * [[q52ApproxPercentile]] (bounded sketch, for continuous domains). */
   val q32Percentile: Q = (s, dir) => {
     load(s, dir, "lineitem")
       // decimal-cast first (exact 2-decimal values), then double for the
@@ -52,6 +53,26 @@ object ExtendedQueries {
       .select(col("l_returnflag"), col("median_qty"),
         col("ps").getItem(0).as("median_price"),
         col("ps").getItem(1).as("p95_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact percentiles via the bounded-memory histogram formulation
+    * ([[graft.ops.ExactPercentile.byHistogram]]) — the scale-correct
+    * EXACT path for discrete value domains, closing q32's memory
+    * contract: reducer state ∝ distinct values per group (50 for
+    * l_quantity, ~1M price cents) instead of every buffered row. Same
+    * oracle as q32 (DuckDB QUANTILE_CONT): the histogram interpolation
+    * replicates Spark's buffering `percentile` bit-for-bit, so all three
+    * formulations hash-match. */
+  val q80PercentileHist: Q = (s, dir) => {
+    val src = load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        dec2(col("l_quantity")).cast("double").as("qty"),
+        dec2(col("l_extendedprice")).cast("double").as("price"))
+    graft.ops.ExactPercentile.byHistogram(src, "l_returnflag", "qty",
+        Seq("median_qty" -> 0.5))
+      .join(graft.ops.ExactPercentile.byHistogram(src, "l_returnflag", "price",
+        Seq("median_price" -> 0.5, "p95_price" -> 0.95)), Seq("l_returnflag"))
       .orderBy("l_returnflag")
   }
 
@@ -263,6 +284,7 @@ object ExtendedQueries {
     "q38_null_funcs" -> q38NullFuncs,
     "q39_split_explode" -> q39SplitExplode,
     "q32_percentile" -> q32Percentile,
+    "q80_percentile_hist" -> q80PercentileHist,
     "q52_approx_percentile" -> q52ApproxPercentile,
     "q33_pivot" -> q33Pivot,
     "q34_array_agg" -> q34ArrayAgg,
@@ -327,6 +349,12 @@ object ExtendedQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q32_percentile" ->
+      """SELECT l_returnflag,
+        |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_qty,
+        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
+        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_percentile_hist" ->
       """SELECT l_returnflag,
         |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_qty,
         |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The histogram percentile must be indistinguishable from Spark's own
+  * buffering `percentile` — same interpolation arithmetic, null handling,
+  * and edge fractions — while its plan carries only distinct values. */
+class ExactPercentileSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  private val ps = Seq("p00" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+    "p90" -> 0.9, "p100" -> 1.0)
+
+  test("matches Spark's percentile bit-for-bit (interpolated ranks, ties, nulls)") {
+    // adversarial shape: heavy ties, uneven group sizes (odd/even →
+    // exact and interpolated medians), a null, a single-row group
+    val rows: Seq[(String, Option[Double])] =
+      Seq.tabulate(1000)(i => ("a", Some((i % 7).toDouble))) ++
+        Seq.tabulate(501)(i => ("b", Some((i * i % 13).toDouble))) ++
+        Seq(("b", None), ("c", Some(42.0)))
+    val df = rows.toDF("g", "v")
+    val hist = ExactPercentile.byHistogram(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val buffered = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.map(_._2).mkString(",")}))").as("a"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(hist.keySet == buffered.keySet)
+    hist.foreach { case (g, vals) =>
+      vals.zip(buffered(g)).zipWithIndex.foreach { case ((h, b), i) =>
+        assert(h == b, s"group $g ${ps(i)._1}: histogram $h != buffered $b")
+      }
+    }
+  }
+
+  test("plan shape: shuffle carries distinct values (partial agg), group-sharded window") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("v"))
+    val out = ExactPercentile.byHistogram(df, "g", "v", Seq("p50" -> 0.5))
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("partial_count"), plan) // map-side histogram combine
+    assert(!plan.contains("SinglePartition"), plan) // window shards by group
+    // no TypedImperativeAggregate percentile buffer anywhere
+    assert(!plan.contains("percentile"), plan)
+  }
+}
