@@ -141,6 +141,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(fp < n / 2000, s"FP rate too high at scale: $fp/$n")
   }
 
+  test("hll scale drill: 1M-key distributed build, shard roll-up exact, estimate in tolerance") {
+    val n = 1000000L
+    val keyExpr = xxhash64(col("id"), lit(11L)) // ANSI-safe salted hash
+    val keys = spark.range(n).repartition(32).select(keyExpr.as("k"),
+      pmod(col("id"), lit(16)).as("shard"))
+    // distributed one-shot build vs 16 per-shard sketches max-merged:
+    // bit-identical registers however the rows were partitioned
+    val direct = keys.agg(Hll.sketch(col("k")).as("sk")).head().getAs[Array[Byte]](0)
+    val rolled = keys.groupBy("shard").agg(Hll.sketch(col("k")).as("sk"))
+      .agg(Hll.merge(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, rolled))
+    // p=12 rsd ≈ 1.6%; allow 4σ at 1M distinct keys
+    val est = graft.functions.HllBits.estimate(direct)
+    assert(math.abs(est - n) <= n * 0.065, s"estimate $est vs $n")
+  }
+
   test("greedy sequence packing: invariants at small scale") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val packs = Packing.packGreedy(docs, "source", "doc_id", "text", tokenBudget = 512)
