@@ -492,6 +492,13 @@ object DataOpsQueries {
         |CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |TRUE AS inertia_monotone, TRUE AS improved
         |FROM embeddings""".stripMargin,
+    "q81_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, LENGTH(text) AS len
+        |  FROM documents WHERE LENGTH(text) > 0)
+        |SELECT media_id, CAST(256 AS BIGINT) AS out_bytes,
+        |CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |md5(substr(repeat(text, CAST(CEIL(256.0 / len) AS INT)), 1, 256)) AS resized_md5
+        |FROM m ORDER BY media_id""".stripMargin,
     "q79_group_sample" ->
       """WITH r AS (SELECT lang, doc_id,
         |  (doc_id * 2654435761) % 2147483648 AS sample_key,
@@ -1273,6 +1280,25 @@ object DataOpsQueries {
       .orderBy("lang", "rk")
   }
 
+  /** Multimodal resize stage ([[graft.ops.Multimodal.resize]]): payloads
+    * resampled to a fixed 16×16 (256-byte) frame with the metadata struct
+    * rewritten. The stub resample is a deterministic cycle-pad, so the
+    * DuckDB oracle rebuilds each resized payload as
+    * substr(repeat(text, ⌈256/len⌉), 1, 256) and md5-hashes it — an exact
+    * value oracle for the binary→binary map stage (ASCII corpus: string
+    * md5 == byte md5). Empty payloads are excluded on both sides (the
+    * q59 convention). */
+  val q81Resize: Q = (s, dir) => {
+    val media = Multimodal.asMediaTable(load(s, dir, "documents"), "doc_id", "text")
+      .filter(octet_length(col("payload")) > 0)
+    Multimodal.resize(media, 16, 16)
+      .select(col("media_id"),
+        octet_length(col("payload")).cast("long").as("out_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        md5(col("payload")).as("resized_md5"))
+      .orderBy("media_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1318,5 +1344,6 @@ object DataOpsQueries {
     "q77_bpe_encode" -> q77BpeEncode,
     "q78_kmeans_refine" -> q78KmeansRefine,
     "q79_group_sample" -> q79GroupSample,
+    "q81_resize" -> q81Resize,
   )
 }
