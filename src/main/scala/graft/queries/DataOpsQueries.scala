@@ -492,6 +492,26 @@ object DataOpsQueries {
         |CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |TRUE AS inertia_monotone, TRUE AS improved
         |FROM embeddings""".stripMargin,
+    "q82_quality_deciles" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id,
+        |    (CASE WHEN ntok BETWEEN 20 AND 1000 THEN 40 WHEN ntok BETWEEN 5 AND 19 THEN 20 ELSE 0 END)
+        |    + (CASE WHEN nstop * 10 >= ntok THEN 30 WHEN nstop > 0 THEN 15 ELSE 0 END)
+        |    + (CASE WHEN npunct * 4 <= nlen THEN 30 ELSE 0 END) AS score
+        |  FROM (
+        |    SELECT lang, doc_id, LENGTH(text) AS nlen,
+        |      CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |        ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS ntok,
+        |      LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |        w -> w IN ('the','a','an','and','of','to','in','is','it','for'))) AS nstop,
+        |      LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\p{P}\p{S}]', '', 'g')) AS npunct
+        |    FROM documents))
+        |SELECT lang, doc_id, score,
+        |CAST(DENSE_RANK() OVER (PARTITION BY lang ORDER BY score DESC) AS INT) AS drk,
+        |CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS INT) AS decile,
+        |ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY score DESC), 8) AS pct_rank,
+        |ROUND(CUME_DIST() OVER (PARTITION BY lang ORDER BY score DESC), 8) AS cume
+        |FROM scored ORDER BY lang, doc_id""".stripMargin,
     "q81_resize" ->
       """WITH m AS (SELECT doc_id AS media_id, text, LENGTH(text) AS len
         |  FROM documents WHERE LENGTH(text) > 0)
@@ -1299,6 +1319,30 @@ object DataOpsQueries {
       .orderBy("media_id")
   }
 
+  /** Quality binning via the remaining rank-family windows (dense_rank /
+    * ntile / percent_rank / cume_dist — none used elsewhere): per
+    * language, documents ranked by quality score. Two windows on one
+    * shuffle: the rank-family functions run over (score DESC) where TIES
+    * are the interesting semantics (tie rows share dense_rank /
+    * percent_rank / cume_dist), while ntile runs over the tie-broken
+    * total order (score DESC, doc_id) — ntile splits ties positionally,
+    * so determinism requires a unique order. Ratios rounded to 8 decimals
+    * (the idf convention) for cross-engine exactness. */
+  val q82QualityDeciles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ties = Window.partitionBy("lang").orderBy(desc("score"))
+    val total = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+    load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextOps.qualityScore(col("text")).as("score"))
+      .select(col("lang"), col("doc_id"), col("score"),
+        dense_rank().over(ties).as("drk"),
+        ntile(10).over(total).as("decile"),
+        round(percent_rank().over(ties), 8).as("pct_rank"),
+        round(cume_dist().over(ties), 8).as("cume"))
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1345,5 +1389,6 @@ object DataOpsQueries {
     "q78_kmeans_refine" -> q78KmeansRefine,
     "q79_group_sample" -> q79GroupSample,
     "q81_resize" -> q81Resize,
+    "q82_quality_deciles" -> q82QualityDeciles,
   )
 }
