@@ -171,6 +171,39 @@ object CorpusStats {
     docs.withColumn(outCol, encoded)
   }
 
+  /** Per-document log-probability mass under the corpus's OWN unigram
+    * model — the classic statistical quality signal (documents whose
+    * token distribution is unusual for the corpus score low; gibberish
+    * and boilerplate both stand out). Returns one row per document:
+    * `(id, n_tokens, sum_lp_x1e8)` where each token contributes
+    * ln(count(tok)/total_tokens), rounded to 8 decimals and carried as
+    * integer 1e-8 units so the per-document sum is EXACT and
+    * order-independent (a raw double sum is neither; libm `ln` may
+    * differ in the last ulp across engines — the [[idf]] convention).
+    *
+    * Scale shape: per-(doc, token) counts first (map-side partials —
+    * the join and everything after it sees DISTINCT doc-token pairs,
+    * never raw occurrences), token frequencies from those counts,
+    * totals via a one-row crossJoin, then a token-keyed join back.
+    * Shuffle ∝ distinct (doc, token); the frequency side is vocabulary-
+    * sized (broadcasts when small, sort-merges when not). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTok = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val freq = docTok.groupBy("tok").agg(sum(col("c")).as("cnt"))
+    val lp = freq
+      .crossJoin(freq.agg(sum(col("cnt")).as("total")))
+      .select(col("tok"),
+        round(round(log(col("cnt").cast("double") / col("total").cast("double")), 8)
+          * 1e8, 0).cast("long").as("lp_x1e8"))
+    docTok.join(lp, "tok")
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lp_x1e8")).as("sum_lp_x1e8"))
+  }
+
   /** One row per adjacent-pair OCCURRENCE (`pair` column, pre-aggregation)
     * — the raw stream [[bigramCounts]] groups and sketches
     * ([[CountMin]]) consume. */

@@ -492,6 +492,18 @@ object DataOpsQueries {
         |CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |TRUE AS inertia_monotone, TRUE AS improved
         |FROM embeddings""".stripMargin,
+    "q83_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+        |  UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |f AS (SELECT tok, SUM(c) AS cnt FROM dt GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS total FROM f),
+        |lp AS (SELECT tok,
+        |  CAST(ROUND(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS lp_x1e8
+        |  FROM f, tot)
+        |SELECT dt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |CAST(SUM(c * lp_x1e8) AS BIGINT) AS sum_lp_x1e8
+        |FROM dt JOIN lp USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_quality_deciles" ->
       """WITH scored AS (
         |  SELECT lang, doc_id,
@@ -1343,6 +1355,17 @@ object DataOpsQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Unigram log-probability quality scoring
+    * ([[graft.ops.CorpusStats.unigramLogProb]]): each document's token
+    * mass scored under the corpus's own unigram model, in exact integer
+    * 1e-8 units — fully SQL-replayable (DuckDB LN agrees at the rounded
+    * 8th decimal, the idf convention), a true value oracle. */
+  val q83UnigramLogprob: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    graft.ops.CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1390,5 +1413,6 @@ object DataOpsQueries {
     "q79_group_sample" -> q79GroupSample,
     "q81_resize" -> q81Resize,
     "q82_quality_deciles" -> q82QualityDeciles,
+    "q83_unigram_logprob" -> q83UnigramLogprob,
   )
 }
