@@ -86,6 +86,18 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("unigramLogProb: rare-token docs score lower, token mass conserved") {
+    import spark.implicits._
+    val corpus = Seq.tabulate(50)(i => (i.toLong, "the quick brown fox")) :+
+      ((99L, "zxqv jkwp")) // two hapax tokens — maximally surprising
+    val out = CorpusStats.unigramLogProb(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(99L)._1 == 2L)
+    // per-token average log-prob of the gibberish doc is far below common
+    assert(out(99L)._2 / 2.0 < out(0L)._2 / 4.0)
+    assert(out.values.map(_._1).sum == 50L * 4 + 2)
+  }
+
   test("keepByWeight realized rate tracks the weight (Knuth hash uniformity)") {
     val n = docs.count()
     val kept = Sampling.weightedSample(docs, "doc_id", lit(50)).count()
