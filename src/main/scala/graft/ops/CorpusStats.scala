@@ -204,6 +204,49 @@ object CorpusStats {
         sum(col("c") * col("lp_x1e8")).as("sum_lp_x1e8"))
   }
 
+  /** Top collocations by pointwise mutual information: adjacent pairs
+    * whose joint probability most exceeds what their unigram frequencies
+    * predict — the standard corpus primitive for multi-word expressions
+    * and template/boilerplate discovery. `minCount` suppresses hapax
+    * noise (rare pairs have unboundedly high PMI estimates).
+    *
+    * PMI = ln((cnt/nPairs) / ((cntL/nToks)·(cntR/nToks))), rounded to 8
+    * decimals and emitted as integer 1e-8 units (the [[idf]]/
+    * [[unigramLogProb]] cross-engine convention). Keys are the (l, r)
+    * token STRUCT (raw whitespace tokens — unambiguous), ties break by
+    * (pmi desc, l, r).
+    *
+    * Scale shape: one pair aggregation (shuffle ∝ distinct pairs after
+    * map-side partials), one unigram aggregation joined twice
+    * (vocabulary-sized — broadcasts when small), totals as one-row
+    * crossJoins, and a TakeOrderedAndProject top-k — no global sort. */
+  def topPmiPairs(docs: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val pairs = docs.where(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val pmi = pairs
+      .filter(col("cnt") >= minCount)
+      .join(uni.select(col("tok").as("l"), col("ucnt").as("lcnt")), Seq("l"))
+      .join(uni.select(col("tok").as("r"), col("ucnt").as("rcnt")), Seq("r"))
+      .crossJoin(pairs.agg(sum(col("cnt")).as("npair")))
+      .crossJoin(uni.agg(sum(col("ucnt")).as("ntok")))
+      .select(col("l"), col("r"), col("cnt"),
+        round(round(log(
+          (col("cnt").cast("double") / col("npair").cast("double")) /
+            ((col("lcnt").cast("double") / col("ntok").cast("double")) *
+              (col("rcnt").cast("double") / col("ntok").cast("double")))), 8)
+          * 1e8, 0).cast("long").as("pmi_x1e8"))
+    pmi.orderBy(desc("pmi_x1e8"), asc("l"), asc("r")).limit(k)
+  }
+
   /** One row per adjacent-pair OCCURRENCE (`pair` column, pre-aggregation)
     * — the raw stream [[bigramCounts]] groups and sketches
     * ([[CountMin]]) consume. */

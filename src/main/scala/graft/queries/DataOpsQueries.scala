@@ -492,6 +492,23 @@ object DataOpsQueries {
         |CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |TRUE AS inertia_monotone, TRUE AS improved
         |FROM embeddings""".stripMargin,
+    "q84_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id AS did,
+        |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |u AS (SELECT UNNEST(tk) AS tok FROM t),
+        |uc AS (SELECT tok, COUNT(*) AS ucnt FROM u GROUP BY 1),
+        |ut AS (SELECT SUM(ucnt) AS ntok FROM uc),
+        |pp AS (SELECT tok AS l, LEAD(tok) OVER (PARTITION BY did ORDER BY i) AS r
+        |  FROM (SELECT did, UNNEST(tk) AS tok, UNNEST(range(1, len(tk) + 1)) AS i FROM t)),
+        |pc AS (SELECT l, r, COUNT(*) AS cnt FROM pp WHERE r IS NOT NULL GROUP BY 1, 2),
+        |pt AS (SELECT SUM(cnt) AS npair FROM pc)
+        |SELECT l, r, cnt,
+        |CAST(ROUND(ROUND(LN((CAST(cnt AS DOUBLE) / CAST(npair AS DOUBLE))
+        |  / ((CAST(ul.ucnt AS DOUBLE) / CAST(ntok AS DOUBLE))
+        |     * (CAST(ur.ucnt AS DOUBLE) / CAST(ntok AS DOUBLE)))), 8) * 1e8, 0) AS BIGINT) AS pmi_x1e8
+        |FROM pc JOIN uc ul ON pc.l = ul.tok JOIN uc ur ON pc.r = ur.tok, pt, ut
+        |WHERE cnt >= 5
+        |ORDER BY pmi_x1e8 DESC, l, r LIMIT 20""".stripMargin,
     "q83_unigram_logprob" ->
       """WITH t AS (SELECT doc_id,
         |  UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
@@ -1366,6 +1383,15 @@ object DataOpsQueries {
       .orderBy("doc_id")
   }
 
+  /** PMI collocation mining ([[graft.ops.CorpusStats.topPmiPairs]]): the
+    * 20 adjacent pairs whose joint frequency most exceeds the unigram
+    * prediction (min count 5). Exact integer 1e-8 PMI units — a true
+    * DuckDB value oracle replaying the same division tree and rounding. */
+  val q84PmiCollocations: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    graft.ops.CorpusStats.topPmiPairs(docs, "text", minCount = 5, k = 20)
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1414,5 +1440,6 @@ object DataOpsQueries {
     "q81_resize" -> q81Resize,
     "q82_quality_deciles" -> q82QualityDeciles,
     "q83_unigram_logprob" -> q83UnigramLogprob,
+    "q84_pmi_collocations" -> q84PmiCollocations,
   )
 }
