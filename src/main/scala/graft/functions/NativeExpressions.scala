@@ -518,11 +518,58 @@ case class CmsEstExpr(child: Expression, grid: Array[Long], w: Int, d: Int)
   * compiled fold per row inside whole-stage codegen. */
 case class HllEstExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  // fail at ANALYSIS, not with a runtime ClassCastException mid-job: the
+  // sketch argument must be the binary register array the Hll aggregators
+  // emit (the other graft functions get the same care via constArg)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_hll_est requires a BINARY HLL register array, got " +
+          child.dataType.simpleString)
   override def nullSafeEval(v: Any): Any =
     HllBits.estimate(v.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HllBits.estimate($c)")
   override protected def withNewChildInternal(c: Expression): HllEstExpr =
+    copy(child = c)
+}
+
+/** `graft_dd_quantile(sketch, q)`: native DDSketch rank-q estimate over a
+  * serialized sketch column (built by the [[graft.ops.DdSketch]]
+  * aggregators). Like [[HllEstExpr]], the sketch is per-ROW data (one per
+  * group/shard), so the child is a real binary column; the fraction q
+  * parameterizes the expression (registration-time foldable scalar, the
+  * [[CmsEstExpr]] convention). NULL for an empty sketch — the
+  * `percentile`-over-no-rows contract. */
+case class DdQuantileExpr(child: Expression, q: Double) extends UnaryExpression {
+  require(q >= 0.0 && q <= 1.0, s"quantile fraction out of [0,1]: $q")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dd_quantile requires a BINARY DDSketch, got " +
+          child.dataType.simpleString)
+  override def nullSafeEval(v: Any): Any = {
+    val r = DdBits.quantile(v.asInstanceOf[Array[Byte]], q)
+    if (java.lang.Double.isNaN(r)) null else r
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // String.valueOf renders a valid Java double literal for any finite q
+      s"""
+         |double ${ev.value}_r = graft.functions.DdBits.quantile($c, ${String.valueOf(q)});
+         |if (Double.isNaN(${ev.value}_r)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): DdQuantileExpr =
     copy(child = c)
 }
 
@@ -559,6 +606,9 @@ object NativeFunctions {
       org.apache.spark.sql.functions.lit(w), org.apache.spark.sql.functions.lit(d))
   def graft_hll_est(sketch: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_hll_est", sketch)
+  def graft_dd_quantile(sketch: Column, q: Double): Column =
+    org.apache.spark.sql.functions.call_function("graft_dd_quantile",
+      sketch, org.apache.spark.sql.functions.lit(q))
 
   /** Evaluate a registration-time scalar argument (shingle width, merge
     * pair, sketch geometry…). These parameterize the EXPRESSION — they
@@ -612,5 +662,15 @@ object NativeFunctions {
         constArg("graft_cms_est", "d", exprs, 3).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hll_est",
       exprs => HllEstExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dd_quantile",
+      exprs => DdQuantileExpr(exprs.head,
+        constArg("graft_dd_quantile", "q", exprs, 1) match {
+          case d: java.lang.Double => d.doubleValue
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_dd_quantile`", "paramName" -> "`q`",
+              "paramType" -> s""""${String.valueOf(other)}""""))
+        }), "scala_udf")
   }
 }

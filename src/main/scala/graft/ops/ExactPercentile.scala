@@ -37,8 +37,12 @@ import org.apache.spark.sql.functions._
 object ExactPercentile {
 
   /** Per-group exact percentiles of `valCol` at the given (outputName,
-    * fraction) list. NULL values are ignored (the `percentile` contract).
-    * Returns one row per group: (groupCol, outputs...). */
+    * fraction) list. NULL values are ignored (the `percentile` contract),
+    * but a group whose values are ALL null still appears with NULL
+    * percentiles — Spark's `percentile` and DuckDB's QUANTILE_CONT both
+    * keep such groups, so the histogram result is left-joined back to the
+    * distinct group set rather than silently dropping them with the
+    * filtered rows. Returns one row per group: (groupCol, outputs...). */
   def byHistogram(df: DataFrame, groupCol: String, valCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
@@ -61,7 +65,9 @@ object ExactPercentile {
         max(when(owns(ceil(pos)), col("__v"))).as(s"__hi_$i"))
     }
     val aggCols = first(col("__n")).as("__n") +: pickers
-    val agged = hist.groupBy(groupCol).agg(aggCols.head, aggCols.drop(1): _*)
+    val agged = df.select(col(groupCol)).distinct()
+      .join(hist.groupBy(groupCol).agg(aggCols.head, aggCols.drop(1): _*),
+        Seq(groupCol), "left")
     val outputs = ps.zipWithIndex.map { case ((name, p), i) =>
       val pos = lit(p) * (col("__n") - 1).cast("double")
       val (lo, hi) = (col(s"__lo_$i"), col(s"__hi_$i"))

@@ -80,8 +80,13 @@ object Ivf {
 
   /** A refined model plus the per-round inertia trace (Σ squared distance
     * to the assigned centroid, in 2^-qBits fixed-point units — integer,
-    * so the trace is exactly reproducible). */
-  case class Refined(model: IvfModel, inertiaQ: Seq[Long])
+    * so the trace is exactly reproducible). BigInt because the corpus-wide
+    * sum of quantized squared distances has no magnitude bound a long can
+    * promise: it accumulates in decimal(38,0) on the executors (the
+    * [[Dedup.connectedComponents]] label-sum idiom) — a long sum would
+    * overflow for large/unnormalized embeddings, and under Spark's default
+    * ANSI mode that THROWS mid-refinement rather than degrading. */
+  case class Refined(model: IvfModel, inertiaQ: Seq[BigInt])
 
   /** Distributed Lloyd refinement: `iters` rounds of (assign every vector
     * to its nearest centroid → recompute centroids as per-cell means).
@@ -110,7 +115,7 @@ object Ivf {
     require(iters >= 1 && qBits >= 0 && qBits <= 40)
     val scale = (1L << qBits).toDouble
     var cur = model
-    val inertias = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[BigInt]
     for (_ <- 1 to iters) {
       val dists = cur.centroids.zipWithIndex.map { case (c, i) =>
         struct(l2sq(col(vecCol), c).as("d"), lit(i).as("i"))
@@ -125,17 +130,22 @@ object Ivf {
           posexplode(transform(col("v"), x => x.cast("double")))
             .as(Seq("dim", "x")))
         .groupBy("cell", "dim")
+        // decimal(38,0) sums: per-value quantization and the per-cell
+        // accumulation both stay exact (and order-independent) at any
+        // corpus size / embedding magnitude — a long sum can overflow,
+        // which ANSI mode turns into a mid-job failure
         .agg(count(lit(1)).as("n"),
-          sum((col("x") * scale).cast("long")).as("sum_q"),
+          sum((col("x") * scale).cast("decimal(38,0)")).as("sum_q"),
           // one inertia contribution per VECTOR, not per dim
-          sum(when(col("dim") === 0, (col("d") * scale).cast("long"))).as("in_q"))
+          sum(when(col("dim") === 0, (col("d") * scale).cast("decimal(38,0)"))).as("in_q"))
         .collect()
       inertias += rows.map(r =>
-        Option(r.getAs[java.lang.Long]("in_q")).map(_.longValue).getOrElse(0L)).sum
+        Option(r.getAs[java.math.BigDecimal]("in_q"))
+          .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))).sum
       val next = cur.centroids.map(_.clone()) // empty cells keep position
       rows.foreach { r =>
         next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
-          r.getAs[Long]("sum_q").toDouble / r.getAs[Long]("n") / scale
+          r.getAs[java.math.BigDecimal]("sum_q").doubleValue / r.getAs[Long]("n") / scale
       }
       cur = IvfModel(next)
     }

@@ -72,21 +72,35 @@ object Sampling {
     * documents per language"), reproducible across reruns, engines and
     * partitionings. Emits `sample_key` and the within-group `rk` (1..k).
     *
-    * Scale shape: one shuffle on the group key, then a partition-local
-    * window — the same shard-by-group shape as [[Curation.capPerGroup]]
-    * (q67), with AQE skew-splitting as the hot-group backstop. For tiny k
-    * over millions of groups, the bounded-buffer typed aggregator
-    * ([[graft.functions.TopKAggregator]], q70) is the map-side-partial
-    * alternative; the window form keeps arbitrary payload columns without
-    * packing them through an aggregation buffer. */
+    * Scale shape: a BOUNDED-BUFFER aggregation, not a window sort. The
+    * (group, id, hash) projection aggregates through
+    * [[graft.functions.BottomKAggregator]] — each map task keeps ≤k pairs
+    * per group (partial aggregation), so the group shuffle carries at
+    * most k rows per group per mapper and NO group is ever sorted whole;
+    * a `row_number` window is result-identical but sorts each group's
+    * full row set, which spills on million-row hot groups where the k-pair
+    * buffer cannot. The k·groups winner set then joins back to reattach
+    * payload columns — a second (column-pruned, two-column) scan of `df`,
+    * but the winner side is aggregate output whose tiny runtime size AQE
+    * sees and broadcasts: at 100 TB, two cheap scans and zero corpus
+    * shuffles beat one scan that shuffles and sorts everything. */
   def uniformExactKPerGroup(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy("sample_key")
-    df.withColumn("sample_key",
-        pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val bottomK = udaf(new graft.functions.BottomKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    val winners = df
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
+      .withColumn("__sk", pmod(col("__id") * lit(2654435761L), lit(2147483648L)))
+      .groupBy(col("__g"))
+      .agg(bottomK(col("__sk"), col("__id")).as("__w"))
+      // two selects: posexplode is a Generate, and getField extraction
+      // must not resolve against the generator's own output aliases
+      .select(col("__g"), posexplode(col("__w")).as(Seq("__pos", "__e")))
+      .select(col("__g"), (col("__pos") + 1).cast("int").as("rk"),
+        col("__e._1").as("sample_key"), col("__e._2").as("__id"))
+    df.join(winners,
+        col(idCol).cast("long") === col("__id") && col(groupCol) === col("__g"))
+      .select(df.columns.map(col) ++ Seq(col("sample_key"), col("rk")): _*)
   }
 }

@@ -344,6 +344,12 @@ object DataOpsQueries {
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |TRUE AS est_ok, TRUE AS merge_exact
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q85_dd_quantile" ->
+      """SELECT l_returnflag,
+        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
+        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price,
+        |TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS merge_exact
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_minhash_neardup" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
         |FROM documents""".stripMargin,
@@ -1307,7 +1313,7 @@ object DataOpsQueries {
     val emb = load(s, dir, "embeddings")
     val model = graft.ops.Ivf.trainCached(s"$dir/embeddings", emb, "embedding", k = 8)
     val r = graft.ops.Ivf.refine(model, emb, "embedding", iters = 5)
-    def leq(b: Long, a: Long): Boolean = b <= a + a / 1000000L + 1024L
+    def leq(b: BigInt, a: BigInt): Boolean = b <= a + a / 1000000 + 1024
     val monotone = r.inertiaQ.sliding(2).forall {
       case Seq(a, b) => leq(b, a)
       case _ => true
@@ -1320,8 +1326,10 @@ object DataOpsQueries {
 
   /** Per-group exact-k uniform sample ([[Sampling.uniformExactKPerGroup]]):
     * exactly 4 documents per language by hash order statistics — the
-    * balanced-sample builder (eval slices, per-language probes). Fully
-    * SQL-replayable (Knuth hash + ROW_NUMBER) → true DuckDB value oracle. */
+    * balanced-sample builder (eval slices, per-language probes). Runs as
+    * a bounded-buffer aggregation (≤k pairs per group per map task, no
+    * window sort); result-identical to Knuth hash + ROW_NUMBER, so the
+    * DuckDB value oracle replays that formulation exactly. */
   val q79GroupSample: Q = (s, dir) => {
     val docs = load(s, dir, "documents")
     Sampling.uniformExactKPerGroup(docs, "lang", "doc_id", 4)
@@ -1392,6 +1400,49 @@ object DataOpsQueries {
     graft.ops.CorpusStats.topPmiPairs(docs, "text", minCount = 5, k = 20)
   }
 
+  /** Mergeable DDSketch quantile sketch ([[graft.ops.DdSketch]]) audited
+    * against the exact percentiles — completes the sketch family's
+    * roll-up story (q69 Bloom membership, q73 CMS frequency, q76 HLL
+    * distinct): per-shard quantile summaries that COMBINE, which
+    * per-shard `percentile`/`approx_percentile` results cannot. Per
+    * return flag:
+    *  - exact median/p95 prices via the bounded-memory histogram
+    *    formulation (the q80 path — bit-identical to QUANTILE_CONT);
+    *  - `q50_ok`/`q95_ok` — the direct sketch estimate lands within the
+    *    α=1% RELATIVE guarantee (+1.0 absolute slack for the gap between
+    *    the element quantile the sketch answers and the interpolated
+    *    exact value, the q52 convention); deterministic — the sketch is
+    *    bucket arithmetic, no RNG;
+    *  - `merge_exact` — the group sketch rebuilt by merging 8
+    *    orderkey-sharded sub-sketches is BIT-IDENTICAL to the directly
+    *    built one (exact mergeability in-query, the q76 contract).
+    * Oracle asserts the exact percentiles + TRUE×3. */
+  val q85DdQuantile: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    val li = load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        dec2(col("l_extendedprice")).cast("double").as("price"))
+    val exact = graft.ops.ExactPercentile.byHistogram(li, "l_returnflag",
+      "price", Seq("median_price" -> 0.5, "p95_price" -> 0.95))
+    val direct = li.groupBy("l_returnflag")
+      .agg(graft.ops.DdSketch.sketch(col("price")).as("sk_direct"))
+    val sharded = li
+      .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_returnflag", "shard")
+      .agg(graft.ops.DdSketch.sketch(col("price")).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(graft.ops.DdSketch.merge(col("sk")).as("sk_merged"))
+    def ok(q: Double, exactCol: org.apache.spark.sql.Column) =
+      abs(graft.ops.DdSketch.quantile(col("sk_direct"), q) - exactCol) <=
+        abs(exactCol) * 0.01 + 1.0
+    exact.join(direct, Seq("l_returnflag")).join(sharded, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_price"), col("p95_price"),
+        ok(0.5, col("median_price")).as("q50_ok"),
+        ok(0.95, col("p95_price")).as("q95_ok"),
+        (col("sk_direct") === col("sk_merged")).as("merge_exact"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1441,5 +1492,6 @@ object DataOpsQueries {
     "q82_quality_deciles" -> q82QualityDeciles,
     "q83_unigram_logprob" -> q83UnigramLogprob,
     "q84_pmi_collocations" -> q84PmiCollocations,
+    "q85_dd_quantile" -> q85DdQuantile,
   )
 }

@@ -81,9 +81,16 @@ class CurationSamplingSpec extends AnyFunSuite {
     val b = Sampling.uniformExactKPerGroup(docs.repartition(13), "lang", "doc_id", k)
       .select("lang", "doc_id").collect().map(_.toSeq).toSet
     assert(a == b)
-    // the window shards by group, never funnels through one partition
+    // bounded-buffer aggregation, not a window sort: no group is ever
+    // sorted whole, and nothing funnels through one partition
     val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("SinglePartition"), plan)
+    // rk is the ascending sample_key order within each group
+    val en = sampled.filter(col("lang") === "en")
+      .select("rk", "sample_key").collect().sortBy(_.getInt(0))
+    assert(en.map(_.getLong(1)).toSeq == en.map(_.getLong(1)).sorted.toSeq)
   }
 
   test("unigramLogProb: rare-token docs score lower, token mass conserved") {

@@ -36,6 +36,22 @@ class ExactPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("all-null group is kept with NULL percentiles (percentile/QUANTILE_CONT contract)") {
+    // the value filter removes every row of group "n" — the group must
+    // still appear (left-joined back), exactly like Spark's percentile
+    // and DuckDB's QUANTILE_CONT, not silently vanish
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("n", None), ("n", None))
+      .toDF("g", "v")
+    val hist = ExactPercentile.byHistogram(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(hist.keySet == Set("a", "n"))
+    assert(hist("a").contains(2.0))
+    assert(hist("n").isEmpty, "all-null group must yield NULL, not drop")
+    val buffered = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(hist == buffered)
+  }
+
   test("plan shape: shuffle carries distinct values (partial agg), group-sharded window") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("v"))

@@ -85,6 +85,16 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_hll_est over a non-binary column fails at analysis, not mid-job") {
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    val df = Seq(("a", 1L)).toDF("g", "k")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Hll.estimate(col("k"))).collect()
+    }
+    assert(ex.getMessage.contains("BINARY"), ex.getMessage)
+  }
+
   test("Hll.build collects one row and matches reference; empty input is all-zero") {
     import spark.implicits._
     val keys = (1L to 5000L).map(_ * 48271L)

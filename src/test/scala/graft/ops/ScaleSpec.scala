@@ -157,6 +157,51 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(est - n) <= n * 0.065, s"estimate $est vs $n")
   }
 
+  test("ddsketch scale drill: 1M-value distributed build, shard roll-up exact, quantiles in alpha") {
+    val n = 1000000L
+    // log-normal-ish spread via an ANSI-safe hash: exercises wide bucket
+    // ranges without RNG; exact quantiles computable from the same formula
+    val valExpr = exp(pmod(xxhash64(col("id"), lit(7L)), lit(1000L))
+      .cast("double") / lit(100.0)) // e^0 .. e^10
+    val vals = spark.range(n).repartition(32)
+      .select(valExpr.as("v"), pmod(col("id"), lit(16)).as("shard"))
+    val direct = vals.agg(DdSketch.sketch(col("v")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val rolled = vals.groupBy("shard").agg(DdSketch.sketch(col("v")).as("sk"))
+      .agg(DdSketch.merge(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    // bit-identical roll-up however the 1M rows were partitioned
+    assert(java.util.Arrays.equals(direct, rolled))
+    // sketch stays bucket-bounded: ~1000 buckets for e^10 of range at 1%
+    assert(direct.length < 32 * 1024, s"sketch grew to ${direct.length} bytes")
+    // exact order statistics via Spark, compared under the alpha contract
+    // (+0.5% slack: percentile INTERPOLATES between elements spaced
+    // e^0.01 ≈ 0.5% apart here, while the sketch answers the element)
+    val exact = vals.agg(
+      expr("percentile(v, array(0.5, 0.95, 0.99))").as("p")).head().getSeq[Double](0)
+    for ((q, truth) <- Seq(0.5, 0.95, 0.99).zip(exact)) {
+      val est = graft.functions.DdBits.quantile(direct, q)
+      assert(math.abs(est - truth) <= truth * 0.016 + 1e-9,
+        s"q=$q: $est vs $truth breaks the alpha guarantee")
+    }
+  }
+
+  test("per-group sample scale drill: 500k-row hot group, bounded buffers, no window sort") {
+    // one group holds 500k of 600k rows — the shape where the old
+    // row_number window sorts (and spills) the whole hot group; the
+    // bounded-buffer aggregator carries exactly k pairs for it
+    val df = spark.range(600000L).repartition(32).select(
+      when(col("id") < 500000L, lit("hot"))
+        .otherwise(concat(lit("g"), pmod(col("id"), lit(50)))).as("lang"),
+      col("id").as("doc_id"))
+    val out = Sampling.uniformExactKPerGroup(df, "lang", "doc_id", 5)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 51 && counts.values.forall(_ == 5L), counts.toString)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "hot group must not be window-sorted")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("greedy sequence packing: invariants at small scale") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val packs = Packing.packGreedy(docs, "source", "doc_id", "text", tokenBudget = 512)

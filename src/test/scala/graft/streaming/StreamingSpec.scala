@@ -152,9 +152,15 @@ class StreamingSpec extends AnyFunSuite {
     val q = agg.writeStream.outputMode(OutputMode.Update)
       .format("memory").queryName("hll_stream").start()
     q.processAllAvailable(); q.stop()
-    // last update per window = final state
+    // The Update-mode memory sink emits one row per window per micro-batch
+    // and `last` over an unordered groupBy is non-deterministic — picking
+    // "the final batch" that way can select a partial sketch and flake.
+    // HLL merge is idempotent (elementwise max) and every earlier emission
+    // is dominated by the final state, so max-merging ALL updates per
+    // window IS the final state, order-independently.
     val streamed = spark.table("hll_stream")
-      .groupBy("window").agg(last("sketch").as("sketch"), last("n_distinct_est").as("est"))
+      .groupBy("window").agg(Hll.merge(col("sketch")).as("sketch"))
+      .withColumn("est", Hll.estimate(col("sketch")))
       .collect().map(r => r.get(0).toString ->
         (r.getAs[Array[Byte]]("sketch").toSeq, r.getLong(2))).toMap
     val batch = events
