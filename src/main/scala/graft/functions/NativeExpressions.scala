@@ -48,6 +48,41 @@ object Hashing {
     str.substring(b, e).split("\\s+", -1)
   }
 
+  /** Pre-rendered decimal strings for every byte value, shared across all
+    * rows — the byte tokenizer never allocates token text. */
+  private val ByteTokenStrings: Array[UTF8String] =
+    Array.tabulate(256)(b => UTF8String.fromString(b.toString))
+  private val EndOfWord: UTF8String = UTF8String.fromString("</w>")
+
+  /** Byte-level tokenization for BPE training: each word (maximal run of
+    * non-whitespace BYTES — whitespace = the regex \s set ASCII bytes)
+    * becomes its UTF-8 bytes as decimal-string tokens plus an `</w>`
+    * end-of-word marker; whitespace runs produce nothing (byte-level
+    * tokenizers normalize whitespace — empty words carry no bytes, so
+    * unlike [[sparkTokens]] there is no empty-token regime). Operating on
+    * raw UTF-8 bytes (not code points) is what makes the vocabulary
+    * closed: any input, any language, 256 base symbols + the marker. */
+  def byteTokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Any](bytes.length + 8)
+    var inWord = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+        b == 0x0b || b == '\f'
+      if (isWs) {
+        if (inWord) { out += EndOfWord; inWord = false }
+      } else {
+        out += ByteTokenStrings(b)
+        inWord = true
+      }
+      i += 1
+    }
+    if (inWord) out += EndOfWord
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** 60-bit SimHash over whitespace tokens (tokenization identical to the
     * HOF formulation `Dedup.simhash(TextOps.tokens(text))`, empty tokens
     * included): per-bit majority vote of xxhash64(token) bits. */
@@ -466,6 +501,30 @@ case class BpeMergeExpr(child: Expression, a: String, b: String)
     copy(child = c)
 }
 
+/** `graft_byte_tokens(text)`: byte-level BPE tokenization — UTF-8 bytes
+  * as decimal-string tokens with `</w>` end-of-word markers (see
+  * [[Hashing.byteTokens]]). The byte-mode entry point of the BPE trainer
+  * ([[graft.ops.CorpusStats.bpeMerges]]); composes with
+  * [[BpeMergeExpr]], which is token-representation-agnostic. */
+case class ByteTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_byte_tokens requires STRING input, got ${child.dataType.simpleString}")
+  override def nullSafeEval(v: Any): Any =
+    Hashing.byteTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.byteTokens($c)")
+  override protected def withNewChildInternal(c: Expression): ByteTokensExpr =
+    copy(child = c)
+}
+
 /** `graft_bloom_contains(key, bits, k)`: native bloom-filter membership
   * probe. The bit array (built once from the SMALL side — see
   * [[graft.ops.Bloom]]) rides the compiled plan as a codegen reference
@@ -609,6 +668,8 @@ object NativeFunctions {
   def graft_dd_quantile(sketch: Column, q: Double): Column =
     org.apache.spark.sql.functions.call_function("graft_dd_quantile",
       sketch, org.apache.spark.sql.functions.lit(q))
+  def graft_byte_tokens(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_byte_tokens", text)
 
   /** Evaluate a registration-time scalar argument (shingle width, merge
     * pair, sketch geometry…). These parameterize the EXPRESSION — they
@@ -662,6 +723,8 @@ object NativeFunctions {
         constArg("graft_cms_est", "d", exprs, 3).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hll_est",
       exprs => HllEstExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_byte_tokens",
+      exprs => ByteTokensExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dd_quantile",
       exprs => DdQuantileExpr(exprs.head,
         constArg("graft_dd_quantile", "q", exprs, 1) match {

@@ -100,22 +100,36 @@ object CorpusStats {
     * rendering is ambiguous as an input to further processing). */
   case class BpeMerge(a: String, b: String, cnt: Long, nTokensAfter: Long)
 
-  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeMerges(docs, textCol, rounds).zipWithIndex
+    bpeMerges(docs, textCol, rounds, tokenizer).zipWithIndex
       .map { case (m, i) => (i + 1, m.a + " " + m.b, m.cnt, m.nTokensAfter) }
       .toDF("round", "pair", "cnt", "n_tokens_after")
   }
 
+  /** BYTE-LEVEL tokenization for the trainer ([[bpeMerges]]'s `tokenizer`
+    * arg): each word becomes its UTF-8 bytes as decimal-string tokens
+    * plus an `</w>` end-of-word marker (codegen'd —
+    * [[graft.functions.ByteTokensExpr]]). This is how production
+    * tokenizer pipelines train: the 256-byte base vocabulary is CLOSED
+    * (any input, any language, no unknown symbols), and the marker keeps
+    * merges from crossing word boundaries in rendered text. The merge
+    * loop itself is representation-agnostic — the same
+    * [[graft.functions.BpeMergeExpr]] pass, the same driver control. */
+  def byteTokens(text: Column): Column =
+    graft.functions.NativeFunctions.graft_byte_tokens(text)
+
   /** The trainer's driver-side merge table — the vocabulary artifact a
     * downstream [[bpeEncode]] consumes. Same loop as [[bpeTrain]] (which
     * is now a thin rendering of this). */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): Seq[BpeMerge] = {
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int,
+      tokenizer: Column => Column = TextOps.tokens): Seq[BpeMerge] = {
     require(rounds >= 1, "bpeTrain needs at least one merge round")
     val spark = docs.sparkSession
     graft.functions.NativeFunctions.register(spark) // graft_bpe_merge
-    var toks = docs.select(TextOps.tokens(col(textCol)).as("toks")).localCheckpoint()
+    var toks = docs.select(tokenizer(col(textCol)).as("toks")).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var r = 1
     var exhausted = false
@@ -163,9 +177,10 @@ object CorpusStats {
     * (Training pays jobs per round; encoding must not.) BpeSpec pins
     * encode == the trainer's own final corpus, token for token. */
   def bpeEncode(docs: DataFrame, textCol: String,
-      merges: Seq[BpeMerge], outCol: String = "tokens"): DataFrame = {
+      merges: Seq[BpeMerge], outCol: String = "tokens",
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val encoded = merges.foldLeft(TextOps.tokens(col(textCol))) { (c, m) =>
+    val encoded = merges.foldLeft(tokenizer(col(textCol))) { (c, m) =>
       graft.functions.NativeFunctions.graft_bpe_merge(c, m.a, m.b)
     }
     docs.withColumn(outCol, encoded)

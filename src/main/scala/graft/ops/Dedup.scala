@@ -183,27 +183,111 @@ object Dedup {
     * lose even though B was C's only witness) and under-merges across
     * bands; keep-one-per-COMPONENT is the production near-dup contract.
     *
-    * Algorithm: iterative min-label propagation (large-/small-star
-    * simplified): every node starts as its own label; each round joins
-    * labels across edges and keeps the minimum seen. Rounds needed =
-    * graph diameter; near-dup components are tiny clusters (diameter ≤ a
-    * few), so the loop converges in 2–3 rounds — each round is ONE Spark
-    * job (the convergence aggregate rides the checkpoint job as an
-    * observed metric; picking the next round is a driver-side CONTROL
-    * decision, not a data loop).
-    * `maxIter` bounds the supported component DIAMETER (the loop runs up
-    * to maxIter+1 rounds — the extra one is the no-change round the
-    * sum-based detection needs) and the method REFUSES to return
-    * unconverged labels; the loop exits early on fixpoint.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — see
+    * [[connectedComponentsStar]]. Rounds are O(log² n) in the WORST case
+    * and do not scale with component diameter, unlike plain min-label
+    * propagation ([[connectedComponentsLabelProp]], kept as the
+    * diameter-bounded reference implementation the OpsSpec chain test
+    * contrasts): a 1000-link chain converges in a handful of star rounds
+    * where label propagation needs 1000.
     *
     * EXECUTION NOTE: unlike the other operators (lazy plans), this one
     * runs Spark jobs EAGERLY at call time — iterative convergence cannot
-    * be expressed as one lazy plan. Each round's labels are
-    * localCheckpoint()ed; that storage is not under [[OpCaches]] and is
-    * reclaimed by Spark's ContextCleaner once the intermediate frames are
-    * garbage-collected (long-lived services should scope heavy curation
-    * runs per session/job as usual). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * be expressed as one lazy plan. Each round's edges are
+    * localCheckpoint()ed; superseded rounds release their blocks
+    * deterministically ([[Iterative.checkpointWithMetrics]]). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame =
+    connectedComponentsStar(pairs, maxIter)
+
+  /** Alternating-star connected components. Each round applies:
+    *
+    *  - LARGE-STAR: every node u attaches its strictly-LARGER neighbors
+    *    to m = min(Γ(u) ∪ {u});
+    *  - SMALL-STAR: on the (child > parent)-oriented result, every node u
+    *    attaches its smaller neighbors AND itself to m = min(Γ⁻(u) ∪ {u}).
+    *
+    * Both steps preserve connectivity and only ever re-attach nodes to
+    * SMALLER ids, so the edge set converges to rooted stars whose root is
+    * each component's minimum — the canonical label — in O(log² n) rounds
+    * regardless of diameter (each star step roughly halves the depth of
+    * the hanging trees, the pointer-doubling effect).
+    *
+    * Scale shape, per star step: one groupBy(min) + one equi-join on the
+    * node key + distinct — all shuffles ∝ current edge count, and the
+    * whole step materializes as ONE checkpoint job whose convergence
+    * metrics (edge count + an exact decimal sum of per-edge xxhash64)
+    * ride as observed metrics, the [[Iterative]] idiom. Fixpoint =
+    * count AND hash-sum unchanged across a full round; a 64-bit-per-edge
+    * exact-decimal collision across the pair is not a realistic event.
+    * `maxIter` bounds the ROUND count (not the diameter); the method
+    * refuses to return unconverged labels. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val p = OpCaches.persist(pairs.select(col("id_a"), col("id_b")))
+    var roundId = 0
+    def ck(df: DataFrame, prev: Option[DataFrame])
+        : (DataFrame, Long, java.math.BigDecimal) = {
+      val name = s"ccstar_round_$roundId"; roundId += 1
+      val (c, m) = Iterative.checkpointWithMetrics(df, name, Seq(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("hsum")), prev)
+      (c, m.getLong(0), Option(m.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    // large-star input is symmetric; emitted edges orient child(u) > parent(v)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v")) // every smaller neighbor → m
+        .unionByName(mins.select(col("u"), col("m").as("v"))) // u itself → m
+        .filter(col("u") =!= col("v")) // drop the (m, m) self-loop
+        .distinct()
+    }
+    var (edges, cnt, hsum) = ck(
+      p.filter(col("id_a") =!= col("id_b"))
+        .select(greatest(col("id_a"), col("id_b")).as("u"),
+          least(col("id_a"), col("id_b")).as("v"))
+        .distinct(), None)
+    var iter = 0
+    var converged = cnt == 0L
+    while (iter < maxIter && !converged) {
+      val (e1, _, _) = ck(largeStar(edges), Some(edges))
+      val (e2, c2, h2) = ck(smallStar(e1), Some(e1))
+      converged = c2 == cnt && h2.compareTo(hsum) == 0
+      cnt = c2; hsum = h2
+      edges = e2
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "pathological input; raise maxIter (rounds grow with log² nodes, " +
+        "not diameter)")
+    // at fixpoint the edges are rooted stars: children carry their root,
+    // roots (parents) label themselves. Lazy projection over the final
+    // checkpoint — no extra job; the last round's blocks back the result.
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(
+        edges.select(col("v").as("id"), col("v").as("component")).distinct())
+  }
+
+  /** Min-label propagation — the diameter-bounded reference formulation
+    * (rounds = component diameter + 1; [[connectedComponentsStar]] is the
+    * default). Every node starts as its own label; each round joins
+    * labels across edges and keeps the minimum seen, ONE Spark job per
+    * round (the convergence sum rides the checkpoint job as an observed
+    * metric). `maxIter` bounds the supported component DIAMETER and the
+    * method REFUSES to return unconverged labels. */
+  def connectedComponentsLabelProp(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.DataFrame
     // persist the INPUT first: `pairs` is typically an expensive LSH plan
     // and is referenced once per direction of the edge union. The edge

@@ -344,6 +344,18 @@ object DataOpsQueries {
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |TRUE AS est_ok, TRUE AS merge_exact
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays the incremental two-run dedup from scratch: first-seen-wins
+    // over (day, doc_id) per rolling-hash fingerprint (the q46 formula)
+    "q86_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, CAST(doc_id % 2 AS INT) AS day,
+        |    list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(text, '')],
+        |      (h, c) -> (h * 31 + c) % 2147483647) AS f
+        |  FROM documents),
+        |keep AS (SELECT MIN(day * 1000000000 + doc_id) AS ord FROM fp GROUP BY f)
+        |SELECT CAST(ord % 1000000000 AS BIGINT) AS doc_id,
+        |CAST(ord // 1000000000 AS INT) AS day
+        |FROM keep ORDER BY doc_id""".stripMargin,
     "q85_dd_quantile" ->
       """SELECT l_returnflag,
         |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
@@ -493,6 +505,7 @@ object DataOpsQueries {
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "q75_bpe_train" -> sqlBpeTrain(3),
     "q77_bpe_encode" -> sqlBpeEncode(3),
+    "q87_byte_bpe" -> sqlBpeTrain(3, sqlByteT0),
     "q78_kmeans_refine" ->
       """SELECT CAST(8 AS INT) AS k,
         |CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -643,7 +656,22 @@ object DataOpsQueries {
 
   /** Full [[sqlBpeRound]] replay of `rounds` BPE merge rounds — one output
     * row per round, matching [[graft.ops.CorpusStats.bpeTrain]]. */
-  private def sqlBpeTrain(rounds: Int): String = {
+  // defs, not vals: referenced from the `oracles` map initializer, which
+  // in file order runs before vals defined down here would be assigned —
+  // a val would interpolate as null into the SQL
+  /** Word-level t0: Spark's split(trim(text), '\s+') tokenization. */
+  private def sqlWordT0 = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Byte-level t0 ([[graft.ops.CorpusStats.byteTokens]]): per word, the
+    * UTF-8 bytes as decimal strings plus an `</w>` marker; empty words
+    * vanish (ASCII corpus → ascii(char) == byte, the q45/q46 contract). */
+  private def sqlByteT0 =
+    """flatten([[CAST(ascii(c) AS VARCHAR)
+      |    FOR c IN regexp_split_to_array(w, '')] || ['</w>']
+      |  FOR w IN list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    w -> w <> '')])""".stripMargin
+
+  private def sqlBpeTrain(rounds: Int, t0: String = sqlWordT0): String = {
     val blocks = (1 to rounds).map(sqlBpeRound).mkString(",\n")
     // WHERE EXISTS: an exhausted round (empty topN) emits NO row, matching
     // the engine's early stop — without it the oracle would pad NULL-pair
@@ -656,7 +684,7 @@ object DataOpsQueries {
          |WHERE EXISTS (SELECT 1 FROM top$n)""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH t0 AS (SELECT doc_id AS did,
-       |  regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+       |  $t0 AS tk FROM documents),
        |$blocks
        |$rows
        |ORDER BY round""".stripMargin
@@ -1443,6 +1471,47 @@ object DataOpsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Cross-run incremental dedup ([[graft.ops.Incremental]]): the corpus
+    * split into two "daily runs" (even doc_ids = day 0, odd = day 1);
+    * day 0 dedups within itself and PERSISTS its fingerprint state as
+    * parquet; day 1 then dedups against the LOADED state — and the union
+    * of both runs' survivors must equal a from-scratch first-seen-wins
+    * dedup over the whole corpus, which is exactly what the DuckDB oracle
+    * computes (the fingerprint is the engine-independent q46 rolling
+    * hash, so the oracle replays the incremental run end-to-end,
+    * collisions and all). The parquet round-trip is deliberately part of
+    * the query: the state artifact, not the in-memory frame, is the
+    * contract. */
+  /** BYTE-LEVEL BPE training ([[graft.ops.CorpusStats.bpeTrain]] with
+    * [[graft.ops.CorpusStats.byteTokens]]): 3 merge rounds over UTF-8
+    * byte tokens with `</w>` end-of-word markers — how production
+    * tokenizer vocabularies actually train (closed 256-symbol base
+    * alphabet). Same driver loop, same codegen merge pass as q75; only
+    * t0 differs. The DuckDB oracle replays all three rounds over the
+    * byte tokenization — a full value oracle. */
+  val q87ByteBpe: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    graft.ops.CorpusStats.bpeTrain(load(s, dir, "documents"), "text",
+      rounds = 3, tokenizer = graft.ops.CorpusStats.byteTokens)
+  }
+
+  val q86IncrementalDedup: Q = (s, dir) => {
+    import graft.ops.Incremental
+    val docs = load(s, dir, "documents")
+    val day0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val day1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_fp_state").resolve("state.parquet").toString
+    val emptyState = s.range(0).select(col("id").as("fp"))
+    val run0 = Incremental.dedupAgainstState(day0, "doc_id", "text", emptyState)
+    Incremental.saveState(Incremental.fingerprintState(day0, "text"), statePath)
+    val run1 = Incremental.dedupAgainstState(day1, "doc_id", "text",
+      Incremental.loadState(s, statePath))
+    run0.select(col("doc_id"), lit(0).as("day"))
+      .unionByName(run1.select(col("doc_id"), lit(1).as("day")))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1493,5 +1562,7 @@ object DataOpsQueries {
     "q83_unigram_logprob" -> q83UnigramLogprob,
     "q84_pmi_collocations" -> q84PmiCollocations,
     "q85_dd_quantile" -> q85DdQuantile,
+    "q86_incremental_dedup" -> q86IncrementalDedup,
+    "q87_byte_bpe" -> q87ByteBpe,
   )
 }

@@ -120,6 +120,26 @@ object Streams {
     docs.filter(!graft.ops.Bloom.mightContainText(col(textCol), bloomBits, k))
   }
 
+  /** Cross-RUN incremental dedup as a stream — the continuous-ingest twin
+    * of [[graft.ops.Incremental.dedupAgainstState]]: rows whose text the
+    * PERSISTED bloom state ([[graft.ops.Incremental.saveBloom]]) already
+    * knows are dropped by the stateless codegen probe (yesterday's corpus
+    * never joins the stream), and the remainder exact-dedups WITHIN the
+    * stream on the 8-byte fingerprint. The keyed dedup state stores only
+    * fingerprints (not text), and grows with today's distinct volume —
+    * bound it per run, then fold today's fingerprints into the bloom
+    * state for tomorrow. Emits the surviving rows plus their `fp` (the
+    * state roll-forward artifact). */
+  def dedupAgainstStateStream(docs: DataFrame, textCol: String,
+      stateBits: Array[Long],
+      k: Int = graft.ops.Bloom.DefaultK): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    docs.filter(!graft.ops.Bloom.mightContainText(col(textCol), stateBits, k))
+      .withColumn("fp",
+        graft.functions.NativeFunctions.graft_fingerprint(col(textCol)))
+      .dropDuplicates("fp")
+  }
+
   /** Streaming distinct-count sketch — the continuous-ingest twin of
     * [[graft.ops.Hll]] (q76): per event-time window, the HLL register
     * array builds as a streaming aggregate. The sketch's elementwise-max

@@ -130,4 +130,40 @@ class BpeSpec extends AnyFunSuite {
     val out = CorpusStats.bpeEncode(docs, "text", Nil).head().getSeq[String](2)
     assert(out == Seq("a", "b", "c"))
   }
+
+  test("byteTokens: UTF-8 bytes + end-of-word markers, whitespace vanishes") {
+    NativeFunctions.register(spark)
+    val out = Seq((1L, "ab c"), (2L, "  x\t"), (3L, ""), (4L, "é"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), CorpusStats.byteTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("97", "98", "</w>", "99", "</w>"))
+    assert(out(2L) == Seq("120", "</w>")) // leading/trailing ws → nothing
+    assert(out(3L) == Seq.empty)
+    // TRUE bytes, not code points: é is two UTF-8 bytes (0xC3 0xA9)
+    assert(out(4L) == Seq("195", "169", "</w>"))
+  }
+
+  test("byte-level bpeTrain: first merges on a controlled corpus, token law holds") {
+    NativeFunctions.register(spark)
+    // "aa aa aa ab": byte pairs — ("97","97") ×3, ("97","</w>")… the
+    // dominant pair is 97+97 (count 3: one per "aa" plus inside… exactly
+    // one per "aa" word and one in "ab"? no: "ab" is 97,98) → 3
+    val docs = Seq((1L, "aa aa aa ab")).toDF("doc_id", "text")
+    val t = CorpusStats.bpeTrain(docs, "text", rounds = 2,
+      tokenizer = CorpusStats.byteTokens).collect()
+    // round 1: ("97","97") appears in each "aa" → count 3; merged token
+    // "97 97" then pairs with "</w>" 3 times → round 2 merges that (ties
+    // with ("97 97","</w>")=3 vs ("97","98")=1 … deterministic by count)
+    assert(t(0).getString(1) == "97 97" && t(0).getLong(2) == 3L)
+    assert(t(1).getString(1) == "97 97 </w>" && t(1).getLong(2) == 3L)
+    // token law: 8 byte tokens + 4 markers = 12 → -3 (round 1) -3 (round 2)
+    assert(t(0).getLong(3) == 9L && t(1).getLong(3) == 6L)
+    // encode with the trained byte-level merges reproduces the final count
+    val merges = CorpusStats.bpeMerges(docs, "text", 2,
+      tokenizer = CorpusStats.byteTokens)
+    val encoded = CorpusStats.bpeEncode(docs, "text", merges,
+      tokenizer = CorpusStats.byteTokens)
+    assert(encoded.select(sum(size(col("tokens"))).cast("long")).head().getLong(0) == 6L)
+  }
 }

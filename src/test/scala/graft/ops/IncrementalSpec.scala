@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-run state contracts: incremental dedup equals from-scratch
+  * first-seen-wins, state artifacts survive the parquet round-trip, and
+  * near-dup detection reaches across runs without re-processing history. */
+class IncrementalSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t.parquet").toString
+
+  test("day-2 dedup against persisted day-1 state == from-scratch first-seen-wins (q86 invariant)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val day0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val day1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val path = tmp("fp_state")
+    val empty = spark.range(0).select(col("id").as("fp"))
+    val run0 = Incremental.dedupAgainstState(day0, "doc_id", "text", empty)
+    Incremental.saveState(Incremental.fingerprintState(day0, "text"), path)
+    val run1 = Incremental.dedupAgainstState(day1, "doc_id", "text",
+      Incremental.loadState(spark, path))
+    val incremental = (run0.select("doc_id") unionByName run1.select("doc_id"))
+      .as[Long].collect().toSet
+    // from-scratch: smallest (day, doc_id) per fingerprint wins
+    graft.functions.NativeFunctions.register(spark)
+    val scratch = docs
+      .select(col("doc_id"),
+        graft.functions.NativeFunctions.graft_fingerprint(col("text")).as("fp"),
+        pmod(col("doc_id"), lit(2)).as("day"))
+      .groupBy("fp")
+      .agg(min(col("day") * 1000000000L + col("doc_id")).as("ord"))
+      .select(pmod(col("ord"), lit(1000000000L)).as("doc_id"))
+      .as[Long].collect().toSet
+    assert(incremental == scratch)
+    // the state rolls forward: after folding day-1 in, nothing survives a
+    // third run of the SAME corpus (idempotent re-ingest)
+    val full = Incremental.updatedState(
+      Incremental.loadState(spark, path), day1, "text")
+    assert(Incremental.dedupAgainstState(docs, "doc_id", "text", full).count() == 0)
+  }
+
+  test("bloom state parquet round-trip is bit-exact; probe keeps the no-false-negative guarantee") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val bits = Bloom.buildFromText(evalSet, col("text"))
+    val path = tmp("bloom_state")
+    Incremental.saveBloom(spark, path, bits, k = 3)
+    val (loaded, k) = Incremental.loadBloom(spark, path)
+    assert(k == 3 && java.util.Arrays.equals(loaded, bits))
+    // every eval doc is still caught by the LOADED bits
+    val missed = docs.join(evalSet.select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(!Bloom.mightContainText(col("text"), loaded, k))
+      .count()
+    assert(missed == 0L)
+  }
+
+  test("near-dups against history signatures: cross-run twins found, fresh docs pass") {
+    val day1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about distributed query engines"),
+      (3L, "a third document with its own unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val path = tmp("sig_state")
+    Incremental.saveState(Incremental.signatureState(day1, "doc_id", "text"), path)
+    val day2 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "fresh never-seen material mentioning volcanoes and glaciers today"))
+      .toDF("doc_id", "text")
+    val pairs = Incremental.nearDupsAgainstState(day2, "doc_id", "text",
+      Incremental.loadState(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((11L, 1L)), s"cross-run twin not found: $pairs")
+    assert(!pairs.exists(_._1 == 12L), s"fresh doc falsely flagged: $pairs")
+    OpCaches.releaseAll()
+  }
+}

@@ -198,14 +198,44 @@ class OpsSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).isEmpty)
     assert(Dedup.nearDupLosers(empty).isEmpty)
-    // a 12-node path has diameter 11: the default 10 rounds MUST refuse
-    // (silently-wrong labels otherwise); enough rounds converge to one
-    // component rooted at the minimum id
+    // a 12-node path has diameter 11: label propagation's default 10
+    // rounds MUST refuse (silently-wrong labels otherwise); the default
+    // star algorithm's rounds don't scale with diameter and converge
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalArgumentException](Dedup.connectedComponents(chain))
-    val cc = Dedup.connectedComponents(chain, maxIter = 15)
+    intercept[IllegalArgumentException](Dedup.connectedComponentsLabelProp(chain))
+    val cc = Dedup.connectedComponents(chain)
     assert(cc.filter(col("component") =!= 1L).count() == 0)
     assert(cc.count() == 12)
+    // both formulations agree once label-prop gets enough rounds
+    val viaProp = Dedup.connectedComponentsLabelProp(chain, maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaStar = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaProp == viaStar)
+    OpCaches.releaseAll()
+  }
+
+  test("alternating-star CC: 1000-node path converges in bounded rounds, matches label-prop on a dense graph") {
+    import spark.implicits._
+    // a path is label propagation's worst case: rounds = diameter = 999.
+    // The alternating-star rounds grow with log²(n) instead — the default
+    // budget (15) is plenty, and the guard proves label-prop really can't
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponentsLabelProp(chain, maxIter = 25))
+    val star = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length == 1000 && star.forall(_._2 == 0L))
+    // cross-check semantics on a dense random graph (small diameter, so
+    // label-prop is ground truth there)
+    val rnd = (1 to 400)
+      .map(i => ((i * 2654435761L) % 211, (i * 48271L) % 211))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaStar = Dedup.connectedComponentsStar(rnd)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaProp = Dedup.connectedComponentsLabelProp(rnd, maxIter = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStar == viaProp)
     OpCaches.releaseAll()
   }
 

@@ -132,6 +132,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.join(evalSet, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("streaming dedup against persisted state matches the batch bloom-state path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.{Bloom, Incremental}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val day0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val day1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // "yesterday's" state persisted and reloaded — the cross-run artifact
+    val path = java.nio.file.Files.createTempDirectory("bloom_state")
+      .resolve("state.parquet").toString
+    Incremental.saveBloom(spark, path, Bloom.buildFromText(day0, col("text")))
+    val (bits, k) = Incremental.loadBloom(spark, path)
+    val rows = day1.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows ++ rows.take(200)) // replay-duplicate shape
+    val clean = Streams.dedupAgainstStateStream(
+      mem.toDF().toDF("doc_id", "text"), "text", bits, k)
+    val q = clean.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("incdedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("incdedup_stream")
+    // batch twin on the same loaded bits: survive the state probe, then
+    // one survivor per within-day fingerprint
+    graft.functions.NativeFunctions.register(spark)
+    val batchFps = day1
+      .filter(!Bloom.mightContainText(col("text"), bits, k))
+      .select(graft.functions.NativeFunctions
+        .graft_fingerprint(col("text")).as("fp"))
+      .distinct()
+    // exactly one survivor per distinct fingerprint, the same fp set as
+    // batch (arrival order decides WHICH id survives in a stream, so the
+    // comparison is on fingerprints — the state contract — not ids)
+    assert(streamed.count() == batchFps.count())
+    assert(streamed.select("fp").except(batchFps).count() == 0)
+    assert(batchFps.except(streamed.select("fp")).count() == 0)
+  }
+
   test("streaming distinct sketch: per-window registers bit-identical to batch, replay-idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
