@@ -234,25 +234,6 @@ object Dedup {
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("hsum")), prev)
       (c, m.getLong(0), Option(m.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
-    // large-star input is symmetric; emitted edges orient child(u) > parent(v)
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbrs = e.select(col("u"), col("v"))
-        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy("u")
-        .agg(least(min(col("v")), col("u")).as("m"))
-      nbrs.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
-      e.join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v")) // every smaller neighbor → m
-        .unionByName(mins.select(col("u"), col("m").as("v"))) // u itself → m
-        .filter(col("u") =!= col("v")) // drop the (m, m) self-loop
-        .distinct()
-    }
     var (edges, cnt, hsum) = ck(
       p.filter(col("id_a") =!= col("id_b"))
         .select(greatest(col("id_a"), col("id_b")).as("u"),
@@ -261,8 +242,8 @@ object Dedup {
     var iter = 0
     var converged = cnt == 0L
     while (iter < maxIter && !converged) {
-      val (e1, _, _) = ck(largeStar(edges), Some(edges))
-      val (e2, c2, h2) = ck(smallStar(e1), Some(e1))
+      val (e1, _, _) = ck(ccLargeStar(edges), Some(edges))
+      val (e2, c2, h2) = ck(ccSmallStar(e1), Some(e1))
       converged = c2 == cnt && h2.compareTo(hsum) == 0
       cnt = c2; hsum = h2
       edges = e2
@@ -278,6 +259,31 @@ object Dedup {
     edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(
         edges.select(col("v").as("id"), col("v").as("component")).distinct())
+  }
+
+  /** One LARGE-STAR step over (u, v) edges (input treated as symmetric;
+    * output oriented child > parent). Object-level so
+    * [[graft.tools.PlanAudit]] can tabulate the per-round plan shape the
+    * eager loop otherwise hides. */
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u")
+      .agg(least(min(col("v")), col("u")).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR step over (child > parent)-oriented edges. */
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v")) // every smaller neighbor → m
+      .unionByName(mins.select(col("u"), col("m").as("v"))) // u itself → m
+      .filter(col("u") =!= col("v")) // drop the (m, m) self-loop
+      .distinct()
   }
 
   /** Min-label propagation — the diameter-bounded reference formulation

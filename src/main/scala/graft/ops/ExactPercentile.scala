@@ -36,6 +36,37 @@ import org.apache.spark.sql.functions._
   */
 object ExactPercentile {
 
+  /** Session conf key for the OPT-IN exact-percentile scale guard: when
+    * set (a long), [[requireBoundedGroups]] enforces it before the
+    * buffering path runs. Unset = current behavior, no extra scan. */
+  val MaxGroupRowsKey = "spark.graft.percentile.maxGroupRows"
+
+  /** Fail FAST when any group would buffer more than `maxGroupRows`
+    * non-null values on a single reducer — the q32 memory contract turned
+    * into a runtime guard, so the one plan this engine documents as
+    * memory-`weak` cannot be run blind at scale. The check is one cheap
+    * partial-aggregated count scan (shuffle ∝ groups); the error points
+    * at the two scale-correct escapes. */
+  def requireBoundedGroups(df: DataFrame, groupCol: String, valCol: String,
+      maxGroupRows: Long): Unit = {
+    val worst = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val m = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    if (m > maxGroupRows) throw new IllegalStateException(
+      s"exact percentile would buffer $m '$valCol' values of one " +
+        s"'$groupCol' group on a single reducer (guard: $maxGroupRows). " +
+        "Use ExactPercentile.byHistogram (exact, reducer state ∝ distinct " +
+        "values — the q80 path) for discrete domains, or approx_percentile " +
+        "(bounded sketch, q52) / DdSketch (mergeable, q85) for continuous ones.")
+  }
+
+  /** Apply [[requireBoundedGroups]] iff the session opted in via
+    * [[MaxGroupRowsKey]]. */
+  def guardFromConf(df: DataFrame, groupCol: String, valCol: String): Unit =
+    df.sparkSession.conf.getOption(MaxGroupRowsKey)
+      .foreach(v => requireBoundedGroups(df, groupCol, valCol, v.toLong))
+
   /** Per-group exact percentiles of `valCol` at the given (outputName,
     * fraction) list. NULL values are ignored (the `percentile` contract),
     * but a group whose values are ALL null still appears with NULL

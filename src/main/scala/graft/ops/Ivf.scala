@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor index: vectors are
@@ -58,6 +58,32 @@ object Ivf {
       seed: Long = 42L, maxSample: Int = 100000): IvfModel =
     modelCache.computeIfAbsent(s"$key|$vecCol|$k|$seed",
       _ => train(vectors, vecCol, k, seed, maxSample))
+
+  /** Persist a model (trained and optionally [[refine]]d) as a warehouse
+    * table — (cell, centroid) rows via [[graft.etl.Zones.saveTable]], so
+    * train-once survives across sessions: tomorrow's run [[load]]s the
+    * centroids instead of re-scanning the corpus, the batch sibling of
+    * the [[Incremental]] state tables. Model-sized IO (k × dim doubles),
+    * never data-sized. */
+  def save(model: IvfModel, spark: SparkSession, table: String): Unit = {
+    import spark.implicits._
+    graft.etl.Zones.saveTable(
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid"), table)
+  }
+
+  /** Load a model persisted by [[save]]. Doubles round-trip parquet
+    * bit-exactly, so assignments (and therefore probe results) with the
+    * loaded model are identical to the session that trained it. */
+  def load(spark: SparkSession, table: String): IvfModel = {
+    val rows = spark.table(table).select(col("cell"), col("centroid"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"IVF model table '$table' is empty")
+    require(rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"IVF model table '$table' has missing/duplicate cells")
+    IvfModel(rows.map(_.getSeq[Double](1).toArray))
+  }
 
   /** Nearest-centroid id for a vector column (squared-L2, computed as a
     * codegen-friendly expression over the broadcast-literal centroids). */

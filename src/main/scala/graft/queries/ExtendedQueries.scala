@@ -34,6 +34,10 @@ object ExtendedQueries {
     * distinct values, the right tool on discrete domains) and
     * [[q52ApproxPercentile]] (bounded sketch, for continuous domains). */
   val q32Percentile: Q = (s, dir) => {
+    // opt-in scale guard (spark.graft.percentile.maxGroupRows): the
+    // buffering path refuses to run blind when a group exceeds the bound
+    graft.ops.ExactPercentile.guardFromConf(
+      load(s, dir, "lineitem"), "l_returnflag", "l_quantity")
     load(s, dir, "lineitem")
       // decimal-cast first (exact 2-decimal values), then double for the
       // interpolation: DuckDB's QUANTILE_CONT on DECIMAL rounds to the

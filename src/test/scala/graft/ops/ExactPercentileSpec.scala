@@ -52,6 +52,26 @@ class ExactPercentileSpec extends AnyFunSuite {
     assert(hist == buffered)
   }
 
+  test("opt-in guard refuses oversized groups, points at the scale paths, defaults off") {
+    val df = Seq.tabulate(500)(i => ("g", i.toDouble)).toDF("g", "v")
+    // under the bound and unset conf: no-op
+    ExactPercentile.requireBoundedGroups(df, "g", "v", 1000L)
+    ExactPercentile.guardFromConf(df, "g", "v")
+    val ex = intercept[IllegalStateException] {
+      ExactPercentile.requireBoundedGroups(df, "g", "v", 100L)
+    }
+    assert(ex.getMessage.contains("byHistogram"), ex.getMessage)
+    // conf-driven form (the q32 wiring)
+    spark.conf.set(ExactPercentile.MaxGroupRowsKey, "100")
+    try intercept[IllegalStateException] {
+      ExactPercentile.guardFromConf(df, "g", "v")
+    } finally spark.conf.unset(ExactPercentile.MaxGroupRowsKey)
+    // nulls don't count toward the buffered volume
+    val nulls = Seq.tabulate(500)(i =>
+      ("g", if (i < 10) Some(i.toDouble) else None)).toDF("g", "v")
+    ExactPercentile.requireBoundedGroups(nulls, "g", "v", 10L)
+  }
+
   test("plan shape: shuffle carries distinct values (partial agg), group-sharded window") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("v"))

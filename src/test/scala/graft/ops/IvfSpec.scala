@@ -105,6 +105,24 @@ class IvfSpec extends AnyFunSuite {
       s"refinement degraded the model: ${r1.inertiaQ}")
   }
 
+  test("model persistence: warehouse round-trip is bit-exact, probes identical") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val m = Ivf.trainCached("ivfspec-persist", emb, "embedding", k = 4)
+    val refined = Ivf.refine(m, emb, "embedding", iters = 2).model
+    Ivf.save(refined, spark, "ivf_model_spec")
+    val loaded = Ivf.load(spark, "ivf_model_spec")
+    // doubles round-trip parquet exactly → identical model
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      refined.centroids.map(_.toSeq).toSeq)
+    // and therefore identical probe results in a "new session" using it
+    val q = emb.select("embedding").head().getSeq[Float](0)
+    val a = Ivf.topK(refined, Ivf.index(refined, emb, "embedding"),
+      "vec_id", "embedding", q, k = 5).collect().map(_.getLong(0)).toSeq
+    val b = Ivf.topK(loaded, Ivf.index(loaded, emb, "embedding"),
+      "vec_id", "embedding", q, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
   test("Lloyd refinement: empty cells keep their centroid, no NaN") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dim = emb.select("embedding").head().getSeq[Float](0).length
