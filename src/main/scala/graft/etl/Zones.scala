@@ -26,9 +26,26 @@ object Zones {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
-  /** K5/K7: warehouse materialization (MotherDuck CTAS equivalent). */
-  def saveTable(df: DataFrame, table: String): Unit =
+  /** K5/K7: warehouse materialization (MotherDuck CTAS equivalent).
+    *
+    * Re-runnable after a crash or catalog reset: when the catalog has no
+    * entry for `table` but its default warehouse location survives on disk
+    * (a previous run's files under a fresh metastore — the daily-pipeline
+    * restart case), Spark refuses the CTAS with LOCATION_ALREADY_EXISTS
+    * rather than risk eating foreign data. The orphan is OUR table's
+    * default path, so clear it and proceed — `mode(Overwrite)` already
+    * covers the catalog-knows-it case. */
+  def saveTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
 
   /** S4/S5: parquet zone scan. */
   def readParquet(spark: SparkSession, path: String): DataFrame =

@@ -632,6 +632,68 @@ case class DdQuantileExpr(child: Expression, q: Double) extends UnaryExpression 
     copy(child = c)
 }
 
+/** `graft_kmv_est(sketch)`: distinct-count estimate over a serialized KMV
+  * sketch ([[graft.ops.Kmv]]) — exact below capacity, (k−1)/v_k above. */
+case class KmvEstExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_est requires a BINARY KMV sketch, got " +
+          child.dataType.simpleString)
+  override def nullSafeEval(v: Any): Any =
+    KmvBits.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KmvBits.estimate($c)")
+  override protected def withNewChildInternal(c: Expression): KmvEstExpr =
+    copy(child = c)
+}
+
+/** Shared shape of the two-sketch KMV set estimators: both children must
+  * be BINARY sketches; the concrete op picks the [[KmvBits]] estimator. */
+abstract class KmvSetEstExpr
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  def fnName: String
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$fnName requires two BINARY KMV sketches, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+}
+
+/** `graft_kmv_union(a, b)`: |A ∪ B| estimate from two KMV sketches. */
+case class KmvUnionExpr(left: Expression, right: Expression)
+    extends KmvSetEstExpr {
+  override def fnName: String = "graft_kmv_union"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KmvBits.unionEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KmvBits.unionEstimate($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KmvUnionExpr = copy(left = l, right = r)
+}
+
+/** `graft_kmv_inter(a, b)`: |A ∩ B| estimate from two KMV sketches — the
+  * set operation the HLL/CMS/Bloom members cannot answer sketch-to-sketch. */
+case class KmvInterExpr(left: Expression, right: Expression)
+    extends KmvSetEstExpr {
+  override def fnName: String = "graft_kmv_inter"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KmvBits.interEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KmvBits.interEstimate($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KmvInterExpr = copy(left = l, right = r)
+}
+
 /** Column-API + SQL registration for the native expressions. The Column
   * constructors go through the function registry + `call_function` (the
   * public route to a custom Expression since Spark 4 hid Column(expr)),
@@ -670,6 +732,12 @@ object NativeFunctions {
       sketch, org.apache.spark.sql.functions.lit(q))
   def graft_byte_tokens(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_byte_tokens", text)
+  def graft_kmv_est(sketch: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kmv_est", sketch)
+  def graft_kmv_union(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kmv_union", a, b)
+  def graft_kmv_inter(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_kmv_inter", a, b)
 
   /** Evaluate a registration-time scalar argument (shingle width, merge
     * pair, sketch geometry…). These parameterize the EXPRESSION — they
@@ -725,6 +793,12 @@ object NativeFunctions {
       exprs => HllEstExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_byte_tokens",
       exprs => ByteTokensExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kmv_est",
+      exprs => KmvEstExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kmv_union",
+      exprs => KmvUnionExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kmv_inter",
+      exprs => KmvInterExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dd_quantile",
       exprs => DdQuantileExpr(exprs.head,
         constArg("graft_dd_quantile", "q", exprs, 1) match {

@@ -431,4 +431,59 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** CCNet-style LINE-level dedup: documents are split into lines, each
+    * distinct line keeps its single FIRST occurrence corpus-wide (CCNet
+    * drops ~70% of Common Crawl by paragraph hash before any document
+    * ever compares to another), and every document is reassembled from
+    * its surviving lines. Units here are fixed `spanTokens`-token spans —
+    * the corpus carries no newlines, and a fixed span is the same shape
+    * at any granularity (paragraph/sentence splitting is just a different
+    * splitter in front of the same pipeline).
+    *
+    * Scale design: the dedup shuffle carries (fingerprint, ord) — 16
+    * bytes per line, NEVER the line text (lines group on the
+    * engine-independent rolling-hash fingerprint, the q46/q86 idiom, so
+    * a DuckDB oracle replays winner selection exactly, collisions and
+    * all). Only the reassembly join and final per-doc groupBy touch span
+    * text, and those are proportional to the OUTPUT corpus. Winner order
+    * is first-seen-wins on ord = doc_id·10^6 + line_idx (line index
+    * bounded by 10^6 — a guard enforces it).
+    *
+    * Returns one row per input document: `doc_id`, `n_lines`, `n_kept`,
+    * and `new_md5` (md5 of the space-joined surviving lines; empty string
+    * when every line was claimed elsewhere). */
+  def lineDedupBySpan(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be positive, got $spanTokens")
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nSpans = ceil(size(toks).cast("double") / spanTokens).cast("int")
+    val spanArr = transform(sequence(lit(0), nSpans - 1),
+      i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens))))
+    val spans = OpCaches.persist(df
+      .select(col(idCol).cast("long").as("doc_id"), spanArr.as("sp"))
+      .select(col("doc_id"), posexplode(col("sp")).as(Seq("line_idx", "line")))
+      .withColumn("f", graft.functions.NativeFunctions.graft_fingerprint(col("line")))
+      .withColumn("ord", when(col("line_idx") < 1000000,
+        col("doc_id") * 1000000L + col("line_idx"))
+        .otherwise(raise_error(concat(lit("lineDedupBySpan: doc "),
+          col("doc_id"), lit(" exceeds 10^6 lines — widen the ord base"))))))
+    // first-seen-wins per distinct line: shuffle ∝ distinct fingerprints,
+    // payload is two longs
+    val keep = spans.groupBy("f").agg(min(col("ord")).as("keep_ord"))
+    val kept = spans.join(keep, Seq("f"))
+      .filter(col("ord") === col("keep_ord"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("line_idx"), col("line")))),
+        s => s.getField("line"))).as("new_text"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("new_text"), lit(""))).as("new_md5"))
+  }
 }

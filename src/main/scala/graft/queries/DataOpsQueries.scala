@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Bloom, Curation, Dedup, Hll, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Bloom, Curation, Dedup, Hll, Kmv, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -236,6 +236,35 @@ object DataOpsQueries {
          |  FROM pr a JOIN pr b ON a.bucket = b.bucket AND a.id < b.id)
          |WHERE cosine_sim >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
+    // replays lineDedupBySpan end-to-end: 10-token spans, rolling-hash
+    // fingerprint (q46 formula), first-seen-wins on doc_id*10^6+idx,
+    // reassembly md5 — a full value oracle over the rebuilt corpus
+    "q89_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |spans AS (SELECT doc_id,
+        |  UNNEST([{'line_idx': i,
+        |    'line': array_to_string(t[i*10+1 : i*10+10], ' ')}
+        |    FOR i IN range(0, CAST(ceil(len(t) / 10.0) AS INT))],
+        |    recursive := true)
+        |  FROM toks),
+        |fp AS (SELECT doc_id, line_idx, line,
+        |  list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(line, '')],
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS f
+        |  FROM spans),
+        |keep AS (SELECT f, MIN(doc_id * 1000000 + line_idx) AS keep_ord
+        |  FROM fp GROUP BY f),
+        |kept AS (SELECT fp.doc_id, fp.line_idx, fp.line FROM fp
+        |  JOIN keep ON fp.f = keep.f
+        |  AND fp.doc_id * 1000000 + fp.line_idx = keep.keep_ord),
+        |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  array_to_string(list(line ORDER BY line_idx), ' ') AS new_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM fp GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.n_lines,
+        |COALESCE(r.n_kept, 0) AS n_kept,
+        |md5(COALESCE(r.new_text, '')) AS new_md5
+        |FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q46_fingerprint" ->
       """SELECT doc_id,
         |list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(text, '')],
@@ -362,6 +391,20 @@ object DataOpsQueries {
         |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price,
         |TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS merge_exact
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q88_kmv_setops" ->
+      """WITH fk AS (SELECT DISTINCT l_returnflag AS f, l_partkey AS pk
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+        |pk AS (SELECT pk,
+        |  MAX(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS ia,
+        |  MAX(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS ib
+        |  FROM fk GROUP BY pk)
+        |SELECT CAST(SUM(ia) AS BIGINT) AS exact_a,
+        |CAST(SUM(ib) AS BIGINT) AS exact_n,
+        |CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |CAST(SUM(ia * ib) AS BIGINT) AS exact_inter,
+        |TRUE AS est_a_ok, TRUE AS est_n_ok,
+        |TRUE AS union_ok, TRUE AS inter_ok, TRUE AS merge_exact
+        |FROM pk""".stripMargin,
     "q40_minhash_neardup" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
         |FROM documents""".stripMargin,
@@ -1512,6 +1555,69 @@ object DataOpsQueries {
       .orderBy("doc_id")
   }
 
+  /** KMV (theta) set-operation sketch ([[graft.ops.Kmv]]) audited against
+    * exact set algebra — the family member HLL/CMS/Bloom lack: UNION and
+    * INTERSECTION estimates directly between two pre-built sketches (HLL
+    * intersects only via inclusion–exclusion, error ∝ union size). Over
+    * the distinct part keys of return-flag A vs N:
+    *  - exact per-flag / union / intersection distinct counts (one
+    *    hash-aggregate pass over the distinct (flag, part) pairs);
+    *  - `est_a_ok`/`est_n_ok` — per-flag sketch estimates within 10%+20
+    *    of exact (≈3σ of k=1024's 3.1% rse; hash-based, no RNG, so the
+    *    verdict is deterministic);
+    *  - `union_ok`/`inter_ok` — sketch-to-sketch θ-sample estimates
+    *    within 12%+20 (the intersection here is nearly the union, the
+    *    regime where θ-sampling is tightest — planted-disjoint and
+    *    small-overlap regimes are KmvSpec's job);
+    *  - `merge_exact` — flag-A's sketch rebuilt by merging 8
+    *    orderkey-sharded sub-sketches is BIT-IDENTICAL to the directly
+    *    built one (exact mergeability in-query, the q76/q85 contract —
+    *    for KMV it holds unconditionally, no collapse cap).
+    * Oracle asserts the exact counts + TRUE×5 (q47/q76 pattern). */
+  val q88KmvSetops: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    val fk = load(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_returnflag").as("f"), col("l_partkey").as("pk"))
+    val exact = fk.distinct()
+      .groupBy("pk")
+      .agg(max(when(col("f") === "A", 1).otherwise(0)).as("ia"),
+        max(when(col("f") === "N", 1).otherwise(0)).as("ib"))
+      .agg(sum("ia").cast("long").as("exact_a"),
+        sum("ib").cast("long").as("exact_n"),
+        count(lit(1)).as("exact_union"),
+        sum(col("ia") * col("ib")).cast("long").as("exact_inter"))
+    def sk(flag: String) = fk.filter(col("f") === flag)
+      .agg(Kmv.sketch(col("pk")).as(s"sk_$flag"))
+    val shardedA = load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "A")
+      .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("shard")
+      .agg(Kmv.sketch(col("l_partkey")).as("sk"))
+      .agg(Kmv.merge(col("sk")).as("sk_merged"))
+    def ok(est: org.apache.spark.sql.Column, exactCol: org.apache.spark.sql.Column,
+        tol: Double) = abs(est - exactCol) <= exactCol * tol + 20
+    exact.crossJoin(sk("A")).crossJoin(sk("N")).crossJoin(shardedA)
+      .select(col("exact_a"), col("exact_n"), col("exact_union"), col("exact_inter"),
+        ok(Kmv.estimate(col("sk_A")), col("exact_a"), 0.10).as("est_a_ok"),
+        ok(Kmv.estimate(col("sk_N")), col("exact_n"), 0.10).as("est_n_ok"),
+        ok(Kmv.unionEst(col("sk_A"), col("sk_N")), col("exact_union"), 0.12).as("union_ok"),
+        ok(Kmv.interEst(col("sk_A"), col("sk_N")), col("exact_inter"), 0.12).as("inter_ok"),
+        (col("sk_A") === col("sk_merged")).as("merge_exact"))
+  }
+
+  /** CCNet-style line-level dedup ([[graft.ops.Dedup.lineDedupBySpan]]):
+    * every distinct 10-token span keeps its first corpus-wide occurrence
+    * and each document is rebuilt from its surviving spans — the
+    * paragraph-hash pre-pass that removes most of a web crawl before any
+    * document-level comparison runs. Winner selection groups on the
+    * engine-independent rolling-hash fingerprint (q46/q86 idiom), so the
+    * DuckDB oracle replays the whole pipeline — split, fingerprint,
+    * first-seen-wins, reassembly — and md5-checks the rebuilt text. */
+  val q89LineDedup: Q = (s, dir) =>
+    Dedup.lineDedupBySpan(load(s, dir, "documents"), "doc_id", "text",
+      spanTokens = 10).orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1564,5 +1670,7 @@ object DataOpsQueries {
     "q85_dd_quantile" -> q85DdQuantile,
     "q86_incremental_dedup" -> q86IncrementalDedup,
     "q87_byte_bpe" -> q87ByteBpe,
+    "q88_kmv_setops" -> q88KmvSetops,
+    "q89_line_dedup" -> q89LineDedup,
   )
 }

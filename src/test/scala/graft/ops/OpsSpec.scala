@@ -31,6 +31,32 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.filter(col("n_copies") =!= 2).count() == 0)
   }
 
+  test("line-level span dedup: first occurrence wins, docs rebuilt from survivors") {
+    import spark.implicits._
+    // doc 1 owns spans A B; doc 2 repeats A then adds C; doc 3 is all
+    // stolen material. span = 2 tokens
+    val df = Seq(
+      (1L, "a1 a2 b1 b2"),       // spans: [a1 a2], [b1 b2]
+      (2L, "a1 a2 c1 c2"),       // [a1 a2] claimed by doc 1 → keeps [c1 c2]
+      (3L, "b1 b2 a1 a2")        // both claimed → empty rebuild
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupBySpan(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) == md5("a1 a2 b1 b2"))
+    assert(out(1).getString(3) == md5("c1 c2"))
+    assert(out(2).getString(3) == md5(""))
+    // duplicate span WITHIN one doc: only the first index survives
+    val selfDup = Seq((7L, "x1 x2 x1 x2 y1 y2")).toDF("doc_id", "text")
+    val r = Dedup.lineDedupBySpan(selfDup, "doc_id", "text", spanTokens = 2)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2)) == (3L, 2L))
+    assert(r.getString(3) == md5("x1 x2 y1 y2"))
+  }
+
   test("minhash LSH finds nearly all planted near-dup pairs") {
     val pairs = Dedup.minhashNearDups(withTwins, "doc_id", "text")
       .filter(col("id_b") === col("id_a") + offset)

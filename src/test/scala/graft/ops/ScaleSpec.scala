@@ -18,11 +18,12 @@ class ScaleSpec extends AnyFunSuite {
   private def resetTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dir = new java.io.File(wh, name)
-    if (dir.exists()) {
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
     }
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) rm(dir) // recursive: crashed writes leave _temporary/ trees
   }
 
   test("salted join equals plain join (semantic no-op, distribution fix)") {
@@ -155,6 +156,34 @@ class ScaleSpec extends AnyFunSuite {
     // p=12 rsd ≈ 1.6%; allow 4σ at 1M distinct keys
     val est = graft.functions.HllBits.estimate(direct)
     assert(math.abs(est - n) <= n * 0.065, s"estimate $est vs $n")
+  }
+
+  test("kmv scale drill: 1M-key distributed build, shard roll-up exact, set ops in tolerance") {
+    val n = 1000000L
+    // two overlapping key populations: A = ids [0, 1M), B = ids [700k, 1.7M)
+    // under the same salted hash → |A∩B| = 300k, |A∪B| = 1.7M
+    def keys(lo: Long, hi: Long) = spark.range(lo, hi).repartition(32)
+      .select(xxhash64(col("id"), lit(13L)).as("k"),
+        pmod(col("id"), lit(16)).as("shard"))
+    val a = keys(0L, n)
+    val b = keys(700000L, 1700000L)
+    val direct = a.agg(Kmv.sketch(col("k")).as("sk")).head().getAs[Array[Byte]](0)
+    val rolled = a.groupBy("shard").agg(Kmv.sketch(col("k")).as("sk"))
+      .agg(Kmv.merge(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    // bit-identical roll-up however the 1M rows were partitioned —
+    // unconditional for KMV (no collapse cap)
+    assert(java.util.Arrays.equals(direct, rolled))
+    val skB = b.agg(Kmv.sketch(col("k")).as("sk")).head().getAs[Array[Byte]](0)
+    // k=1024 rse ≈ 3.1%; 4σ tolerances (deterministic hash, no RNG)
+    val est = graft.functions.KmvBits.estimate(direct)
+    assert(math.abs(est - n) <= n * 0.125, s"estimate $est vs $n")
+    val u = graft.functions.KmvBits.unionEstimate(direct, skB)
+    assert(math.abs(u - 1700000L) <= 1700000L * 0.125, s"union $u vs 1.7M")
+    // intersection error scales with the UNION under theta sampling
+    val i = graft.functions.KmvBits.interEstimate(direct, skB)
+    assert(math.abs(i - 300000L) <= 1700000L * 0.125, s"inter $i vs 300k")
+    // sketch stays 8 KiB however large the key set
+    assert(direct.length <= graft.functions.KmvBits.HeaderLen + 8 * Kmv.DefaultK)
   }
 
   test("ddsketch scale drill: 1M-value distributed build, shard roll-up exact, quantiles in alpha") {
