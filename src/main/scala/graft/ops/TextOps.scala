@@ -69,6 +69,43 @@ object TextOps {
     lenScore + stopScore + punctScore
   }
 
+  /** Stopword set of the Gopher rule suite (Rae et al. 2021, table A1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A —
+    * the filter battery most LLM data pipelines start from), as one
+    * struct of per-rule booleans so callers can count, AND, or inspect
+    * rules independently:
+    *  - `len_ok`   — 50 ≤ word count ≤ 100,000;
+    *  - `mwl_ok`   — mean word length in [3, 10] chars (×100 integer
+    *    arithmetic, the [[meanTokenLenX100]] convention);
+    *  - `sym_ok`   — symbol-to-word ratio ('#' or '...') ≤ 0.1;
+    *  - `alpha_ok` — ≥80% of words contain an alphabetic character;
+    *  - `stop_ok`  — ≥2 stopword occurrences.
+    * The line-shape rules of the paper (bullet/ellipsis line fractions)
+    * need a line splitter in front — see [[Dedup.lineDedupBySpan]]'s
+    * span machinery. All-integer comparisons, so a SQL oracle replays
+    * the flags bit-for-bit; pure codegen Column math, no shuffle. */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val mwlX100 = when(n === 0, lit(0L))
+      .otherwise(((sumLen * 100).cast("double") / n).cast("long"))
+    val hashes = (length(text) - length(translate(text, "#", ""))).cast("long")
+    val dots = ((length(text) - length(replace(text, lit("..."), lit(""))))
+      .cast("double") / 3).cast("long")
+    val alphaCnt = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopCnt = size(filter(toks, t => t.isInCollection(GopherStopwords)))
+    struct(
+      n.between(50L, 100000L).as("len_ok"),
+      mwlX100.between(300L, 1000L).as("mwl_ok"),
+      ((hashes + dots) * 10 <= n).as("sym_ok"),
+      (alphaCnt * 5 >= n * 4).as("alpha_ok"),
+      (stopCnt >= 2).as("stop_ok"))
+  }
+
   /** N-gram-heuristic language guess. A real pipeline would use character
     * n-gram profiles (or fastText); the *operator shape* is identical — a
     * per-row CASE over substring features, fully codegen'd. */

@@ -236,6 +236,40 @@ object DataOpsQueries {
          |  FROM pr a JOIN pr b ON a.bucket = b.bucket AND a.id < b.id)
          |WHERE cosine_sim >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
+    // replays the Gopher rule battery: same plants, same integer flag
+    // arithmetic ('//' floors like Spark's truncate — all counts positive)
+    "q90_gopher_rules" ->
+      """WITH planted AS (SELECT source, doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' ## ### ...'
+        |    WHEN doc_id % 11 = 0 THEN text || ' 12345 67890 2468 13579 98765 43210 55555 31415 27182 16180'
+        |    ELSE text END AS t2
+        |  FROM documents),
+        |g AS (SELECT source, t2,
+        |  regexp_split_to_array(trim(t2), '\s+') AS toks FROM planted),
+        |m AS (SELECT source,
+        |  CAST(len(toks) AS BIGINT) AS n,
+        |  list_reduce([CAST(length(t) AS BIGINT) FOR t IN toks], (a, b) -> a + b) AS sumlen,
+        |  CAST(length(t2) - length(replace(t2, '#', '')) AS BIGINT) AS hashes,
+        |  CAST((length(t2) - length(replace(t2, '...', ''))) // 3 AS BIGINT) AS dots,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |  len(list_filter(toks, t -> t IN ('the','be','to','of','and','that','have','with'))) AS stops
+        |  FROM g),
+        |flags AS (SELECT source,
+        |  n BETWEEN 50 AND 100000 AS len_ok,
+        |  (CASE WHEN n = 0 THEN 0 ELSE sumlen * 100 // n END) BETWEEN 300 AND 1000 AS mwl_ok,
+        |  (hashes + dots) * 10 <= n AS sym_ok,
+        |  alpha * 5 >= n * 4 AS alpha_ok,
+        |  stops >= 2 AS stop_ok
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        |CAST(SUM(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl_ok,
+        |CAST(SUM(CASE WHEN sym_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_sym_ok,
+        |CAST(SUM(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+        |CAST(SUM(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+        |CAST(SUM(CASE WHEN len_ok AND mwl_ok AND sym_ok AND alpha_ok AND stop_ok
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin,
     // replays lineDedupBySpan end-to-end: 10-token spans, rolling-hash
     // fingerprint (q46 formula), first-seen-wins on doc_id*10^6+idx,
     // reassembly md5 — a full value oracle over the rebuilt corpus
@@ -1618,6 +1652,36 @@ object DataOpsQueries {
     Dedup.lineDedupBySpan(load(s, dir, "documents"), "doc_id", "text",
       spanTokens = 10).orderBy("doc_id")
 
+  /** Gopher quality-rule battery ([[TextOps.gopherFlags]]) with PLANTED
+    * violations so every rule provably fires (the q55 planting pattern):
+    * every 7th doc gets symbol spam appended ('## ### ...'), every 11th
+    * a run of numeric tokens (non-alphabetic words). Counts per rule and
+    * the all-rules pass count, per source — all-integer flag arithmetic,
+    * fully replayed by the DuckDB oracle. */
+  val q90GopherRules: Q = (s, dir) => {
+    val planted = load(s, dir, "documents").withColumn("t2",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" ## ### ...")))
+        .when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"),
+            lit(" 12345 67890 2468 13579 98765 43210 55555 31415 27182 16180")))
+        .otherwise(col("text")))
+    val f = TextOps.gopherFlags(col("t2"))
+    def cnt(flag: org.apache.spark.sql.Column, as: String) =
+      sum(when(flag, 1L).otherwise(0L)).as(as)
+    planted.select(col("source"), f.as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("g.len_ok"), "n_len_ok"),
+        cnt(col("g.mwl_ok"), "n_mwl_ok"),
+        cnt(col("g.sym_ok"), "n_sym_ok"),
+        cnt(col("g.alpha_ok"), "n_alpha_ok"),
+        cnt(col("g.stop_ok"), "n_stop_ok"),
+        cnt(col("g.len_ok") && col("g.mwl_ok") && col("g.sym_ok") &&
+          col("g.alpha_ok") && col("g.stop_ok"), "n_pass"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1672,5 +1736,6 @@ object DataOpsQueries {
     "q87_byte_bpe" -> q87ByteBpe,
     "q88_kmv_setops" -> q88KmvSetops,
     "q89_line_dedup" -> q89LineDedup,
+    "q90_gopher_rules" -> q90GopherRules,
   )
 }

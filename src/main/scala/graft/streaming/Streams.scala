@@ -165,6 +165,33 @@ object Streams {
         col("sketch"))
   }
 
+  /** Streaming quantile sketch — the continuous-ingest twin of
+    * [[graft.ops.DdSketch]] (q85): per event-time window, the DDSketch
+    * bucket histogram builds as a streaming aggregate. Merge is
+    * bucket-count ADDITION — commutative and associative, so micro-batch
+    * partials fold in any order, state per window is one bucket-bounded
+    * byte array under the watermark, and the emitted sketch column rolls
+    * windows up into days/weeks by the same merge with the α guarantee
+    * intact (per-window `approx_percentile` results cannot be combined
+    * at all). One honest asymmetry vs [[distinctSketchStream]]: addition
+    * is NOT idempotent, so upstream at-least-once duplicates double-count
+    * (HLL's max-merge absorbs them) — exactly-once folding within the
+    * query is the checkpoint's job, but duplicate SOURCE rows need a
+    * dedup stage ([[dedupAgainstStateStream]]) in front. */
+  def quantileSketchStream(rows: DataFrame, valueCol: String,
+      eventTimeCol: String = "event_time", window_ : String = "1 hour",
+      watermark: String = "10 minutes",
+      alpha: Double = graft.ops.DdSketch.DefaultAlpha): DataFrame = {
+    graft.functions.NativeFunctions.register(rows.sparkSession)
+    rows.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), window_))
+      .agg(graft.ops.DdSketch.sketch(col(valueCol), alpha).as("sketch"))
+      .select(col("window"),
+        graft.ops.DdSketch.quantile(col("sketch"), 0.5).as("p50_est"),
+        graft.ops.DdSketch.quantile(col("sketch"), 0.95).as("p95_est"),
+        col("sketch"))
+  }
+
   /** Stateless streaming weighted sampling — the continuous-ingest twin
     * of [[graft.ops.Sampling.weightedSample]] (q68): keep a stream row
     * iff its id's Knuth hash lands below the per-row weight percentage

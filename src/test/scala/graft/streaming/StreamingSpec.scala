@@ -215,6 +215,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quantile sketch: per-window buckets bit-identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.DdSketch
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("value"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+    val rows = events.as[(Double, java.sql.Timestamp)].collect().toSeq
+    val mem = MemoryStream[(Double, java.sql.Timestamp)]
+    // two DISJOINT micro-batches: bucket addition is associative but not
+    // idempotent, so (unlike the HLL twin) replayed source rows would
+    // double-count by design — dedup belongs upstream
+    val (first, second) = rows.splitAt(rows.size / 2)
+    mem.addData(first)
+    mem.addData(second)
+    val agg = Streams.quantileSketchStream(
+      mem.toDF().toDF("value", "event_time"), "value")
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("dd_stream").start()
+    q.processAllAvailable(); q.stop()
+    // Update mode emits each window's CUMULATIVE state once per touching
+    // micro-batch; the final state is the emission with the max value
+    // count (monotone in folded rows) — order-independent, no last()
+    val streamed = spark.table("dd_stream")
+      .select(col("window").cast("string"), col("sketch")).collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rs) =>
+        w -> rs.map(_.getAs[Array[Byte]]("sketch"))
+          .maxBy(graft.functions.DdBits.count).toSeq }
+    val batch = events
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(DdSketch.sketch(col("value")).as("sketch"))
+      .select(col("window").cast("string"), col("sketch")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (w, sk) =>
+      assert(sk == batch(w), s"window $w sketch diverged from batch build")
+    }
+  }
+
   test("streaming weighted sample matches the batch operator, replay-deterministic") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
