@@ -236,6 +236,9 @@ object DataOpsQueries {
          |  FROM pr a JOIN pr b ON a.bucket = b.bucket AND a.id < b.id)
          |WHERE cosine_sim >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
+    "q91_pq_codes" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS codes_ok,
+        |TRUE AS recon_improves, TRUE AS adc_ok FROM embeddings""".stripMargin,
     // replays the Gopher rule battery: same plants, same integer flag
     // arithmetic ('//' floors like Spark's truncate — all counts positive)
     "q90_gopher_rules" ->
@@ -1682,6 +1685,54 @@ object DataOpsQueries {
       .orderBy("source")
   }
 
+  /** Product quantization ([[graft.ops.Pq]]): 64-dim float vectors → 8
+    * 4-bit-ish codes (32× compression) with per-subspace codebooks, the
+    * IVF-PQ layout's storage half. In-query verdicts (q48 pattern — the
+    * oracle asserts the exact vector count + TRUE×3):
+    *  - `codes_ok` — every vector encodes to exactly m codes in
+    *    [0, codes);
+    *  - `recon_improves` — total squared reconstruction error with 16
+    *    codes per subspace beats the 1-code null quantizer (k-means
+    *    objective vs the subspace mean — the training-works check);
+    *  - `adc_ok` — the lookup-table ADC top-1 neighbor's TRUE distance
+    *    is within 4×+1 of the exact NN distance (deterministic: seeded
+    *    sample, seeded k-means — no RNG at query time). */
+  val q91PqCodes: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    val model = graft.ops.Pq.trainCached(s"$dir/embeddings", emb, "embedding")
+    val nullM = graft.ops.Pq.trainCached(s"$dir/embeddings#null", emb,
+      "embedding", m = 8, codes = 1)
+    val coded = emb.select(col("vec_id"),
+      graft.ops.Pq.encode(model, col("embedding")).as("codes"),
+      graft.ops.Pq.reconSe(model, col("embedding")).as("se"),
+      graft.ops.Pq.reconSe(nullM, col("embedding")).as("se_null"))
+    val stats = coded.agg(
+      count(lit(1)).as("n_vectors"),
+      min(size(col("codes"))).as("m_min"), max(size(col("codes"))).as("m_max"),
+      min(array_min(col("codes"))).as("min_code"),
+      max(array_max(col("codes"))).as("max_code"),
+      sum(col("se")).as("sum_se"), sum(col("se_null")).as("sum_se_null"))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    def trueSe(vec: org.apache.spark.sql.Column) =
+      aggregate(zip_with(vec, array(qv.map(lit(_)): _*),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
+    val others = emb.filter(col("vec_id") =!= 0)
+    val exactBest = others.agg(min(trueSe(col("embedding"))).as("d_exact"))
+    val adcPick = graft.ops.Pq.topKAdc(model,
+        coded.filter(col("vec_id") =!= 0), "vec_id", "codes", qv, k = 1)
+      .join(others.select(col("vec_id"),
+        trueSe(col("embedding")).as("d_adc_true")), Seq("vec_id"))
+      .select("d_adc_true")
+    stats.crossJoin(exactBest).crossJoin(adcPick)
+      .select(col("n_vectors"),
+        (col("m_min") === 8 && col("m_max") === 8 &&
+          col("min_code") >= 0 && col("max_code") <= 15).as("codes_ok"),
+        (col("sum_se") < col("sum_se_null")).as("recon_improves"),
+        (col("d_adc_true") <= col("d_exact") * 4.0 + 1.0).as("adc_ok"))
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1737,5 +1788,6 @@ object DataOpsQueries {
     "q88_kmv_setops" -> q88KmvSetops,
     "q89_line_dedup" -> q89LineDedup,
     "q90_gopher_rules" -> q90GopherRules,
+    "q91_pq_codes" -> q91PqCodes,
   )
 }
