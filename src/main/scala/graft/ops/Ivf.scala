@@ -178,18 +178,24 @@ object Ivf {
     Refined(cur, inertias.toSeq)
   }
 
+  /** The `nProbe` cells nearest to a query (driver-side arithmetic over
+    * the model — the cell-pruning half of a probe, shared by [[topK]]
+    * and the IVF-PQ composition in q92). */
+  def probeCells(model: IvfModel, query: Seq[Float], nProbe: Int): Seq[Int] = {
+    val qd = query.map(_.toDouble).toArray
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sortBy(_._1).take(nProbe).map(_._2).toSeq
+  }
+
   /** Top-k by cosine probing only the `nProbe` cells nearest the query. */
   def topK(model: IvfModel, indexed: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
     // Similarity.cosine resolves through the graft_dot native expression
     graft.functions.NativeFunctions.register(indexed.sparkSession)
-    val qd = query.map(_.toDouble).toArray
-    val probeCells = model.centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
-      .sortBy(_._1).take(nProbe).map(_._2)
     val q = array(query.map(lit(_)): _*)
     indexed
-      .filter(col("ivf_cell").isInCollection(probeCells))
+      .filter(col("ivf_cell").isInCollection(probeCells(model, query, nProbe)))
       .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine_sim"))
       .orderBy(desc("cosine_sim"), asc(idCol))
       .limit(k)

@@ -239,6 +239,9 @@ object DataOpsQueries {
     "q91_pq_codes" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS codes_ok,
         |TRUE AS recon_improves, TRUE AS adc_ok FROM embeddings""".stripMargin,
+    "q92_ivf_pq" ->
+      """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_vectors, TRUE AS k_ok,
+        |TRUE AS planted_found, TRUE AS top1_is_twin FROM embeddings""".stripMargin,
     // replays the Gopher rule battery: same plants, same integer flag
     // arithmetic ('//' floors like Spark's truncate — all counts positive)
     "q90_gopher_rules" ->
@@ -1733,6 +1736,43 @@ object DataOpsQueries {
         (col("d_adc_true") <= col("d_exact") * 4.0 + 1.0).as("adc_ok"))
   }
 
+  /** IVF-PQ: the full large-scale ANN layout — [[graft.ops.Ivf]] cells
+    * prune the search to `nProbe` partitions, [[graft.ops.Pq]] codes
+    * replace the vectors inside them (the index frame carries ONLY
+    * (id, cell, codes): 8 bytes of payload per vector, no floats), and
+    * ranking is pure lookup-table ADC. A planted exact twin of the
+    * query must surface, and the ADC-optimality argument makes the
+    * top-1 provable: the query's own code word attains the per-subspace
+    * LUT minima, so nothing can rank strictly above the twin pair.
+    * Oracle: exact count + TRUE×3 (q48 pattern). */
+  val q92IvfPq: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    val twin = emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(1000000L))
+    val data = emb.unionByName(twin)
+    val ivf = graft.ops.Ivf.trainCached(s"$dir/embeddings", emb, "embedding", k = 8)
+    val pq = graft.ops.Pq.trainCached(s"$dir/embeddings", emb, "embedding")
+    val indexed = graft.ops.Ivf.index(ivf, data, "embedding")
+      .select(col("vec_id"), col("ivf_cell"),
+        graft.ops.Pq.encode(pq, col("embedding")).as("codes"))
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val qd = query.map(_.toDouble).toArray
+    val cells = graft.ops.Ivf.probeCells(ivf, query, nProbe = 2)
+    val hits = indexed.filter(col("ivf_cell").isInCollection(cells))
+      .select(col("vec_id"),
+        graft.ops.Pq.adcDistance(pq, qd, col("codes")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(10)
+    val verdict = hits.agg(
+      count(lit(1)).as("n_results"),
+      max(when(col("vec_id") === 1000000L, 1L).otherwise(0L)).as("found"),
+      min_by(col("vec_id"), struct(col("adc_dist"), col("vec_id"))).as("top1"))
+    emb.agg((count(lit(1)) + 1L).as("n_vectors")).crossJoin(verdict)
+      .select(col("n_vectors"),
+        (col("n_results") === 10L).as("k_ok"),
+        (col("found") === 1L).as("planted_found"),
+        col("top1").isin(0L, 1000000L).as("top1_is_twin"))
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1789,5 +1829,6 @@ object DataOpsQueries {
     "q89_line_dedup" -> q89LineDedup,
     "q90_gopher_rules" -> q90GopherRules,
     "q91_pq_codes" -> q91PqCodes,
+    "q92_ivf_pq" -> q92IvfPq,
   )
 }

@@ -62,6 +62,35 @@ class IncrementalSpec extends AnyFunSuite {
     assert(missed == 0L)
   }
 
+  test("sketch state tables: per-day HLL/KMV sketches persisted, reloaded, merged == direct") {
+    import org.apache.spark.sql.functions._
+    // the store-next-to-shard pattern the mergeable sketches exist for:
+    // each daily run writes its sketch ROW to a state table; any later
+    // roll-up merges the persisted bytes and must equal the sketch of
+    // the union corpus bit-for-bit (binary columns round-trip parquet
+    // exactly). HLL (max-merge) and KMV (bottom-k union) both carry the
+    // unconditional-exact-merge contract.
+    val spark2 = spark
+    import spark2.implicits._
+    val day0 = (1L to 30000L).map(i => i * 31L).toDF("k")
+    val day1 = (20000L to 60000L).map(i => i * 31L).toDF("k") // overlap
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk_state").toString
+    def dayRow(df: org.apache.spark.sql.DataFrame, day: Int) =
+      df.agg(Hll.sketch(col("k")).as("hll"), Kmv.sketch(col("k")).as("kmv"))
+        .withColumn("day", lit(day))
+    dayRow(day0, 0).write.mode("overwrite").parquet(s"$dir/d0")
+    dayRow(day1, 1).write.mode("overwrite").parquet(s"$dir/d1")
+    val state = spark.read.parquet(s"$dir/d0").unionByName(spark.read.parquet(s"$dir/d1"))
+    val rolled = state.agg(Hll.merge(col("hll")).as("hll"), Kmv.merge(col("kmv")).as("kmv"))
+      .head()
+    val direct = day0.unionByName(day1)
+      .agg(Hll.sketch(col("k")).as("hll"), Kmv.sketch(col("k")).as("kmv")).head()
+    assert(java.util.Arrays.equals(
+      rolled.getAs[Array[Byte]]("hll"), direct.getAs[Array[Byte]]("hll")))
+    assert(java.util.Arrays.equals(
+      rolled.getAs[Array[Byte]]("kmv"), direct.getAs[Array[Byte]]("kmv")))
+  }
+
   test("near-dups against history signatures: cross-run twins found, fresh docs pass") {
     val day1 = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
