@@ -176,6 +176,37 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Graded decontamination report — [[contaminationPairs]]' scoring twin:
+    * for every training document, the fraction of its DISTINCT word
+    * n-gram shingles that appear anywhere in the evaluation set,
+    * `overlap_bp = ⌊10000 · |S_doc ∩ S_eval| / |S_doc|⌋` (basis points,
+    * all-integer). Pair listings answer "which docs touch the benchmark";
+    * this answers "HOW contaminated is each doc" — the threshold knob a
+    * curation pipeline actually tunes (drop ≥ X bp, keep the tail).
+    *
+    * Scale design: shingles travel as engine-independent Rabin-Karp
+    * fingerprints ([[TextOps.fingerprint]] per shingle — 8-byte keys,
+    * never shingle strings); the eval fingerprint set distinct-collapses
+    * before a broadcast left-join (no shuffle of the training corpus, and
+    * zero-overlap docs keep their row); the per-doc tally partial-aggs to
+    * (id, 2 longs). Integer `div` basis points replay exactly in external
+    * SQL — no float division on either side. */
+  def overlapScore(train: DataFrame, trainId: String, evalDf: DataFrame,
+      textCol: String, shingleLen: Int = 3): DataFrame = {
+    def fps(df: DataFrame, keep: Seq[Column]) =
+      df.select(keep :+ explode(array_distinct(transform(
+        TextOps.wordShingles(col(textCol), shingleLen),
+        s => TextOps.fingerprint(s)))).as("fp"): _*)
+    val evalFps = fps(evalDf, Nil).distinct()
+    fps(train, Seq(col(trainId)))
+      .join(broadcast(evalFps.withColumn("hit", lit(1L))), Seq("fp"), "left")
+      .groupBy(trainId)
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("overlap_bp",
+        expr("n_hits * 10000 div n_shingles"))
+  }
+
   /** Connected components over a near-dup pair list: groups transitive
     * duplicate chains (A~B, B~C ⇒ {A,B,C}) and returns one row per member
     * with its component's canonical (minimum) id. Dropping `id_b` of every

@@ -242,6 +242,108 @@ object DataOpsQueries {
     "q92_ivf_pq" ->
       """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_vectors, TRUE AS k_ok,
         |TRUE AS planted_found, TRUE AS top1_is_twin FROM embeddings""".stripMargin,
+    // full DSIR replay: hashed unigram+bigram buckets (rolling hash mod
+    // 2^31-1 then mod 1024), add-one smoothing, ln ratios in 1e-8 units.
+    // Every scored gram's bucket is occupied on the raw side (raw = the
+    // scoring corpus), so the join needs no unseen-bucket default.
+    "q93_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |uni AS (SELECT doc_id, lang, UNNEST(tk) AS g FROM t),
+        |bi AS (SELECT doc_id, lang, l || ' ' || r AS g FROM (
+        |  SELECT doc_id, lang, tok AS l,
+        |    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY i) AS r
+        |  FROM (SELECT doc_id, lang, UNNEST(tk) AS tok,
+        |        UNNEST(range(1, len(tk) + 1)) AS i FROM t))
+        |  WHERE r IS NOT NULL),
+        |g AS (SELECT doc_id, lang,
+        |  list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(g, '')],
+        |    (h, c) -> (h * 31 + c) % 2147483647) % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM g WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, COUNT(*) AS cr FROM g GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(ct) FROM tc) AS nt,
+        |               (SELECT SUM(cr) FROM rc) AS nr),
+        |w AS (SELECT rc.b,
+        |  CAST(ROUND(ROUND(
+        |    LN(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+        |    - LN(CAST(rc.cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tot)
+        |SELECT g.doc_id, CAST(SUM(w.w) AS BIGINT) AS weight_x1e8
+        |FROM g JOIN w ON g.b = w.b GROUP BY 1
+        |ORDER BY weight_x1e8 DESC, doc_id LIMIT 50""".stripMargin,
+    // graded decontamination replay: eval set = first-12-token prefixes
+    // of every 97th doc, 3-token shingles as rolling-hash fingerprints,
+    // per-doc distinct-shingle hit fraction in integer basis points
+    "q94_overlap_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'train' AS side, trim(text) AS t
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'eval' AS side,
+        |    array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 12), ' ') AS t
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |tk AS (SELECT doc_id, side, regexp_split_to_array(t, '\s+') AS tk FROM base),
+        |sh AS (SELECT doc_id, side, UNNEST(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(list_slice(tk, i, i + 2), ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS s FROM tk),
+        |fp AS (SELECT DISTINCT doc_id, side,
+        |  list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(s, '')],
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS f FROM sh),
+        |ev AS (SELECT DISTINCT f FROM fp WHERE side = 'eval'),
+        |tr AS (SELECT doc_id, f FROM fp WHERE side = 'train')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(ev.f) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(ev.f) * 10000 // COUNT(*) AS BIGINT) AS overlap_bp
+        |FROM tr LEFT JOIN ev ON tr.f = ev.f
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact set-similarity join ground truth, computed by a DIFFERENT
+    // algorithm than the engine (brute-force token equi-join here vs
+    // prefix-filtered candidates there) — output must match exactly,
+    // which is the whole point of an exact (non-LSH) similarity join
+    "q95_jaccard_join" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(list_slice(tk, i, i + 2), ' ') FOR i IN range(1, len(tk) - 1)]
+        |    ELSE [array_to_string(tk, ' ')] END) AS s FROM t),
+        |fp AS (SELECT DISTINCT doc_id, list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(s, '')],
+        |    (h, c) -> (h * 31 + c) % 2147483647) AS f FROM sh),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(i * 10000 // (sa.n + sb.n - i) AS BIGINT) AS jaccard_bp
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE i * 10000 >= 6000 * (sa.n + sb.n - i)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // full BM25 replay: same rational rearrangement (k1=1.2, b=0.75 →
+    // idf · 22·tf·T // (10·tf·T + 3·T + 9·dl·N)), HUGEINT where Spark
+    // uses decimal(38,0), same 1e-8-unit idf rounding
+    "q96_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |d AS (SELECT doc_id, len(tk) AS dl,
+        |  len(list_filter(tk, x -> x = 'vector')) AS tf0,
+        |  len(list_filter(tk, x -> x = 'hash')) AS tf1,
+        |  len(list_filter(tk, x -> x = 'spark')) AS tf2,
+        |  len(list_filter(tk, x -> x = 'window')) AS tf3 FROM t),
+        |g AS (SELECT COUNT(*) AS n, SUM(dl) AS tt,
+        |  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |  SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+        |w AS (SELECT n, tt,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df0+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w0,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df1+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w1,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df2+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w2,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df3+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w3
+        |  FROM g)
+        |SELECT doc_id, CAST(
+        |    (CAST(w0 AS HUGEINT) * 22 * tf0 * tt) // (CAST(tf0 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  + (CAST(w1 AS HUGEINT) * 22 * tf1 * tt) // (CAST(tf1 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  + (CAST(w2 AS HUGEINT) * 22 * tf2 * tt) // (CAST(tf2 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  + (CAST(w3 AS HUGEINT) * 22 * tf3 * tt) // (CAST(tf3 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  AS BIGINT) AS score_x1e8
+        |FROM d, w
+        |ORDER BY score_x1e8 DESC, doc_id LIMIT 50""".stripMargin,
     // replays the Gopher rule battery: same plants, same integer flag
     // arithmetic ('//' floors like Spark's truncate — all counts positive)
     "q90_gopher_rules" ->
@@ -1773,6 +1875,62 @@ object DataOpsQueries {
         col("top1").isin(0L, 1000000L).as("top1_is_twin"))
   }
 
+  /** DSIR data selection ([[graft.ops.Dsir]]): hashed unigram+bigram
+    * importance weights toward the English sub-corpus (the target), the
+    * whole corpus scored in ONE map-only codegen pass (model = 1024
+    * longs riding as a literal), top-50 by (weight desc, id) via
+    * TakeOrderedAndProject. A full value oracle: rolling-hash buckets,
+    * add-one smoothing and the 8-decimal 1e-8-unit log convention all
+    * replay in external SQL, so a single mis-bucketed gram or a model
+    * off-by-one hash-mismatches. */
+  val q93DsirSelect: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val model = graft.ops.Dsir.importanceModel(
+      docs.filter(col("lang") === "en"), docs, "text")
+    graft.ops.Dsir.selectTop(docs, "doc_id", "text", model, k = 50)
+  }
+
+  /** Graded decontamination ([[graft.ops.Dedup.overlapScore]]): per-doc
+    * fraction of distinct 3-token shingles shared with an eval set built
+    * in-query (the first-12-token prefix of every 97th document — real
+    * planted contamination, since each prefix's shingles certainly occur
+    * in its source doc). Integer basis points, fingerprint join keys —
+    * a full value oracle over every surviving doc. */
+  val q94OverlapScore: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val evalDf = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      .select(concat_ws(" ",
+        slice(graft.ops.TextOps.tokens(col("text")), 1, 12)).as("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+    graft.ops.Dedup.overlapScore(train, "doc_id", evalDf, "text")
+      .orderBy("doc_id")
+  }
+
+  /** Exact set-similarity join ([[graft.ops.SetJoin.jaccardJoin]]): every
+    * document pair with shingle-Jaccard ≥ 0.6, found by prefix filtering
+    * (lossless — no LSH recall loss) and verified exactly. The oracle
+    * computes ground truth brute-force (token equi-join over ALL pairs),
+    * so any candidate the prefix filter misses, any extra pair, or any
+    * off-by-one in the integer basis points hash-mismatches. */
+  val q95JaccardJoin: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    graft.ops.SetJoin.jaccardJoin(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** BM25 ranked retrieval ([[graft.ops.Bm25]]): top-50 documents for a
+    * 4-term query. Model (N, T, per-term df→idf) is one aggregation
+    * collected as bytes; scoring is a map-only codegen pass into
+    * TakeOrderedAndProject. The exact-rational formulation (decimal
+    * `div`, 1e-8-unit idf) makes the entire ranking — scores included —
+    * a full value oracle. */
+  val q96Bm25TopK: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val model = graft.ops.Bm25.fit(docs, "text",
+      Seq("vector", "hash", "spark", "window"))
+    graft.ops.Bm25.topK(docs, "doc_id", "text", model, 50)
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1830,5 +1988,9 @@ object DataOpsQueries {
     "q90_gopher_rules" -> q90GopherRules,
     "q91_pq_codes" -> q91PqCodes,
     "q92_ivf_pq" -> q92IvfPq,
+    "q93_dsir_select" -> q93DsirSelect,
+    "q94_overlap_score" -> q94OverlapScore,
+    "q95_jaccard_join" -> q95JaccardJoin,
+    "q96_bm25_topk" -> q96Bm25TopK,
   )
 }
