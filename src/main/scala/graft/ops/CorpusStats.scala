@@ -273,4 +273,46 @@ object CorpusStats {
       .otherwise(array().cast("array<string>"))
     docs.select(explode(pairs).as("pair"))
   }
+
+  /** CCNet-style perplexity banding (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * per LANGUAGE, rank documents by model perplexity and split into
+    * head/middle/tail terciles — the standard quality partition a crawl
+    * pipeline stores next to each document. The "model" here is the
+    * per-language unigram distribution of the corpus itself (the
+    * [[unigramLogProb]] proxy, per-language): average per-token log-prob
+    * in exact integer 1e-8 units, higher = less perplexing = head.
+    *
+    * Scale shape: per-language token frequencies are a vocab-sized
+    * aggregation; the per-doc score is the q83 join-aggregate (shuffle ∝
+    * distinct (lang, doc, token)); the tercile is one ntile window per
+    * language partition (the q82 rank-family shape). The average uses
+    * `div` (truncate-toward-zero) — exactly DuckDB's `//` on the
+    * NEGATIVE sums: both engines truncate, so the integer averages agree
+    * bit-for-bit (mixing floor and truncate semantics would disagree on
+    * almost every document). */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val docTok = docs
+      .select(col(idCol), col(langCol),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col(langCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val freq = docTok.groupBy(langCol, "tok").agg(sum(col("c")).as("cnt"))
+    val totals = freq.groupBy(langCol).agg(sum(col("cnt")).as("total"))
+    val lp = freq.join(totals, langCol)
+      .select(col(langCol), col("tok"),
+        round(round(log(col("cnt").cast("double") / col("total").cast("double")), 8)
+          * 1e8, 0).cast("long").as("lp_x1e8"))
+    val perDoc = docTok.join(lp, Seq(langCol, "tok"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("lp_x1e8")).as("s"))
+      .select(col(idCol), col(langCol),
+        expr("s div n").as("avg_lp_x1e8"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(desc("avg_lp_x1e8"), col(idCol))
+    perDoc.withColumn("ppl_band",
+      element_at(array(lit("head"), lit("middle"), lit("tail")),
+        ntile(3).over(w)))
+  }
 }

@@ -88,4 +88,46 @@ object Curation {
     val losers = Dedup.nearDupLosers(pairs).select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Deterministic mixture rebalancing: downsample each domain so the
+    * surviving corpus approximates target proportions (the data-mixing
+    * step of every multi-source training recipe — e.g. the re-weighted
+    * source mixtures of GPT-3/Pile-style training sets). The largest
+    * feasible total is taken: `K = min_d ⌊n_d·10000 / target_bp_d⌋`
+    * (the scarcest domain is kept whole, the rest are thinned).
+    *
+    * Selection is per-row Bernoulli(rate_d) on the seeded Knuth hash of
+    * the NUMERIC id ([[Sampling.seededKnuth]] — seed 0 is the plain
+    * `id·2654435761 mod 2^31` the other sampling ops use; a nonzero
+    * seed rotates the id ring by a large constant first, so membership
+    * genuinely reshuffles): `h < thr_d`. At scale this is ONE map-only
+    * filter with
+    * a literal per-domain threshold map: no shuffle, no per-domain pass,
+    * shard-order-independent, reproducible, and replayable in external
+    * SQL (the threshold is the exact integer `⌈rate_d·2^31⌉`, computed
+    * in BigInt — no float anywhere). Achieved counts are
+    * Binomial(n_d, rate_d) — proportions converge at corpus scale (the
+    * spec pins tolerance). */
+  def mixtureBalance(docs: DataFrame, idCol: String, domainCol: String,
+      targetBp: Map[String, Int], seed: Int = 0): DataFrame = {
+    require(targetBp.nonEmpty && targetBp.values.forall(_ > 0),
+      "every target share must be positive")
+    require(targetBp.values.sum == 10000, "target shares must sum to 10000 bp")
+    val counts = docs.groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targetBp.keySet == counts.keySet,
+      s"targets must cover exactly the domains present: ${counts.keySet}")
+    val p2 = 2147483648L // 2^31: the Knuth hash range is [0, 2^31)
+    val k = targetBp.map { case (d, t) => counts(d) * 10000L / t }.min
+    // accept iff h·10000·n_d < t_d·K·2^31  ⟺  h < thr_d (exact BigInt)
+    val thresholds = targetBp.map { case (d, t) =>
+      val rhs = BigInt(t) * k * p2
+      val den = BigInt(10000) * counts(d)
+      d -> (((rhs - 1) / den) + 1).min(p2).toLong
+    }
+    val thrCol = element_at(
+      map(thresholds.toSeq.flatMap { case (d, t) =>
+        Seq(lit(d), lit(t)) }: _*), col(domainCol))
+    docs.filter(Sampling.seededKnuth(col(idCol), seed) < thrCol)
+  }
 }

@@ -126,4 +126,33 @@ object Dsir {
     docs.select(col(idCol), score(model, col(textCol)).as("weight_x1e8"))
       .orderBy(desc("weight_x1e8"), col(idCol))
       .limit(k)
+
+  /** Importance RESAMPLING — the DSIR paper's actual selection rule
+    * (sample ∝ exp(weight), without replacement) rather than the
+    * deterministic arg-top-k of [[selectTop]]: top-k by
+    * `weight + Gumbel` (the Gumbel-max trick — adding iid Gumbel(0,1)
+    * noise to log-weights and taking the arg-max draws from the softmax;
+    * top-k without replacement, Vieira 2014). Selection stays diverse
+    * instead of collapsing onto near-identical max-weight documents.
+    *
+    * The noise is PSEUDO-random from the seeded Knuth hash of the
+    * NUMERIC document id ([[Sampling.seededKnuth]] — uniform on
+    * [0, 2^31), a bijection on ids, seed-rotated; unlike a short-string
+    * rolling hash it has no small-value bias), then
+    * `u = (h+1)/(2^31+1) ∈ (0,1)`, `g = −ln(−ln u)` — reproducible
+    * run-to-run, shard-order-independent, and replayable in external SQL
+    * (same 8-decimal 1e-8-unit rounding as the weights). Still one
+    * map-only pass → TakeOrderedAndProject. */
+  def resampleTop(docs: DataFrame, idCol: String, textCol: String,
+      model: Array[Long], k: Int, seed: Int = 0): DataFrame = {
+    val h = Sampling.seededKnuth(col(idCol), seed)
+    // u ∈ (0, 1) strictly: both logs finite
+    val u = (h + 1L).cast("double") / lit(2147483649.0)
+    val gumbel = round(round(-log(-log(u)), 8) * 1e8, 0).cast("long")
+    docs.select(col(idCol), score(model, col(textCol)).as("weight_x1e8"),
+        gumbel.as("gumbel_x1e8"))
+      .withColumn("key_x1e8", col("weight_x1e8") + col("gumbel_x1e8"))
+      .orderBy(desc("key_x1e8"), col(idCol))
+      .limit(k)
+  }
 }

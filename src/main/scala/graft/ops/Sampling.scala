@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Seeded Knuth uniform on [0, 2^31): seed 0 is exactly the plain
+    * `id·2654435761 mod 2^31` the sampling/sharding ops use (so external
+    * replays stay one multiply), and a nonzero seed first rotates the id
+    * ring by `S = seed·2654435761 mod 2^31` — a large constant, so the
+    * below-threshold membership set genuinely reshuffles between seeds
+    * (adding small per-id offsets would not). Pre-reducing `id + S` mod
+    * 2^31 keeps the product under 2^62 (ANSI-overflow-safe); the odd
+    * multiplier keeps the map a bijection on [0, 2^31). */
+  def seededKnuth(idCol: org.apache.spark.sql.Column,
+      seed: Int): org.apache.spark.sql.Column = {
+    val p2 = 2147483648L
+    val s = (BigInt(seed) * 2654435761L).mod(BigInt(p2)).toLong
+    val rotated = if (s == 0L) idCol else pmod(idCol + lit(s), lit(p2))
+    pmod(rotated * lit(2654435761L), lit(p2))
+  }
+
   /** Per-stratum Bernoulli sampling: keep each row of stratum `s` with
     * probability `fractions(s)` (strata absent from the map are dropped).
     * Seeded and partition-parallel — each task filters its own rows, no

@@ -272,6 +272,58 @@ object DataOpsQueries {
         |SELECT g.doc_id, CAST(SUM(w.w) AS BIGINT) AS weight_x1e8
         |FROM g JOIN w ON g.b = w.b GROUP BY 1
         |ORDER BY weight_x1e8 DESC, doc_id LIMIT 50""".stripMargin,
+    // q93's weight pipeline + the Gumbel-max resampling key: seeded Knuth
+    // hash h=(id*2654435761)%2^31, u=(h+1)/(2^31+1), g=-ln(-ln u) in
+    // 1e-8 units
+    "q97_dsir_resample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |uni AS (SELECT doc_id, lang, UNNEST(tk) AS g FROM t),
+        |bi AS (SELECT doc_id, lang, l || ' ' || r AS g FROM (
+        |  SELECT doc_id, lang, tok AS l,
+        |    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY i) AS r
+        |  FROM (SELECT doc_id, lang, UNNEST(tk) AS tok,
+        |        UNNEST(range(1, len(tk) + 1)) AS i FROM t))
+        |  WHERE r IS NOT NULL),
+        |g AS (SELECT doc_id, lang,
+        |  list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(g, '')],
+        |    (h, c) -> (h * 31 + c) % 2147483647) % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM g WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, COUNT(*) AS cr FROM g GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(ct) FROM tc) AS nt,
+        |               (SELECT SUM(cr) FROM rc) AS nr),
+        |w AS (SELECT rc.b,
+        |  CAST(ROUND(ROUND(
+        |    LN(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+        |    - LN(CAST(rc.cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+        |sc AS (SELECT g.doc_id, CAST(SUM(w.w) AS BIGINT) AS weight_x1e8
+        |  FROM g JOIN w ON g.b = w.b GROUP BY 1),
+        |k AS (SELECT doc_id, weight_x1e8,
+        |  CAST(ROUND(ROUND(-LN(-LN(
+        |    CAST((doc_id * 2654435761) % 2147483648 + 1 AS DOUBLE) / 2147483649)),
+        |    8) * 1e8, 0) AS BIGINT) AS gumbel_x1e8
+        |  FROM sc)
+        |SELECT doc_id, weight_x1e8, gumbel_x1e8,
+        |  weight_x1e8 + gumbel_x1e8 AS key_x1e8
+        |FROM k ORDER BY key_x1e8 DESC, doc_id LIMIT 50""".stripMargin,
+    // mixture-rebalance replay: K = min feasible total, per-domain
+    // Bernoulli via the same Knuth hash, HUGEINT cross-multiply instead
+    // of Spark's precomputed BigInt thresholds (equivalent:
+    // h < thr ⟺ h·10000·n_d < t_d·K·2^31)
+    "q98_mixture_balance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |tgt AS (SELECT * FROM (VALUES ('en', 4000), ('de', 1500), ('es', 1500),
+        |  ('fr', 1500), ('zh', 1500)) t(lang, bp)),
+        |k AS (SELECT MIN(c.n * 10000 // tgt.bp) AS k FROM c JOIN tgt USING (lang)),
+        |sel AS (SELECT d.lang, (d.doc_id * 2654435761) % 2147483648 AS h
+        |  FROM documents d)
+        |SELECT c.lang, CAST(c.n AS BIGINT) AS n_total,
+        |  CAST(COUNT(CASE WHEN CAST(s.h AS HUGEINT) * 10000 * c.n
+        |    < CAST(t.bp AS HUGEINT) * k.k * 2147483648 THEN 1 END) AS BIGINT) AS n_selected
+        |FROM sel s JOIN c ON s.lang = c.lang JOIN tgt t ON s.lang = t.lang, k
+        |GROUP BY c.lang, c.n ORDER BY c.lang""".stripMargin,
     // graded decontamination replay: eval set = first-12-token prefixes
     // of every 97th doc, 3-token shingles as rolling-hash fingerprints,
     // per-doc distinct-shingle hit fraction in integer basis points
@@ -344,6 +396,52 @@ object DataOpsQueries {
         |  AS BIGINT) AS score_x1e8
         |FROM d, w
         |ORDER BY score_x1e8 DESC, doc_id LIMIT 50""".stripMargin,
+    // token-budget selection ground truth by the WINDOW formulation
+    // (global cumsum over (weight desc, id)) — the engine's
+    // histogram-cutoff algorithm must reproduce it exactly; quality
+    // score and token count replay the q68/q22 formulas
+    "q99_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN ntok BETWEEN 20 AND 1000 THEN 40 WHEN ntok BETWEEN 5 AND 19 THEN 20 ELSE 0 END)
+        |    + (CASE WHEN nstop * 10 >= ntok THEN 30 WHEN nstop > 0 THEN 15 ELSE 0 END)
+        |    + (CASE WHEN npunct * 4 <= nlen THEN 30 ELSE 0 END) AS weight,
+        |    ntok AS n_tokens
+        |  FROM (
+        |    SELECT doc_id, LENGTH(text) AS nlen,
+        |      CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |        ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS ntok,
+        |      LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+        |        w -> w IN ('the','a','an','and','of','to','in','is','it','for'))) AS nstop,
+        |      LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\p{P}\p{S}]', '', 'g')) AS npunct
+        |    FROM documents)),
+        |b AS (SELECT 3 * SUM(n_tokens) // 10 AS budget FROM d),
+        |c AS (SELECT doc_id, weight, n_tokens, SUM(n_tokens) OVER (
+        |  ORDER BY weight DESC, doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM c, b WHERE cum <= budget
+        |ORDER BY weight DESC, doc_id""".stripMargin,
+    // CCNet band replay: per-lang unigram model, exact integer floored
+    // average ('//' floors negatives — the engine matches via the pmod
+    // identity), same deterministic ntile order
+    "q100_ccnet_bands" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+        |f AS (SELECT lang, tok, SUM(c) AS cnt FROM dt GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(cnt) AS total FROM f GROUP BY 1),
+        |lp AS (SELECT f.lang, f.tok,
+        |  CAST(ROUND(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS lp
+        |  FROM f JOIN tot ON f.lang = tot.lang),
+        |pd AS (SELECT dt.doc_id, dt.lang, SUM(dt.c) AS n, SUM(dt.c * lp.lp) AS s
+        |  FROM dt JOIN lp ON dt.lang = lp.lang AND dt.tok = lp.tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, lang, CAST(s // n AS BIGINT) AS avg_lp_x1e8 FROM pd)
+        |SELECT doc_id, lang, avg_lp_x1e8,
+        |  ['head','middle','tail'][NTILE(3) OVER (
+        |    PARTITION BY lang ORDER BY avg_lp_x1e8 DESC, doc_id)] AS ppl_band
+        |FROM a ORDER BY doc_id""".stripMargin,
     // replays the Gopher rule battery: same plants, same integer flag
     // arithmetic ('//' floors like Spark's truncate — all counts positive)
     "q90_gopher_rules" ->
@@ -1931,6 +2029,58 @@ object DataOpsQueries {
     graft.ops.Bm25.topK(docs, "doc_id", "text", model, 50)
   }
 
+  /** DSIR importance RESAMPLING ([[graft.ops.Dsir.resampleTop]]): the
+    * paper's Gumbel-max draw from softmax(weights) — seeded-hash noise,
+    * so the sample is reproducible AND fully value-oracled (weights,
+    * noise, and keys all replay in external SQL). Same one-pass map-only
+    * plan as q93. */
+  val q97DsirResample: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val model = graft.ops.Dsir.importanceModel(
+      docs.filter(col("lang") === "en"), docs, "text")
+    graft.ops.Dsir.resampleTop(docs, "doc_id", "text", model, k = 50)
+  }
+
+  /** Mixture rebalancing ([[graft.ops.Curation.mixtureBalance]]): thin
+    * the skewed-by-language corpus toward a 40/15/15/15/15 target mix.
+    * Output is the per-domain (total, selected) table — every selected
+    * count replays exactly in SQL from the same seeded fingerprints, so
+    * the whole Bernoulli draw is value-oracled. */
+  val q98MixtureBalance: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val sel = graft.ops.Curation.mixtureBalance(docs, "doc_id", "lang",
+      Map("en" -> 4000, "de" -> 1500, "es" -> 1500, "fr" -> 1500, "zh" -> 1500))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(sel.groupBy("lang").agg(count(lit(1)).as("n_selected")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+      .orderBy("lang")
+  }
+
+  /** Token-budget selection ([[graft.ops.BudgetSelect.selectByBudget]]):
+    * the best documents by quality score until 30% of the corpus's
+    * tokens are spent. The engine runs the histogram-cutoff algorithm
+    * (no global sort); the oracle replays the equivalent window cumsum —
+    * two algorithms, one exact answer. */
+  val q99BudgetSelect: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val tok = graft.ops.TextOps.tokenCount(col("text"))
+    val total = docs.agg(sum(tok.cast("long"))).head().getLong(0)
+    graft.ops.BudgetSelect.selectByBudget(docs, "doc_id",
+      graft.ops.TextOps.qualityScore(col("text")), tok, total * 3 / 10)
+      .orderBy(desc("weight"), col("doc_id"))
+  }
+
+  /** CCNet perplexity banding ([[graft.ops.CorpusStats.ccnetBuckets]]):
+    * head/middle/tail terciles per language by exact integer per-token
+    * log-prob — a full value oracle over every doc, band labels
+    * included. */
+  val q100CcnetBands: Q = (s, dir) =>
+    graft.ops.CorpusStats.ccnetBuckets(
+      load(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -1992,5 +2142,9 @@ object DataOpsQueries {
     "q94_overlap_score" -> q94OverlapScore,
     "q95_jaccard_join" -> q95JaccardJoin,
     "q96_bm25_topk" -> q96Bm25TopK,
+    "q97_dsir_resample" -> q97DsirResample,
+    "q98_mixture_balance" -> q98MixtureBalance,
+    "q99_budget_select" -> q99BudgetSelect,
+    "q100_ccnet_bands" -> q100CcnetBands,
   )
 }

@@ -205,6 +205,20 @@ object Streams {
       weightPct: org.apache.spark.sql.Column): DataFrame =
     docs.filter(graft.ops.Sampling.keepByWeight(col(idCol), weightPct))
 
+  /** Stateless streaming DSIR scoring — the continuous-ingest twin of
+    * [[graft.ops.Dsir.score]] (q93): score each arriving document
+    * against a PRE-TRAINED importance model (built batch-side over the
+    * reference corpora, embedded as a literal — models are corpus-level
+    * artifacts, not per-batch state). Pure per-row expression: no state
+    * store, no watermark, replayed micro-batches score identically, and
+    * the weights equal the batch operator's on the same rows
+    * (StreamingSpec pins the law). Thresholding the weight composes as
+    * a plain filter for continuous-ingest data selection. */
+  def dsirScoreStream(docs: DataFrame, idCol: String, textCol: String,
+      model: Array[Long]): DataFrame =
+    docs.select(col(idCol),
+      graft.ops.Dsir.score(model, col(textCol)).as("weight_x1e8"))
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

@@ -112,4 +112,85 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(math.abs(kept - n / 2) <= 4 * math.sqrt(n / 4.0) + 4,
       s"kept $kept of $n at weight 50")
   }
+
+  test("ccnetBuckets: per-lang terciles, rank by avg log-prob, truncating division") {
+    import spark.implicits._
+    // lang A: 9 docs — 3 fluent (common tokens), 3 mixed, 3 gibberish
+    // (hapax tokens). lang B: its own vocabulary, 3 docs.
+    val rows =
+      (0L until 3L).map(i => (i, "the cat sat on the mat", "A")) ++
+      (3L until 6L).map(i => (i, s"the cat zz$i on the mat", "A")) ++
+      (6L until 9L).map(i => (i, s"qq$i ww$i ee$i rr$i tt$i yy$i", "A")) ++
+      (9L until 12L).map(i => (i, s"alpha beta gamma delta num$i", "B"))
+    val out = CorpusStats.ccnetBuckets(rows.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    // terciles per lang: 9 A-docs → 3 per band; fluent docs are head,
+    // gibberish is tail
+    assert((0L until 3L).forall(out(_)._3 == "head"), out)
+    assert((3L until 6L).forall(out(_)._3 == "middle"), out)
+    assert((6L until 9L).forall(out(_)._3 == "tail"), out)
+    // B is banded independently of A's scores
+    assert((9L until 12L).map(out(_)._3).toSet == Set("head", "middle", "tail"))
+    // truncating-division law on negative sums (Spark div == DuckDB //
+    // == JVM Long division): avg is exactly s/n toward zero
+    val perDoc = CorpusStats.unigramLogProb(
+      rows.filter(_._3 == "A").toDF("doc_id", "text", "lang")
+        .filter(col("lang") === "A"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // (language A's unigram model over only-A rows == per-lang model)
+    for ((id, (n, s)) <- perDoc) {
+      assert(out(id)._2 == s / n, s"doc $id: avg ${out(id)._2} != $s/$n")
+      assert(s < 0, "log-probs must be negative for this law to bite")
+    }
+  }
+
+  test("mixtureBalance: achieved shares track targets, scarce domain kept whole") {
+    import spark.implicits._
+    // skewed corpus: 30k of A, 10k of B; target an even 50/50 split
+    val skewed = ((0L until 30000L).map(i => (i, "A")) ++
+      (30000L until 40000L).map(i => (i, "B"))).toDF("doc_id", "dom")
+    val sel = Curation.mixtureBalance(skewed, "doc_id", "dom",
+      Map("A" -> 5000, "B" -> 5000))
+    val byDom = sel.groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // B is the scarce domain (feasible total K = 20000): kept whole
+    assert(byDom("B") == 10000L, byDom)
+    // A thinned at rate 1/3: Binomial(30000, 1/3), ±5σ ≈ ±408
+    assert(math.abs(byDom("A") - 10000L) <= 410, byDom)
+  }
+
+  test("mixtureBalance: deterministic, a subset, and validates its inputs") {
+    import spark.implicits._
+    val df = ((0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "x" else "y"))).toDF("doc_id", "dom")
+    val t = Map("x" -> 5000, "y" -> 5000)
+    def ids() = Curation.mixtureBalance(df, "doc_id", "dom", t)
+      .select("doc_id").as[Long].collect().toSet
+    val got = ids()
+    assert(got == ids(), "same seed must select the same rows")
+    assert(got.subsetOf((0L until 600L).toSet))
+    val seeded = Curation.mixtureBalance(df, "doc_id", "dom", t, seed = 9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(seeded != got, "a different seed must draw a different subset")
+    intercept[IllegalArgumentException] { // shares must sum to 10000
+      Curation.mixtureBalance(df, "doc_id", "dom", Map("x" -> 1, "y" -> 2))
+    }
+    intercept[IllegalArgumentException] { // domain set must match exactly
+      Curation.mixtureBalance(df, "doc_id", "dom",
+        Map("x" -> 5000, "z" -> 5000))
+    }
+  }
+
+  test("mixtureBalance selection is one map-only filter (no exchange)") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"d${i % 2}")).toDF("doc_id", "dom")
+    val plan = Curation.mixtureBalance(df, "doc_id", "dom",
+      Map("d0" -> 5000, "d1" -> 5000)).queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(nodes)
+    assert(!nodes(plan).map(_.nodeName).exists(_.contains("Exchange")))
+  }
 }

@@ -79,6 +79,47 @@ class DsirSpec extends AnyFunSuite {
     assert(!names.exists(_.contains("Exchange")), names)
   }
 
+  test("resample: top-k by (weight + seeded Gumbel), exactly the manual result") {
+    val df = corpus()
+    val model = Dsir.importanceModel(
+      df.filter(col("kind") === "tgt"), df, "text", buckets = 256)
+    val got = Dsir.resampleTop(df, "doc_id", "text", model, 6, seed = 7)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // law: key = weight + gumbel, ordered desc with id tiebreak
+    got.foreach { case (_, w, g, k) => assert(k == w + g) }
+    assert(got == got.sortBy { case (id, _, _, k) => (-k, id) })
+    // manual: full scored set, take 6 by the same key
+    val full = Dsir.resampleTop(df, "doc_id", "text", model, 100, seed = 7)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == full.take(6))
+  }
+
+  test("resample: deterministic per seed, seeds perturb the noise") {
+    val df = corpus()
+    val model = Dsir.importanceModel(
+      df.filter(col("kind") === "tgt"), df, "text", buckets = 256)
+    def run(seed: Int) = Dsir.resampleTop(df, "doc_id", "text", model, 16, seed)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(run(1) == run(1))
+    val g1 = run(1).map(r => r._1 -> r._3).toMap
+    val g2 = run(2).map(r => r._1 -> r._3).toMap
+    assert(g1.keySet.exists(id => g2.contains(id) && g1(id) != g2(id)),
+      "different seeds must draw different Gumbel noise")
+  }
+
+  test("resample plan is map-only: TakeOrderedAndProject, no exchange") {
+    val df = corpus()
+    val model = Dsir.importanceModel(
+      df.filter(col("kind") === "tgt"), df, "text", buckets = 256)
+    val plan = Dsir.resampleTop(df, "doc_id", "text", model, 5)
+      .queryExecution.executedPlan
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(collectNodes)
+    val names = collectNodes(plan).map(_.nodeName)
+    assert(names.exists(_.contains("TakeOrderedAndProject")), names)
+    assert(!names.exists(_.contains("Exchange")), names)
+  }
+
   test("grams: unigrams plus adjacent bigrams, single-token doc degrades") {
     val got = Seq(("a b c", 1)).toDF("t", "i")
       .select(Dsir.grams(col("t")).as("g")).as[Seq[String]].head()

@@ -287,6 +287,69 @@ class ScaleSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("budget-select scale drill: 1M rows, histogram cutoff equals the window formulation") {
+    import spark.implicits._
+    val n = 1000000L
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      pmod(col("id") * 2654435761L, lit(101L)).as("w"),
+      (pmod(col("id") * 48271L, lit(200L)) + 1L).as("t"))
+    val total = base.agg(sum("t")).head().getLong(0)
+    val budget = total / 4
+    val got = BudgetSelect.selectByBudget(base, "doc_id", col("w"), col("t"), budget)
+    // the histogram algorithm never sorts the corpus; equality with the
+    // window-cumsum definition is asserted on aggregate invariants (the
+    // exact row-set equality is BudgetSelectSpec's job at small n):
+    // total selected tokens ≤ budget, and greedily maximal — adding the
+    // smallest unselected (weight, id) row would overflow
+    val stats = got.agg(sum("n_tokens").as("sel_tokens"),
+      count(lit(1)).as("sel_rows"), min("weight").as("w_min")).head()
+    assert(stats.getLong(0) <= budget)
+    val wmin = stats.getLong(2)
+    // every row with weight > w_min is selected (prefix property)
+    val above = base.filter(col("w") > wmin).count()
+    val aboveSel = got.filter(col("weight") > wmin).count()
+    assert(above == aboveSel, s"prefix property violated at w > $wmin")
+    // maximality: the next id in the w_min bucket would overflow
+    val selMinIds = got.filter(col("weight") === wmin)
+      .agg(max("doc_id")).head()
+    val nextTokens = base.filter(col("w") === wmin &&
+        (if (selMinIds.isNullAt(0)) lit(true)
+         else col("doc_id") > selMinIds.getLong(0)))
+      .orderBy("doc_id").limit(1).select("t").as[Long].collect()
+    nextTokens.headOption.foreach(t =>
+      assert(stats.getLong(0) + t > budget, "selection not maximal"))
+    OpCaches.releaseAll()
+  }
+
+  test("prefix-filter exact join scale drill: 60k docs, boilerplate generates zero candidates") {
+    import spark.implicits._
+    // every doc: 8 ubiquitous header tokens (df = 60k — the LSH drills
+    // need an explicit cap for exactly this shape), 12 class-shared mid
+    // tokens (df = 1.2k), 4 unique tail tokens (df = 1). Rare-first prefix
+    // selection puts ONLY the unique tail shingles in each doc's prefix,
+    // so the frequent shingles never generate a single candidate pair —
+    // no cap needed, and the join stays EXACT. Twins (id ≡ 9 mod 10
+    // copy id−1 plus one token, J ≈ 22/24) are the planted ground truth.
+    val n = 60000L
+    val baseId = when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
+    val mid = concat_ws(" ", (0 until 12).map(j =>
+      concat(lit(s"m${j}_"), pmod(baseId, lit(50L)).cast("string"))): _*)
+    val tail = concat_ws(" ", Seq("ua", "ub", "uc", "ud").map(p =>
+      concat(lit(p), baseId.cast("string"))): _*)
+    val text0 = concat_ws(" ",
+      lit("common header present in absolutely every synthetic document"),
+      mid, tail)
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 9, concat(text0, lit(" twin")))
+        .otherwise(text0).as("text"))
+    val got = SetJoin.jaccardJoin(docs, "doc_id", "text", 3, 8000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val twins = (0L until n).filter(_ % 10 == 9).map(i => (i - 1, i)).toSet
+    assert(got == twins,
+      s"got ${got.size} pairs, expected exactly the ${twins.size} twins")
+    OpCaches.releaseAll()
+  }
+
   /** Min-shingle (single-permutation) bucketing under the same 1M-doc
     * skew: the candidate count the pair join WOULD produce is Σ C(s,2)
     * over surviving buckets, computable from the bucket profile without

@@ -281,6 +281,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming DSIR scoring matches the batch weights, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.Dsir
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = Dsir.importanceModel(
+      docs.filter(col("lang") === "en"), docs, "text")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows ++ rows) // the retry/replay duplicate shape
+    val scored = Streams.dsirScoreStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = scored.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dsir_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batch = docs.select(col("doc_id"),
+      Dsir.score(model, col("text")).as("weight_x1e8"))
+    val streamed = spark.table("dsir_stream")
+    // every (id, weight) row appears exactly twice with identical weights
+    assert(streamed.count() == 2 * batch.count())
+    assert(streamed.distinct().except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
