@@ -110,24 +110,96 @@ object Curation {
     * spec pins tolerance). */
   def mixtureBalance(docs: DataFrame, idCol: String, domainCol: String,
       targetBp: Map[String, Int], seed: Int = 0): DataFrame = {
+    val counts = docs.groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    applyMixtureThresholds(docs, idCol, domainCol,
+      mixtureThresholds(counts, targetBp), seed)
+  }
+
+  /** The exact per-domain acceptance thresholds [[mixtureBalance]]
+    * filters with, from observed domain counts — exposed so a daily
+    * pipeline can compute them ONCE on the reference day and re-apply
+    * them statelessly (see `streaming/Streams.mixtureBalanceStream`).
+    * Accept iff `h·10000·n_d < t_d·K·2^31 ⟺ h < thr_d` (exact BigInt). */
+  def mixtureThresholds(counts: Map[String, Long],
+      targetBp: Map[String, Int]): Map[String, Long] = {
     require(targetBp.nonEmpty && targetBp.values.forall(_ > 0),
       "every target share must be positive")
     require(targetBp.values.sum == 10000, "target shares must sum to 10000 bp")
-    val counts = docs.groupBy(domainCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(targetBp.keySet == counts.keySet,
       s"targets must cover exactly the domains present: ${counts.keySet}")
     val p2 = 2147483648L // 2^31: the Knuth hash range is [0, 2^31)
     val k = targetBp.map { case (d, t) => counts(d) * 10000L / t }.min
-    // accept iff h·10000·n_d < t_d·K·2^31  ⟺  h < thr_d (exact BigInt)
-    val thresholds = targetBp.map { case (d, t) =>
+    targetBp.map { case (d, t) =>
       val rhs = BigInt(t) * k * p2
       val den = BigInt(10000) * counts(d)
       d -> (((rhs - 1) / den) + 1).min(p2).toLong
     }
-    val thrCol = element_at(
+  }
+
+  /** The map-only selection filter of [[mixtureBalance]] for a
+    * precomputed threshold map (rows of unlisted domains are dropped —
+    * a threshold of 0). */
+  def applyMixtureThresholds(docs: DataFrame, idCol: String,
+      domainCol: String, thresholds: Map[String, Long],
+      seed: Int = 0): DataFrame = {
+    val thrCol = coalesce(element_at(
       map(thresholds.toSeq.flatMap { case (d, t) =>
-        Seq(lit(d), lit(t)) }: _*), col(domainCol))
+        Seq(lit(d), lit(t)) }: _*), col(domainCol)), lit(0L))
     docs.filter(Sampling.seededKnuth(col(idCol), seed) < thrCol)
+  }
+
+  /** Epoch mixing for data-constrained training (Muennighoff et al.,
+    * "Scaling Data-Constrained Language Models", NeurIPS 2023): when the
+    * token budget EXCEEDS the corpus, domains are repeated — each domain
+    * gets `e_d = min(maxEpochs, ⌊B_d/T_d⌋)` full epochs (`B_d` its
+    * budget share, `T_d` its token mass) plus a deterministically
+    * sampled PARTIAL epoch covering the remaining `B_d − e_d·T_d`
+    * tokens. Returns one row per (document, epoch) with `epoch`
+    * 1-based — the materialized training-set manifest.
+    *
+    * Scale shape: one aggregation collects per-domain token masses
+    * (#domains rows); the repeat is a map-only `explode(sequence)` with
+    * literal per-domain epoch counts — fan-out happens at read time,
+    * nothing is shuffled; the partial epoch is the [[mixtureBalance]]
+    * Bernoulli filter (exact BigInt thresholds on the seeded Knuth
+    * hash — partial-epoch token mass is binomial around the residual,
+    * exact in expectation). Fully replayable in external SQL. */
+  def epochMix(docs: DataFrame, idCol: String, domainCol: String,
+      tokensCol: Column, targetBp: Map[String, Int], totalBudget: Long,
+      maxEpochs: Int, seed: Int = 0): DataFrame = {
+    require(targetBp.nonEmpty && targetBp.values.forall(_ > 0),
+      "every target share must be positive")
+    require(targetBp.values.sum == 10000, "target shares must sum to 10000 bp")
+    require(totalBudget >= 0 && maxEpochs >= 1)
+    val masses = docs.groupBy(domainCol)
+      .agg(sum(tokensCol.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targetBp.keySet == masses.keySet,
+      s"targets must cover exactly the domains present: ${masses.keySet}")
+    val p2 = 2147483648L
+    val plan = targetBp.map { case (d, bp) =>
+      val budget = BigInt(bp) * totalBudget / 10000
+      val mass = BigInt(masses(d)).max(1)
+      val full = (budget / mass).min(maxEpochs).toInt
+      val rem = if (full >= maxEpochs) BigInt(0) else budget - full * mass
+      // partial-epoch accept iff h·T_d < rem·2^31 ⟺ h < thr (exact)
+      val thr = if (rem <= 0) 0L
+        else (((rem * p2 - 1) / mass) + 1).min(BigInt(p2)).toLong
+      d -> (full, thr)
+    }
+    def domLit(f: ((Int, Long)) => Long) = element_at(
+      map(plan.toSeq.flatMap { case (d, v) =>
+        Seq(lit(d), lit(f(v))) }: _*), col(domainCol))
+    val fullCol = domLit(_._1.toLong)
+    val thrCol = domLit(_._2)
+    val h = Sampling.seededKnuth(col(idCol), seed)
+    val epochs = when(fullCol >= 1L,
+        sequence(lit(1L), fullCol)).otherwise(array().cast("array<bigint>"))
+    val withPartial = concat(epochs,
+      when(h < thrCol, array(fullCol + 1L))
+        .otherwise(array().cast("array<bigint>")))
+    docs.select(col(idCol), col(domainCol), tokensCol.cast("long")
+        .as("n_tokens"), explode(withPartial).as("epoch"))
   }
 }

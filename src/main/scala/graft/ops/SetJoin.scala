@@ -40,10 +40,13 @@ object SetJoin {
       shingleLen: Int = 3, minJaccardBp: Int = 6000): DataFrame = {
     require(minJaccardBp > 0 && minJaccardBp <= 10000,
       "minJaccardBp must be in (0, 10000]")
-    val fps = df.select(col(idCol).as("id"),
+    // persisted: the shingle hash explode feeds BOTH the df aggregation
+    // and the rarity-sort join — without the cache every fingerprint is
+    // computed twice
+    val fps = OpCaches.persist(df.select(col(idCol).as("id"),
       explode(array_distinct(transform(
         TextOps.wordShingles(col(textCol), shingleLen),
-        s => TextOps.fingerprint(s)))).as("fp"))
+        s => TextOps.fingerprint(s)))).as("fp")))
     // global document frequency — the shared rarity order
     val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("dfq"))
     // per-doc fingerprints sorted rare-first; referenced by the prefix

@@ -170,6 +170,41 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("vq")).as("sum_q"))
   }
 
+  /** LAION/DataComp-style embedding quality filter: keep vectors whose
+    * cosine to the centroid of a curated SEED set clears a threshold —
+    * the "does this look like known-good data" gate large multimodal
+    * corpora are actually filtered with (Schuhmann et al., LAION-5B,
+    * NeurIPS 2022 used CLIP-score thresholds the same way).
+    *
+    * Scale shape (the [[graft.ops.Dsir]]/[[graft.ops.Bm25]] pattern):
+    * the MODEL is one aggregation over the seed set — per-dim
+    * fixed-point sums ([[groupCentroidFixedPoint]]'s exact
+    * order-independent idiom), `dims` rows collected once; SCORING is a
+    * map-only codegen pass (centroid rides as a literal array into
+    * [[cosine]]'s native dot) ending in a filter — scoring 100 TB of
+    * vectors is exactly one read.
+    *
+    * Determinism: the centroid is derived from exact integer sums by one
+    * IEEE division per dim, and the cosine is the [[dot]] sequential
+    * fold — every surviving row's score replays bit-for-bit in external
+    * SQL (no tolerance anywhere). */
+  def embedQualityFilter(vectors: DataFrame, idCol: String, vecCol: String,
+      seed: DataFrame, dims: Int, minCosine: Double,
+      qBits: Int = 20): DataFrame = {
+    registerNatives(vectors)
+    val scale = (1L << qBits).toDouble
+    val cent = groupCentroidFixedPoint(
+        seed.select(lit(0).as("g"), col(vecCol)), "g", vecCol, dims, qBits)
+      .select(col("dim"), (col("sum_q").cast("double") /
+        (col("n").cast("double") * scale)).as("cv"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(cent.size == dims, s"seed set covers ${cent.size}/$dims dims")
+    val centLit = array((0 until dims).map(d => lit(cent(d))): _*)
+    vectors
+      .select(col(idCol), cosine(col(vecCol), centLit).as("cosine_sim"))
+      .filter(col("cosine_sim") >= minCosine)
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/serving format
     * for embeddings at corpus scale (4× smaller than float32; dot products
     * stay integer until the final rescale). Adds `q_scale` (the vector's

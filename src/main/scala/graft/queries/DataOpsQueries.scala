@@ -423,6 +423,69 @@ object DataOpsQueries {
         |  CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM c, b WHERE cum <= budget
         |ORDER BY weight DESC, doc_id""".stripMargin,
+    // embedding-quality-filter replay: exact fixed-point seed centroid
+    // (q64 idiom), one IEEE division per dim, q26's bit-exact cosine —
+    // raw doubles compared with NO tolerance
+    "q101_embed_quality" ->
+      """WITH s AS (SELECT UNNEST(embedding) AS v, UNNEST(range(1, 65)) AS i
+        |  FROM embeddings WHERE label = 0),
+        |c AS (SELECT i, CAST(SUM(CAST(TRUNC(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+        |  / (COUNT(*) * 1048576) AS cv FROM s GROUP BY i),
+        |cent AS (SELECT LIST(cv ORDER BY i) AS cv FROM c)
+        |SELECT vec_id, list_dot_product(CAST(embedding AS DOUBLE[]), cv)
+        |  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(cv, cv))) AS cosine_sim
+        |FROM embeddings, cent
+        |WHERE list_dot_product(CAST(embedding AS DOUBLE[]), cv)
+        |  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(cv, cv))) >= 0.15
+        |ORDER BY vec_id""".stripMargin,
+    // epoch-mix replay: same integer budget/epoch arithmetic in HUGEINT,
+    // same Knuth-hash partial-epoch rule (h·T_d < rem·2^31)
+    "q103_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |      ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS nt
+        |  FROM documents),
+        |m AS (SELECT lang, SUM(nt) AS t FROM d GROUP BY 1),
+        |tot AS (SELECT 2 * SUM(nt) AS b FROM d),
+        |tgt AS (SELECT * FROM (VALUES ('en', 4000), ('de', 1500), ('es', 1500),
+        |  ('fr', 1500), ('zh', 1500)) x(lang, bp)),
+        |pl AS (SELECT m.lang, m.t,
+        |    CAST(LEAST(CAST(tgt.bp AS HUGEINT) * tot.b // 10000 // m.t, 4) AS BIGINT) AS full_e,
+        |    CAST(tgt.bp AS HUGEINT) * tot.b // 10000 AS bud
+        |  FROM m JOIN tgt USING (lang), tot),
+        |pl2 AS (SELECT lang, t, full_e,
+        |    CASE WHEN full_e >= 4 THEN 0 ELSE bud - full_e * t END AS rem FROM pl),
+        |e AS (
+        |  SELECT d.doc_id, d.lang, d.nt,
+        |    UNNEST(range(1, CAST(p.full_e AS BIGINT) + 1)) AS epoch
+        |  FROM d JOIN pl2 p USING (lang) WHERE p.full_e >= 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.nt, p.full_e + 1 AS epoch
+        |  FROM d JOIN pl2 p USING (lang)
+        |  WHERE CAST((d.doc_id * 2654435761) % 2147483648 AS HUGEINT) * p.t
+        |    < CAST(p.rem AS HUGEINT) * 2147483648)
+        |SELECT lang, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // winnowing replay: same k-gram rolling hashes, same w-window minima
+    // (DuckDB list slicing hs[i:i+7] is 1-based inclusive = 8 elements),
+    // distinct values summed per doc as an exact checksum
+    "q102_winnow" ->
+      """WITH t AS (SELECT doc_id, trim(text) AS t FROM documents),
+        |hs AS (SELECT doc_id, CASE WHEN len(t) >= 5
+        |  THEN [list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(substr(t, i, 5), '')],
+        |         (h, c) -> (h * 31 + c) % 2147483647) FOR i IN range(1, len(t) - 3)]
+        |  ELSE [list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(t, '')],
+        |         (h, c) -> (h * 31 + c) % 2147483647)] END AS hs FROM t),
+        |m AS (SELECT doc_id, UNNEST(CASE WHEN len(hs) >= 8
+        |  THEN [list_min(hs[i:i+7]) FOR i IN range(1, len(hs) - 6)]
+        |  ELSE [list_min(hs)] END) AS fp FROM hs),
+        |d AS (SELECT DISTINCT doc_id, fp FROM m)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+        |  CAST(SUM(fp) AS BIGINT) AS sum_fp
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // CCNet band replay: per-lang unigram model, exact integer floored
     // average ('//' floors negatives — the engine matches via the pmod
     // identity), same deterministic ntile order
@@ -2081,6 +2144,46 @@ object DataOpsQueries {
       load(s, dir, "documents"), "doc_id", "text", "lang")
       .orderBy("doc_id")
 
+  /** Embedding quality filter ([[graft.ops.Similarity.embedQualityFilter]]):
+    * vectors within cosine 0.15 of the label-0 seed centroid. Model is
+    * 64 collected rows; scoring is a map-only filter; every surviving
+    * (id, raw double cosine) row is compared with no tolerance. */
+  val q101EmbedQuality: Q = (s, dir) => {
+    val vecs = load(s, dir, "embeddings")
+    graft.ops.Similarity.embedQualityFilter(vecs, "vec_id", "embedding",
+      vecs.filter(col("label") === 0), dims = 64, minCosine = 0.15)
+      .orderBy("vec_id")
+  }
+
+  /** Winnowing fingerprints ([[graft.ops.TextOps.winnow]]): per-doc
+    * count and exact sum of the selected (distinct window-minimum)
+    * k-gram hashes — a full value oracle over every document's selected
+    * set. */
+  val q102Winnow: Q = (s, dir) =>
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextOps.winnow(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+        aggregate(col("fps"), lit(0L), (a, v) => a + v).as("sum_fp"))
+      .orderBy("doc_id")
+
+  /** Epoch mixing ([[graft.ops.Curation.epochMix]]): a 2×-corpus token
+    * budget across the q98 language mix, maxEpochs 4 — languages land on
+    * DIFFERENT full-epoch counts plus deterministic partial epochs. The
+    * per-(lang, epoch) doc/token roll-up is a full value oracle over the
+    * whole manifest. */
+  val q103EpochMix: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val tok = graft.ops.TextOps.tokenCount(col("text"))
+    val total = docs.agg(sum(tok.cast("long"))).head().getLong(0)
+    graft.ops.Curation.epochMix(docs, "doc_id", "lang", tok,
+      Map("en" -> 4000, "de" -> 1500, "es" -> 1500, "fr" -> 1500,
+        "zh" -> 1500), totalBudget = total * 2, maxEpochs = 4)
+      .groupBy("lang", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("lang", "epoch")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2146,5 +2249,8 @@ object DataOpsQueries {
     "q98_mixture_balance" -> q98MixtureBalance,
     "q99_budget_select" -> q99BudgetSelect,
     "q100_ccnet_bands" -> q100CcnetBands,
+    "q101_embed_quality" -> q101EmbedQuality,
+    "q102_winnow" -> q102Winnow,
+    "q103_epoch_mix" -> q103EpochMix,
   )
 }

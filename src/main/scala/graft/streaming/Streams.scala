@@ -219,6 +219,20 @@ object Streams {
     docs.select(col(idCol),
       graft.ops.Dsir.score(model, col(textCol)).as("weight_x1e8"))
 
+  /** Stateless streaming mixture rebalancing — the continuous-ingest
+    * twin of [[graft.ops.Curation.mixtureBalance]] (q98): apply the
+    * REFERENCE day's per-domain acceptance thresholds
+    * ([[graft.ops.Curation.mixtureThresholds]], computed batch-side) to
+    * arriving rows. The daily-cadence pattern: yesterday's observed mix
+    * fixes today's thinning rates; one map-only filter, no state store,
+    * replayed micro-batches keep exactly the same rows. Rows from
+    * domains absent from the threshold map are dropped (rate 0). */
+  def mixtureBalanceStream(docs: DataFrame, idCol: String,
+      domainCol: String, thresholds: Map[String, Long],
+      seed: Int = 0): DataFrame =
+    graft.ops.Curation.applyMixtureThresholds(
+      docs, idCol, domainCol, thresholds, seed)
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

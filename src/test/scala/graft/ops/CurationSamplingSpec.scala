@@ -183,6 +183,32 @@ class CurationSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("epochMix: full-epoch law, maxEpochs cap, partial epoch tracks residual") {
+    import spark.implicits._
+    // domain A: 1000 docs × 10 tokens = 10k; B: 200 docs × 10 = 2k.
+    // Budget 24k at 50/50: B_A = B_B = 12k → A: 1 full epoch + 2k
+    // partial (rate .2); B: capped at maxEpochs=4 (12k/2k = 6), no partial
+    val df = ((0L until 1000L).map(i => (i, "A")) ++
+      (1000L until 1200L).map(i => (i, "B"))).toDF("doc_id", "dom")
+      .withColumn("nt", lit(10L))
+    val out = Curation.epochMix(df, "doc_id", "dom", col("nt"),
+      Map("A" -> 5000, "B" -> 5000), totalBudget = 24000L, maxEpochs = 4)
+    val byEpoch = out.groupBy("dom", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every B doc appears in epochs 1..4 exactly; no partial 5th
+    (1L to 4L).foreach(e => assert(byEpoch(("B", e)) == 200L, byEpoch))
+    assert(!byEpoch.contains(("B", 5L)))
+    // every A doc appears in epoch 1; partial epoch 2 ≈ 200 docs
+    // (Binomial(1000, .2), ±5σ ≈ ±63)
+    assert(byEpoch(("A", 1L)) == 1000L)
+    assert(math.abs(byEpoch(("A", 2L)) - 200L) <= 65, byEpoch)
+    assert(!byEpoch.contains(("A", 3L)))
+    // per-(doc, epoch) uniqueness and determinism
+    assert(out.count() == out.distinct().count())
+    assert(out.collect().toSet == Curation.epochMix(df, "doc_id", "dom",
+      col("nt"), Map("A" -> 5000, "B" -> 5000), 24000L, 4).collect().toSet)
+  }
+
   test("mixtureBalance selection is one map-only filter (no exchange)") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"d${i % 2}")).toDF("doc_id", "dom")

@@ -364,4 +364,59 @@ class OpsSpec extends AnyFunSuite {
     assert(m.filter(col("q") < 0 || col("q") > 100).count() == 0)
     assert(m.filter(!col("lang").isin("en", "de", "fr", "es", "und")).count() == 0)
   }
+
+  test("winnowing: substring-match guarantee, density bound, short-doc degrade") {
+    import spark.implicits._
+    val k = 5
+    val w = 8
+    // two docs sharing a substring of exactly w + k − 1 = 12 chars,
+    // surrounded by disjoint content → MUST share a fingerprint
+    val shared = "abcdefghijkl"
+    val df = Seq(
+      (1L, s"xxxx1 yyyy1 zzzz1 $shared qqqq1 rrrr1"),
+      (2L, s"mmmm2 nnnn2 $shared oooo2 pppp2 ssss2"),
+      (3L, "totally unrelated content with nothing in common at all"),
+      (4L, "abc")). // shorter than k: one whole-text fingerprint
+      toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextOps.winnow(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "winnowing guarantee violated: shared 12-char substring, no shared fp")
+    assert(fps(3L).toSet.intersect(fps(1L).toSet).isEmpty)
+    assert(fps(4L).size == 1)
+    // density: far fewer selected fps than k-grams (~2/(w+1) of them),
+    // sorted distinct
+    val text1Len = df.filter(col("doc_id") === 1).head().getString(1).length
+    assert(fps(1L).size < text1Len - k + 1)
+    assert(fps(1L) == fps(1L).distinct.sorted)
+    // determinism
+    val again = df.select(col("doc_id"),
+        TextOps.winnow(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again == fps)
+  }
+
+  test("embedQualityFilter: seed vectors pass their own filter, model is literal") {
+    import spark.implicits._
+    // seed cluster near e1, noise near −e1: threshold separates exactly
+    val dim = 4
+    def v(base: Double, j: Long): Seq[Float] =
+      Seq(base.toFloat, (j % 3).toFloat / 10f, ((j + 1) % 3).toFloat / 10f, 0.1f)
+    val rows = (0L until 20L).map(i => (i, v(1.0, i), "seed")) ++
+      (20L until 40L).map(i => (i, v(-1.0, i), "noise"))
+    val df = rows.toDF("vec_id", "embedding", "kind")
+    val kept = Similarity.embedQualityFilter(df, "vec_id", "embedding",
+        df.filter(col("kind") === "seed"), dims = dim, minCosine = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L until 20L).toSet, kept)
+    // scoring plan is map-only: no exchange (model collected beforehand)
+    val plan = Similarity.embedQualityFilter(df, "vec_id", "embedding",
+        df.filter(col("kind") === "seed"), dims = dim, minCosine = 0.5)
+      .queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(nodes)
+    assert(!nodes(plan).map(_.nodeName).exists(_.contains("Exchange")))
+  }
 }

@@ -307,6 +307,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming mixture balance matches the batch selection, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.Curation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = Map("en" -> 4000, "de" -> 1500, "es" -> 1500,
+      "fr" -> 1500, "zh" -> 1500)
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = Curation.mixtureThresholds(counts, targets)
+    val rows = docs.select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows ++ rows) // the retry/replay duplicate shape
+    val kept = Streams.mixtureBalanceStream(
+      mem.toDF().toDF("doc_id", "lang"), "doc_id", "lang", thr)
+    val q = kept.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("mix_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batch = Curation.mixtureBalance(docs, "doc_id", "lang", targets)
+      .select("doc_id")
+    val streamed = spark.table("mix_stream").select("doc_id")
+    assert(streamed.count() == 2 * batch.count())
+    assert(streamed.distinct().except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
