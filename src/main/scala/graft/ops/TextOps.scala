@@ -145,9 +145,16 @@ object TextOps {
     * least one SHARED selected fingerprint, while only ~`2/(w+1)` of all
     * k-gram hashes are kept — position-robust substring-level dedup
     * fingerprints at a fraction of the full shingle-set size.
-    * Pure per-row Column expression (codegen, no shuffle); Rabin-Karp
-    * hashes so the whole selection replays in external SQL. Documents
-    * shorter than `k` chars degrade to one whole-text fingerprint. */
+    * Pure per-row Column expression (no shuffle); Rabin-Karp hashes so
+    * the whole selection replays in external SQL. Documents shorter
+    * than `k` chars degrade to one whole-text fingerprint.
+    *
+    * This HOF formulation is the REFERENCE: higher-order lambdas are
+    * interpreted, so each window pays a lambda call plus a slice
+    * allocation (~3.6µs/window measured). The production path is the
+    * native twin [[graft.functions.WinnowExpr]] (`graft_winnow`) — one
+    * codegen'd O(L) pass with a monotonic-deque window minimum; OpsSpec
+    * pins the two equal, including non-ASCII and whitespace edges. */
   def winnow(text: Column, k: Int = 5, w: Int = 8): Column = {
     require(k >= 2 && w >= 2, "k and w must be >= 2")
     val hsRaw = transform(charShingles(text, k), s => fingerprint(s))

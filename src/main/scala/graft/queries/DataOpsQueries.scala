@@ -2155,14 +2155,16 @@ object DataOpsQueries {
       .orderBy("vec_id")
   }
 
-  /** Winnowing fingerprints ([[graft.ops.TextOps.winnow]]): per-doc
-    * count and exact sum of the selected (distinct window-minimum)
-    * k-gram hashes — a full value oracle over every document's selected
-    * set. */
+  /** Winnowing fingerprints (native [[graft.functions.WinnowExpr]];
+    * [[graft.ops.TextOps.winnow]] is the HOF twin OpsSpec pins equal):
+    * per-doc count and exact sum of the selected (distinct
+    * window-minimum) k-gram hashes — a full value oracle over every
+    * document's selected set. */
   val q102Winnow: Q = (s, dir) =>
     load(s, dir, "documents")
       .select(col("doc_id"),
-        graft.ops.TextOps.winnow(col("text")).as("fps"))
+        graft.functions.NativeFunctions.graft_winnow(col("text"), 5, 8)
+          .as("fps"))
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
         aggregate(col("fps"), lit(0L), (a, v) => a + v).as("sum_fp"))
       .orderBy("doc_id")

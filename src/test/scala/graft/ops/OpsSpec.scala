@@ -397,6 +397,43 @@ class OpsSpec extends AnyFunSuite {
     assert(again == fps)
   }
 
+  test("native winnow == HOF winnow, including non-ASCII and whitespace edges") {
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    // real corpus texts + adversarial strings: multi-byte code points
+    // (the HOF hashes ascii() = first CODE POINT per char), emoji
+    // (supplementary plane), tab/newline (Spark trim strips spaces
+    // only), leading/trailing spaces, repeats, shorter-than-k,
+    // k ≤ len < k+w (fewer grams than windows), empty, all-spaces
+    val adversarial = Seq(
+      "héllo wörld — naïve café", "emoji 😀 in the middle",
+      "\ttabbed\tand\nnewlined\t", "   padded with spaces   ",
+      "aaaaaaaaaaaaaaaaaaaaa", "abc", "abcdefgh", "", "     ",
+      "the quick brown fox jumps over the lazy dog")
+      .zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val df = (corpus ++ adversarial).toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 8), (3, 4), (2, 2))) {
+      val diff = df.select(
+          graft.ops.TextOps.winnow(col("text"), k, w).as("hof"),
+          graft.functions.NativeFunctions.graft_winnow(col("text"), k, w)
+            .as("native"))
+        .filter(col("hof") =!= col("native"))
+      assert(diff.count() == 0, s"native != HOF for k=$k w=$w")
+    }
+    // analysis-time guards: non-string input, non-foldable k
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.NativeFunctions
+        .graft_winnow(col("doc_id"), 5, 8)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.functions.call_function(
+        "graft_winnow", col("text"), col("doc_id"),
+        org.apache.spark.sql.functions.lit(8))).collect()
+    }
+  }
+
   test("embedQualityFilter: seed vectors pass their own filter, model is literal") {
     import spark.implicits._
     // seed cluster near e1, noise near −e1: threshold separates exactly
