@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   *   to AQE coalescing.
   * - AQE on: runtime re-planning (skew-join splitting, partition
   *   coalescing) is part of the 100 TB design.
-  * - parquet nanosAsLong: the driver's `events` table carries
-  *   TIMESTAMP(NANOS) which Spark's vectorized reader rejects; reading as
-  *   epoch-nano longs keeps full precision (see EventQueries).
+  * - parquet nanosAsLong: earlier driver testdata shipped `events.ts` as
+  *   TIMESTAMP(NANOS), which Spark's vectorized reader rejects; this conf
+  *   binds that encoding as an epoch-nano long. Current testdata is
+  *   timestamp[us] (unaffected by the conf) — EventQueries.normalized
+  *   branches on whichever type actually bound, so both eras work.
   */
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder =

@@ -10,6 +10,11 @@ object Verify {
     val only = args.lift(2).map(_.split(',').toSet)
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface LOUDLY: stderr alone lets the
+    // driver's compare silently omit the query (no err, no red row — the
+    // round-7 q28/q30 invisibility). Collect failures and dump them as a
+    // machine-readable artifact next to the result parquets.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -17,6 +22,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // drop operator-internal caches (see OpCaches lifetime contract)
       graft.ops.OpCaches.releaseAll()
@@ -36,6 +42,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (possibly `{}`): its absence means Verify itself died,
+    // a non-empty body names exactly which queries threw and why.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Loud summary, but exit 0: the driver must still compare the queries
+    // that DID dump (a nonzero exit could zero the whole round).
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -4,29 +4,61 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-stream analytics on the `events` table (the batch equivalents of
   * the Structured Streaming operators in graft.streaming — windowed
   * aggregation and stateful sessionization; same logic, bounded input).
   *
-  * The parquet `ts` column is TIMESTAMP(NANOS), which Spark reads as an
-  * epoch-nano long under `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (GraftSession). `div` keeps the ns→µs conversion in exact integer
-  * arithmetic (a double round-trip would corrupt: 1.7e18 > 2^53).
+  * Event-time handling is SCHEMA-DRIVEN ([[normalized]]): the driver has
+  * shipped `events.ts` both as parquet TIMESTAMP(NANOS) (bound as an
+  * epoch-nano long under `spark.sql.legacy.parquet.nanosAsLong=true`) and
+  * as timestamp[us] (bound as TIMESTAMP / TIMESTAMP_NTZ). Hardcoding
+  * either binding breaks on the other (the round-7 regression), so every
+  * consumer goes through one normalization that branches on the BOUND
+  * type, not the expected one. All conversions stay in exact integer
+  * arithmetic — a double round-trip would corrupt (1.7e18 > 2^53).
   */
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Epoch-nanos long → TimestampType (µs truncation, exact). */
-  private def tsCol = timestamp_micros(expr("ts div 1000"))
+  /** Canonical event-time columns derived from whatever type `ts` bound
+    * as: `event_time` (TimestampType, µs precision — the windowing /
+    * calendar column) and `ts_ns` (epoch-nano long — the exact-gap
+    * arithmetic column).
+    *
+    *  - LongType: nanosAsLong-era data; `ts` IS epoch nanos. µs
+    *    truncation via integer `div` (exact).
+    *  - Timestamp / TimestampNTZ: µs-era data; `unix_micros` is exact and
+    *    `* 1000` cannot overflow (µs since epoch ≈ 1.7e15 ≪ 2^63/1000).
+    *    NTZ→TZ cast is exact under the session's UTC timezone
+    *    (GraftSession pins `spark.sql.session.timeZone=UTC`).
+    */
+  def normalized(events: DataFrame): DataFrame = events.schema("ts").dataType match {
+    case LongType =>
+      events
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_ns", col("ts"))
+    case TimestampType | TimestampNTZType =>
+      val t = col("ts").cast(TimestampType)
+      events
+        .withColumn("event_time", t)
+        .withColumn("ts_ns", unix_micros(t) * lit(1000L))
+    case other => throw new IllegalArgumentException(
+      s"events.ts bound as unsupported type $other (expected long / timestamp)")
+  }
+
+  /** The events table with the canonical columns attached. */
+  def loadEvents(s: SparkSession, dir: String): DataFrame =
+    normalized(load(s, dir, "events"))
 
   /** §2.11 tumbling-window aggregate (batch form): events per hour ×
     * event_type with deterministic revenue-style sums. */
   val q28EventsHourly: Q = (s, dir) => {
-    load(s, dir, "events")
-      .withColumn("t", tsCol)
-      .groupBy(year(col("t")).as("y"), month(col("t")).as("m"),
-        dayofmonth(col("t")).as("d"), hour(col("t")).as("h"), col("event_type"))
+    loadEvents(s, dir)
+      .groupBy(year(col("event_time")).as("y"), month(col("event_time")).as("m"),
+        dayofmonth(col("event_time")).as("d"), hour(col("event_time")).as("h"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), lsum(col("value")).as("sum_value"))
       .orderBy("y", "m", "d", "h", "event_type")
   }
@@ -35,12 +67,12 @@ object EventQueries {
     * user's ordered events, cumulative new-session flags. The batch twin of
     * flatMapGroupsWithState sessionization. All-integer output. */
   val q30Sessionize: Q = (s, dir) => {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     val gapNs = 30L * 60 * 1000000000L
-    load(s, dir, "events")
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+    loadEvents(s, dir)
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        when(col("prev_ts").isNull || col("ts_ns") - col("prev_ts") > gapNs, 1L).otherwise(0L))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
       .orderBy("user_id")
@@ -51,6 +83,8 @@ object EventQueries {
     "q30_sessionize" -> q30Sessionize,
   )
 
+  /** DuckDB oracles are written against the CURRENT testdata binding
+    * (timestamp[us] → DuckDB TIMESTAMP; `epoch_us` is exact on it). */
   val oracles: Map[String, String] = Map(
     "q28_events_hourly" ->
       s"""SELECT CAST(EXTRACT(YEAR FROM CAST(ts AS TIMESTAMP)) AS INT) AS y,
@@ -62,7 +96,7 @@ object EventQueries {
     "q30_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id,
-        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT user_id, ts, event_id,
         |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

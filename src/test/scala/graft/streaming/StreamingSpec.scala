@@ -11,6 +11,12 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = GraftSession.builder("4").getOrCreate()
   val sfDir = "/root/testdata/sf0.001"
 
+  /** Events with the canonical schema-driven `event_time`/`ts_ns` columns
+    * (EventQueries.normalized — works for both nano-long and timestamp[us]
+    * testdata encodings). */
+  def normalizedEvents = EventQueries.normalized(
+    spark.read.parquet(s"$sfDir/events.parquet"))
+
   test("streaming bronze shred over the raw zone (AvailableNow) matches batch shred") {
     import graft.etl.Bronze
     val rawDir = java.nio.file.Files.createTempDirectory("graft_rawzone")
@@ -39,9 +45,8 @@ class StreamingSpec extends AnyFunSuite {
   test("windowed counts with watermark over the events table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
-        col("event_type"), col("value"))
+    val events = normalizedEvents
+      .select(col("event_time"), col("event_type"), col("value"))
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
     mem.addData(events.as[(java.sql.Timestamp, String, Double)].collect().toSeq)
@@ -61,9 +66,8 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("event_time"))
+    val events = normalizedEvents
+      .select(col("event_id"), col("event_time"))
       .as[(Long, java.sql.Timestamp)].collect().toSeq
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
     // replay every event twice in the same batch — the retry/replay shape
@@ -176,9 +180,8 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     import graft.ops.Hll
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("event_time"))
+    val events = normalizedEvents
+      .select(col("user_id"), col("event_time"))
     val rows = events.as[(Long, java.sql.Timestamp)].collect().toSeq
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
     // two micro-batches with an overlapping replayed slice: the sketch
@@ -220,9 +223,8 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     import graft.ops.DdSketch
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("value"),
-        timestamp_micros(expr("ts div 1000")).as("event_time"))
+    val events = normalizedEvents
+      .select(col("value"), col("event_time"))
     val rows = events.as[(Double, java.sql.Timestamp)].collect().toSeq
     val mem = MemoryStream[(Double, java.sql.Timestamp)]
     // two DISJOINT micro-batches: bucket addition is associative but not
@@ -339,8 +341,8 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("ts").as("ts_ns"))
+    val events = normalizedEvents
+      .select(col("user_id"), col("ts_ns"))
       .as[Streams.SessionEvent]
     val mem = MemoryStream[Streams.SessionEvent]
     mem.addData(events.collect().toSeq)
@@ -350,6 +352,37 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     // last update per user == final state
     val streamed = spark.table("sessions")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+    val batch = EventQueries.q30Sessionize(spark, sfDir)
+    val mismatch = streamed.join(batch.withColumnRenamed("n_events", "b_events")
+        .withColumnRenamed("n_sessions", "b_sessions"), Seq("user_id"))
+      .filter(col("n_events") =!= col("b_events") || col("n_sessions") =!= col("b_sessions"))
+    assert(batch.count() == streamed.count())
+    assert(mismatch.count() == 0)
+  }
+
+  test("sessionization state survives a micro-batch split (µs-era events)") {
+    // The cross-batch law: feeding the same events as TWO time-ordered
+    // micro-batches must land on the same final per-user state as one —
+    // the session gap scan continues from persisted state, not from
+    // scratch. (The in-batch slice is sorted by the operator; ACROSS
+    // batches only the GroupState carries order.)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = normalizedEvents
+      .select(col("user_id"), col("ts_ns"))
+      .as[Streams.SessionEvent].collect().toSeq.sortBy(_.ts_ns)
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionize(mem.toDS()).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions_split").start()
+    mem.addData(first); q.processAllAvailable()
+    mem.addData(second); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_split")
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
     val batch = EventQueries.q30Sessionize(spark, sfDir)
