@@ -328,6 +328,26 @@ object Hashing {
     s
   }
 
+  /** Squared L2 distance of a double-array column to a literal centroid —
+    * the fold order (acc + (x_i − c_i)², ascending i) matches the HOF
+    * `aggregate(zip_with(vec, centroidLits, (x,c) => (x−c)·(x−c)), 0.0, +)`
+    * exactly, so results are BIT-IDENTICAL (FunctionsSpec pins it); the
+    * HOF paid an interpreted lambda + boxing per dimension. */
+  def l2sq(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      c: Array[Double]): Double = {
+    val n = a.numElements()
+    if (n != c.length)
+      throw new IllegalArgumentException(s"l2sq: dim mismatch $n vs ${c.length}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - c(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Word n-gram shingles in one compiled loop (semantics identical to the
     * composed TextOps.wordShingles: whitespace tokens of the trimmed text,
     * n consecutive tokens joined by a single space; texts shorter than n
@@ -355,6 +375,90 @@ object Hashing {
         }
         arr
       } else Array[AnyRef](UTF8String.fromString(toks.mkString(" ")))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Horner code-point fold h·31 + cp mod 2^31−1 continued from `h0` —
+    * the [[graft.ops.TextOps.fingerprint]] per-character recurrence
+    * (`ascii` per split('')-character = one code point per step, the
+    * [[winnow]] convention; NOT the byte-level [[rollingHash]]). */
+  private def foldCodePoints(h0: Long, t: String): Long = {
+    var h = h0
+    var off = 0
+    while (off < t.length) {
+      val cp = t.codePointAt(off)
+      h = (h * 31 + cp) % P31
+      off += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** DISTINCT Rabin-Karp fingerprints of the word n-gram shingles —
+    * value-identical to `array_distinct(transform(wordShingles(text, n),
+    * s => fingerprint(s)))` (first-occurrence order), but one compiled
+    * pass: no shingle strings, no interpreted per-character lambda (the
+    * HOF fold paid ~1 lambda frame + boxing per CHARACTER). Shingle
+    * hashes fold straight across token code points with a single synthetic
+    * ' ' (32) between tokens — exactly what hashing the concat_ws(" ")
+    * string yields. */
+  def shingleFps(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    val toks = sparkTokens(s.toString)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    if (toks.length >= n) {
+      var i = 0
+      while (i <= toks.length - n) {
+        var h = 0L
+        var k = 0
+        while (k < n) {
+          if (k > 0) h = (h * 31 + 32L) % P31
+          h = foldCodePoints(h, toks(i + k))
+          k += 1
+        }
+        seen.add(h)
+        i += 1
+      }
+    } else {
+      var h = 0L
+      var k = 0
+      while (k < toks.length) {
+        if (k > 0) h = (h * 31 + 32L) % P31
+        h = foldCodePoints(h, toks(k))
+        k += 1
+      }
+      seen.add(h)
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** DSIR hashed-gram buckets — value-identical to
+    * `transform(Dsir.grams(text), g => pmod(fingerprint(g), buckets))`
+    * (all whitespace unigrams, then all adjacent space-joined bigrams),
+    * in one compiled pass. Per-token hashes are computed ONCE and bigram
+    * hashes continue the fold from the cached left-token state — the HOF
+    * path re-walked every character of both tokens per bigram. */
+  def gramBuckets(s: UTF8String, buckets: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (s == null) return null
+    val toks = sparkTokens(s.toString)
+    val nT = toks.length
+    val uni = new Array[Long](nT) // fingerprint of each token
+    var i = 0
+    while (i < nT) { uni(i) = foldCodePoints(0L, toks(i)); i += 1 }
+    val nB = if (nT >= 2) nT - 1 else 0
+    val out = new Array[Any](nT + nB)
+    i = 0
+    while (i < nT) { out(i) = uni(i) % buckets; i += 1 }
+    i = 0
+    while (i < nB) {
+      // fingerprint("a b") = fold(fold(fold(0,a)·31+32, b)) — continue
+      // from the cached unigram state instead of re-walking token a
+      out(nT + i) = foldCodePoints((uni(i) * 31 + 32L) % P31, toks(i + 1)) % buckets
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
@@ -567,6 +671,92 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.winnow($c, $k, $w)")
   override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+}
+
+/** `graft_l2sq(vec, centroid)`: native squared-L2 distance to a literal
+  * centroid ([[Hashing.l2sq]]) — the assignment kernel of IVF indexing /
+  * Lloyd refinement (q48/q78) and PQ encoding (q91/q92). The centroid
+  * rides the compiled plan as a codegen reference object; per-row cost is
+  * one fused loop where the HOF twin paid an interpreted lambda per
+  * dimension. Bit-identical to the HOF fold (same operation order). */
+case class L2SqExpr(child: Expression, centroid: Array[Double])
+    extends UnaryExpression {
+  require(centroid.nonEmpty, "centroid must be non-empty")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_l2sq requires ARRAY<DOUBLE> input, got ${other.simpleString}")
+    }
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.l2sq(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centroid)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroid", centroid, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.l2sq($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): L2SqExpr =
+    copy(child = c)
+}
+
+/** `graft_shingle_fps(text, n)`: DISTINCT Rabin-Karp fingerprints of the
+  * word n-gram shingles ([[Hashing.shingleFps]]) in one compiled pass —
+  * the hot input of the prefix-filter Jaccard join (q95) and graded
+  * decontamination (q94). Value-identical to the HOF composition
+  * `array_distinct(transform(TextOps.wordShingles(text, n),
+  * TextOps.fingerprint))`, which FunctionsSpec pins; the HOF stays as the
+  * oracle-replayable reference. */
+case class ShingleFpsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle length must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_fps requires STRING input, got ${child.dataType.simpleString}")
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.shingleFps(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.shingleFps($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleFpsExpr =
+    copy(child = c)
+}
+
+/** `graft_gram_buckets(text, buckets)`: DSIR hashed-gram bucket ids
+  * ([[Hashing.gramBuckets]]) — unigrams then adjacent bigrams — in one
+  * compiled pass; the model-build and scoring input of q93/q97.
+  * Value-identical to `transform(Dsir.grams(text),
+  * g => pmod(TextOps.fingerprint(g), buckets))` (FunctionsSpec pins);
+  * that HOF form stays as the oracle-replayable reference. */
+case class GramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets >= 2, "buckets must be >= 2")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_buckets requires STRING input, got ${child.dataType.simpleString}")
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.gramBuckets(v.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.gramBuckets($c, $buckets)")
+  override protected def withNewChildInternal(c: Expression): GramBucketsExpr =
     copy(child = c)
 }
 
@@ -860,6 +1050,16 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_winnow",
       text, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+  def graft_l2sq(vec: Column, centroid: Array[Double]): Column =
+    org.apache.spark.sql.functions.call_function("graft_l2sq",
+      vec.cast("array<double>"),
+      org.apache.spark.sql.functions.typedLit(centroid.toSeq))
+  def graft_shingle_fps(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_shingle_fps",
+      text, org.apache.spark.sql.functions.lit(n))
+  def graft_gram_buckets(text: Column, buckets: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_gram_buckets",
+      text, org.apache.spark.sql.functions.lit(buckets))
   def graft_kmv_est(sketch: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_kmv_est", sketch)
   def graft_kmv_union(a: Column, b: Column): Column =
@@ -923,6 +1123,17 @@ object NativeFunctions {
       exprs => WinnowExpr(exprs.head,
         constArg("graft_winnow", "k", exprs, 1).asInstanceOf[Int],
         constArg("graft_winnow", "w", exprs, 2).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2sq",
+      exprs => L2SqExpr(exprs.head,
+        constArg("graft_l2sq", "centroid", exprs, 1)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_fps",
+      exprs => ShingleFpsExpr(exprs.head,
+        constArg("graft_shingle_fps", "n", exprs, 1).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gram_buckets",
+      exprs => GramBucketsExpr(exprs.head,
+        constArg("graft_gram_buckets", "buckets", exprs, 1).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_byte_tokens",
       exprs => ByteTokensExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_kmv_est",

@@ -193,10 +193,13 @@ object Dedup {
     * SQL — no float division on either side. */
   def overlapScore(train: DataFrame, trainId: String, evalDf: DataFrame,
       textCol: String, shingleLen: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(train.sparkSession)
+    // native codegen'd shingle fingerprints (== the HOF composition
+    // array_distinct(transform(wordShingles, fingerprint)), pinned by
+    // FunctionsSpec; the interpreted per-character fold dominated q94)
     def fps(df: DataFrame, keep: Seq[Column]) =
-      df.select(keep :+ explode(array_distinct(transform(
-        TextOps.wordShingles(col(textCol), shingleLen),
-        s => TextOps.fingerprint(s)))).as("fp"): _*)
+      df.select(keep :+ explode(graft.functions.NativeFunctions
+        .graft_shingle_fps(col(textCol), shingleLen)).as("fp"): _*)
     val evalFps = fps(evalDf, Nil).distinct()
     fps(train, Seq(col(trainId)))
       .join(broadcast(evalFps.withColumn("hit", lit(1L))), Seq("fp"), "left")

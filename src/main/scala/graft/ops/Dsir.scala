@@ -55,10 +55,16 @@ object Dsir {
     * Shuffle carries at most `buckets` rows per map task (map-side
     * partial aggregation over a bounded key domain). */
   def bucketCounts(docs: DataFrame, textCol: String,
-      buckets: Int = DefaultBuckets): DataFrame =
-    docs.select(explode(grams(col(textCol))).as("g"))
-      .select(gramBucket(col("g"), buckets).as("bucket"))
+      buckets: Int = DefaultBuckets): DataFrame = {
+    // native codegen'd gram bucketing (FunctionsSpec pins ==
+    // transform(grams(text), g => gramBucket(g, buckets)) — the HOF
+    // fold re-walked every character of both bigram tokens interpreted,
+    // and dominated the q93/q97 model build)
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    docs.select(explode(graft.functions.NativeFunctions
+        .graft_gram_buckets(col(textCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Per-bucket importance log-ratio in integer 1e-8 units, as a dense
     * array indexed by bucket: `round(ln p̂_target(b) − ln p̂_raw(b), 8)`
@@ -112,10 +118,13 @@ object Dsir {
     * far below 2^62 for any real document (each term ≤ ~3e9 units). */
   def score(model: Array[Long], text: Column): Column = {
     val m = typedLit(model.toSeq)
-    aggregate(grams(text), lit(0L),
-      (acc, g) => acc + coalesce(
-        try_element_at(m, (gramBucket(g, model.length) + 1L).cast("int")),
-        lit(0L)))
+    // buckets arrive pre-hashed from the native pass; the remaining
+    // interpreted lambda work is one array index + add per gram
+    aggregate(
+      graft.functions.NativeFunctions.graft_gram_buckets(text, model.length),
+      lit(0L),
+      (acc, b) => acc + coalesce(
+        try_element_at(m, (b + 1L).cast("int")), lit(0L)))
   }
 
   /** The k most target-like documents (weight desc, id asc — total order,

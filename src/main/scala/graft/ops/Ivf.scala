@@ -59,6 +59,9 @@ object Ivf {
     modelCache.computeIfAbsent(s"$key|$vecCol|$k|$seed",
       _ => train(vectors, vecCol, k, seed, maxSample))
 
+  /** Test/profiling hook: drop memoized models so a re-train is measurable. */
+  def clearModelCacheForTest(): Unit = modelCache.clear()
+
   /** Persist a model (trained and optionally [[refine]]d) as a warehouse
     * table — (cell, centroid) rows via [[graft.etl.Zones.saveTable]], so
     * train-once survives across sessions: tomorrow's run [[load]]s the
@@ -94,15 +97,24 @@ object Ivf {
     array_min(array(dists: _*)).getField("i")
   }
 
+  /** Native codegen'd squared-L2 to a literal centroid — bit-identical to
+    * [[l2sqHof]] (same fold order; FunctionsSpec pins it). The HOF twin
+    * paid an interpreted lambda per dimension × centroid × row. */
   private def l2sq(vec: Column, centroid: Array[Double]): Column =
+    graft.functions.NativeFunctions.graft_l2sq(vec, centroid)
+
+  /** The HOF reference formulation (oracle-replayable; spec pin only). */
+  private[graft] def l2sqHof(vec: Column, centroid: Array[Double]): Column =
     aggregate(
       zip_with(vec, array(centroid.map(lit(_)): _*),
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
 
   /** Add the IVF cell id to a vector table (the "index build"). */
-  def index(model: IvfModel, vectors: DataFrame, vecCol: String): DataFrame =
+  def index(model: IvfModel, vectors: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.NativeFunctions.register(vectors.sparkSession)
     vectors.withColumn("ivf_cell", assign(model, col(vecCol)))
+  }
 
   /** A refined model plus the per-round inertia trace (Σ squared distance
     * to the assigned centroid, in 2^-qBits fixed-point units — integer,
@@ -139,6 +151,7 @@ object Ivf {
   def refine(model: IvfModel, vectors: DataFrame, vecCol: String,
       iters: Int, qBits: Int = 20): Refined = {
     require(iters >= 1 && qBits >= 0 && qBits <= 40)
+    graft.functions.NativeFunctions.register(vectors.sparkSession)
     val scale = (1L << qBits).toDouble
     var cur = model
     val inertias = scala.collection.mutable.ArrayBuffer.empty[BigInt]
@@ -147,35 +160,65 @@ object Ivf {
         struct(l2sq(col(vecCol), c).as("d"), lit(i).as("i"))
       }
       val best = array_min(array(dists: _*))
-      val rows = vectors
-        // two selects: posexplode is a Generate, and its extraction
-        // re-resolves getField before the struct aliases land — naming
-        // the struct column first sidesteps the resolution-order trap
-        .select(best.as("best"), col(vecCol).as("v"))
-        .select(col("best.i").as("cell"), col("best.d").as("d"),
-          posexplode(transform(col("v"), x => x.cast("double")))
-            .as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        // decimal(38,0) sums: per-value quantization and the per-cell
-        // accumulation both stay exact (and order-independent) at any
-        // corpus size / embedding magnitude — a long sum can overflow,
-        // which ANSI mode turns into a mid-job failure
-        .agg(count(lit(1)).as("n"),
-          sum((col("x") * scale).cast("decimal(38,0)")).as("sum_q"),
-          // one inertia contribution per VECTOR, not per dim
-          sum(when(col("dim") === 0, (col("d") * scale).cast("decimal(38,0)"))).as("in_q"))
-        .collect()
-      inertias += rows.map(r =>
-        Option(r.getAs[java.math.BigDecimal]("in_q"))
-          .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))).sum
+      // The quantized per-(cell, dim) sums accumulate in LONG (primitive
+      // buffer, codegen'd) with a DECIMAL(38,0) retry: a long sum only
+      // overflows when one cell's Σ|x_dim|·2^qBits exceeds 2^63 (at
+      // qBits=20 that is Σ|x| > 8.8e12 in a single cell — ~1e12 co-located
+      // vectors of unit magnitude), and Spark's ANSI mode turns that into
+      // a loud mid-job failure, never a wrong sum. Catching it and
+      // re-running the round in exact decimal keeps the unbounded-
+      // magnitude contract of the r7 fix without making every normal
+      // round pay the Decimal-object aggregation buffer (~20% of q78).
+      // Both paths quantize per value identically, so when long
+      // succeeds the result is the value decimal would have produced.
+      def roundRows(decimal: Boolean) = {
+        val sumT = if (decimal) "decimal(38,0)" else "long"
+        vectors
+          // two selects: posexplode is a Generate, and its extraction
+          // re-resolves getField before the struct aliases land — naming
+          // the struct column first sidesteps the resolution-order trap
+          .select(best.as("best"), col(vecCol).as("v"))
+          .select(col("best.i").as("cell"), col("best.d").as("d"),
+            posexplode(transform(col("v"), x => x.cast("double")))
+              .as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(count(lit(1)).as("n"),
+            sum((col("x") * scale).cast(sumT)).as("sum_q"),
+            // one inertia contribution per VECTOR, not per dim
+            sum(when(col("dim") === 0, (col("d") * scale).cast(sumT))).as("in_q"))
+          .collect()
+      }
+      val rows = try roundRows(decimal = false) catch {
+        case e: Throwable if isOverflow(e) => roundRows(decimal = true)
+      }
+      def asBig(v: Any): BigInt = v match {
+        case null => BigInt(0)
+        case l: java.lang.Long => BigInt(l.longValue)
+        case d: java.math.BigDecimal => BigInt(d.toBigInteger)
+      }
+      inertias += rows.map(r => asBig(r.get(r.fieldIndex("in_q")))).sum
       val next = cur.centroids.map(_.clone()) // empty cells keep position
       rows.foreach { r =>
         next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
-          r.getAs[java.math.BigDecimal]("sum_q").doubleValue / r.getAs[Long]("n") / scale
+          asBig(r.get(r.fieldIndex("sum_q"))).doubleValue / r.getAs[Long]("n") / scale
       }
       cur = IvfModel(next)
     }
     Refined(cur, inertias.toSeq)
+  }
+
+  /** True iff the failure chain is an ANSI arithmetic/cast overflow (the
+    * long-sum escape hatch in [[refine]]). */
+  private def isOverflow(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = String.valueOf(t.getMessage)
+      if (t.isInstanceOf[ArithmeticException] ||
+        m.contains("ARITHMETIC_OVERFLOW") || m.contains("CAST_OVERFLOW") ||
+        m.contains("overflow")) return true
+      t = t.getCause
+    }
+    false
   }
 
   /** The `nProbe` cells nearest to a query (driver-side arithmetic over

@@ -38,6 +38,7 @@ object Pq {
     * subspace slice; seed offset per subspace decorrelates inits). */
   def train(vectors: DataFrame, vecCol: String, m: Int = 8, codes: Int = 16,
       seed: Long = 42L, maxSample: Int = 100000): PqModel = {
+    graft.functions.NativeFunctions.register(vectors.sparkSession)
     val dim = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
@@ -65,10 +66,11 @@ object Pq {
     modelCache.computeIfAbsent(s"$key|$vecCol|$m|$codes|$seed",
       _ => train(vectors, vecCol, m, codes, seed))
 
+  /** Native codegen'd squared-L2 to a literal sub-centroid (bit-identical
+    * to the HOF fold — see [[graft.functions.L2SqExpr]]; callers with a
+    * DataFrame in hand register the graft_* functions first). */
   private def l2sqLit(sub: Column, c: Array[Double]): Column =
-    aggregate(zip_with(sub, array(c.map(lit(_)): _*),
-      (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeFunctions.graft_l2sq(sub, c)
 
   /** (min distance, argmin code) struct for subspace j — the shared core
     * of [[encode]] (takes the argmin) and [[reconSe]] (takes the min:

@@ -40,19 +40,27 @@ object SetJoin {
       shingleLen: Int = 3, minJaccardBp: Int = 6000): DataFrame = {
     require(minJaccardBp > 0 && minJaccardBp <= 10000,
       "minJaccardBp must be in (0, 10000]")
-    // persisted: the shingle hash explode feeds BOTH the df aggregation
-    // and the rarity-sort join — without the cache every fingerprint is
-    // computed twice
-    val fps = OpCaches.persist(df.select(col(idCol).as("id"),
-      explode(array_distinct(transform(
-        TextOps.wordShingles(col(textCol), shingleLen),
-        s => TextOps.fingerprint(s)))).as("fp")))
-    // global document frequency — the shared rarity order
-    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("dfq"))
-    // per-doc fingerprints sorted rare-first; referenced by the prefix
-    // explode AND both sides of the verification join
-    val sorted = OpCaches.persist(fps
-      .join(dfreq, "fp")
+    // native codegen'd shingle fingerprints (FunctionsSpec pins ==
+    // array_distinct(transform(wordShingles, fingerprint)) — the HOF twin
+    // paid an interpreted lambda + boxing per CHARACTER and was the
+    // single heaviest stage of the query: 4.5s of the 5.4s isolated total
+    // at sf0.1 went to this explode before the swap)
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.NativeFunctions
+        .graft_shingle_fps(col(textCol), shingleLen)).as("fp"))
+    // global document frequency via count-over-window: ONE shuffle on fp
+    // annotates every (id, fp) row in place — the groupBy+self-join
+    // formulation costs two exchanges of the same rows for the same
+    // result (r7 shape; the swap removed ~1s at sf0.1)
+    val withDf = fps.withColumn("dfq",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+    // per-doc fingerprints sorted rare-first; persisted because it feeds
+    // the prefix explode AND both sides of the verification join. Only
+    // this doc-collapsed frame is cached — holding the raw (id, fp)
+    // explode through the candidate join was the r7 in-suite cache-
+    // pressure spike (23.9s); nothing re-reads it now, so nothing pins it.
+    val sorted = OpCaches.persist(withDf
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("dfq"), col("fp")))),
         s => s.getField("fp")).as("fps"))

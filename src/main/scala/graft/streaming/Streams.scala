@@ -215,9 +215,11 @@ object Streams {
     * (StreamingSpec pins the law). Thresholding the weight composes as
     * a plain filter for continuous-ingest data selection. */
   def dsirScoreStream(docs: DataFrame, idCol: String, textCol: String,
-      model: Array[Long]): DataFrame =
+      model: Array[Long]): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
     docs.select(col(idCol),
       graft.ops.Dsir.score(model, col(textCol)).as("weight_x1e8"))
+  }
 
   /** Stateless streaming mixture rebalancing — the continuous-ingest
     * twin of [[graft.ops.Curation.mixtureBalance]] (q98): apply the

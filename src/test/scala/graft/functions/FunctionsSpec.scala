@@ -46,6 +46,61 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge.getSeq[String](2) == Seq("x y z"))
   }
 
+  test("native shingle fingerprints equal the HOF composition (corpus + edges)") {
+    def hof(c: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(transform(TextOps.wordShingles(c, n),
+        s => TextOps.fingerprint(s)))
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"),
+        NativeFunctions.graft_shingle_fps(col("text"), 3).as("native"),
+        hof(col("text"), 3).as("hofv"))
+    assert(df.filter(col("native") =!= col("hofv")).count() == 0)
+    // edges: short text, single/empty token, repeated spaces, repeats
+    // that exercise the distinct, non-ASCII code points, other n
+    import spark.implicits._
+    val edges = Seq("", " ", "a b", "solo", "  x   y  z ",
+      "a b c a b c a b c", "déjà vu déjà vu naïve café", "one two three",
+      "\tx\ny z w").toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val e = edges.select(
+        NativeFunctions.graft_shingle_fps(col("text"), n).as("native"),
+        hof(col("text"), n).as("hofv"))
+      assert(e.filter(col("native") =!= col("hofv")).count() == 0, s"n=$n diverged")
+    }
+  }
+
+  test("native l2sq is bit-exact vs the HOF fold on the embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroid = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val df = emb.select(
+      NativeFunctions.graft_l2sq(col("embedding"), centroid).as("native"),
+      graft.ops.Ivf.l2sqHof(col("embedding"), centroid).as("hofv"))
+    // bit-exact: same fold order, so =!= (not a tolerance) is the pin
+    assert(df.filter(col("native") =!= col("hofv")).count() == 0)
+  }
+
+  test("native gram buckets equal the HOF composition (corpus + edges)") {
+    import graft.ops.Dsir
+    def hof(c: org.apache.spark.sql.Column, b: Int) =
+      transform(Dsir.grams(c), g => Dsir.gramBucket(g, b))
+    val df = spark.read.parquet(docs)
+      .select(col("doc_id"),
+        NativeFunctions.graft_gram_buckets(col("text"), 1024).as("native"),
+        hof(col("text"), 1024).as("hofv"))
+    assert(df.filter(col("native") =!= col("hofv")).count() == 0)
+    import spark.implicits._
+    val edges = Seq("", " ", "a", "a b", "  x   y  z ",
+      "déjà vu déjà vu naïve café", "\tx\ny z w").toDF("text")
+    for (b <- Seq(2, 64, 1024)) {
+      val e = edges.select(
+        NativeFunctions.graft_gram_buckets(col("text"), b).as("native"),
+        hof(col("text"), b).as("hofv"))
+      assert(e.filter(col("native") =!= col("hofv")).count() == 0, s"buckets=$b diverged")
+    }
+  }
+
   test("native tokenization matches the HOFs on adversarial whitespace (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
