@@ -210,6 +210,39 @@ object Dedup {
         expr("n_hits * 10000 div n_shingles"))
   }
 
+  /** SUBSTRING-level contamination detection via winnowing fingerprints —
+    * the tokenization-robust sibling of [[contaminationPairs]]: word
+    * n-gram shingles miss an eval passage that was re-wrapped, partially
+    * quoted, or merged into surrounding prose, while the winnowing
+    * guarantee (Schleimer et al., SIGMOD 2003 — see
+    * [[TextOps.winnow]]/[[graft.functions.WinnowExpr]]) promises that ANY
+    * shared character substring of length ≥ w+k−1 yields at least one
+    * shared selected fingerprint, at ~2/(w+1) of the k-gram density.
+    * Returns `(train_id, eval_id, n_shared)` for pairs sharing ≥
+    * `minShared` selected fingerprints.
+    *
+    * Scale shape (the [[contaminationPairs]] contract): both sides
+    * explode to (id, fingerprint) — already distinct per document, the
+    * winnow expression emits a sorted distinct set — and the EVAL side
+    * (benchmark-sized) distinct-collapses then broadcasts, so the
+    * training corpus streams through a map-side join: no shuffle of the
+    * 100 TB side. Fingerprint density per doc is ~2L/(w+1) longs, ~4×
+    * sparser than the full shingle set the word-level detector carries. */
+  def winnowContaminationPairs(train: DataFrame, trainId: String,
+      evalDf: DataFrame, evalId: String, textCol: String,
+      k: Int = 5, w: Int = 8, minShared: Long = 3L): DataFrame = {
+    graft.functions.NativeFunctions.register(train.sparkSession)
+    def fps(df: DataFrame, idCol: String, as: String) =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.NativeFunctions
+          .graft_winnow(col(textCol), k, w)).as("wfp"))
+    fps(train, trainId, "train_id")
+      .join(broadcast(fps(evalDf, evalId, "eval_id")), Seq("wfp"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair list: groups transitive
     * duplicate chains (A~B, B~C ⇒ {A,B,C}) and returns one row per member
     * with its component's canonical (minimum) id. Dropping `id_b` of every

@@ -67,6 +67,39 @@ object Sampling {
       weightPct: org.apache.spark.sql.Column): DataFrame =
     df.filter(keepByWeight(col(idCol), weightPct))
 
+  /** Recency-weighted (time-decay) sampling over an event-time column:
+    * keep probability decays LINEARLY with age in days from the corpus's
+    * newest event — `bp(age) = max(floorBp, 10000 − decayBpPerDay·age)`
+    * basis points — so fresh data is (nearly) fully kept and the tail
+    * thins to a floor instead of vanishing (the recency bias every
+    * continuously-collected training corpus applies; linear-to-floor
+    * rather than exponential keeps ALL arithmetic in exact integers, so
+    * membership replays in external SQL with no float anywhere).
+    *
+    * The reference instant is the corpus max event day — ONE tiny
+    * aggregation collected as a literal (the model-row pattern), then
+    * membership is pure per-row integer arithmetic on the seeded Knuth
+    * hash: `h·10000 < bp·2^31` (both sides < 2^63 — overflow-safe).
+    * Deterministic per (id, seed), partition-independent, replayable;
+    * one map-only pass at any corpus size. `tsNsCol` is epoch nanos
+    * (the [[graft.queries.EventQueries.normalized]] `ts_ns` column). */
+  def timeDecaySample(events: DataFrame, idCol: String, tsNsCol: String,
+      decayBpPerDay: Int = 500, floorBp: Int = 500,
+      seed: Int = 0): DataFrame = {
+    require(decayBpPerDay >= 0 && floorBp >= 0 && floorBp <= 10000)
+    val dayNs = 86400L * 1000000000L
+    val maxDay = events
+      .agg(max(expr(s"$tsNsCol div $dayNs")).as("d")).head().getLong(0)
+    val age = lit(maxDay) - expr(s"$tsNsCol div $dayNs")
+    val bp = greatest(lit(floorBp.toLong),
+      lit(10000L) - lit(decayBpPerDay.toLong) * age)
+    events
+      .withColumn("age_days", age)
+      .withColumn("keep_bp", bp)
+      .filter(seededKnuth(col(idCol), seed) * lit(10000L) <
+        col("keep_bp") * lit(2147483648L))
+  }
+
   /** EXACT-size uniform sample via hash order statistics: the k rows with
     * the smallest Knuth-hash of their id. Bernoulli sampling
     * ([[stratified]]) only hits the target size in expectation; this is

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication with LEARNED cluster partitions
+  * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication", arXiv 2023): k-means cells bound the pair
+  * search (the paper's intra-cluster restriction), ε-cosine pairs group
+  * transitively, and each group keeps its representative CLOSEST TO THE
+  * CLUSTER CENTROID (the paper's keep-low-similarity-to-centroid rule
+  * inverted to the deterministic variant: centroid-nearest, id tie-break).
+  *
+  * This is the data-ADAPTIVE sibling of [[Curation.semanticDedup]] (q66),
+  * which buckets by data-independent random-hyperplane signatures: IVF
+  * cells follow the embedding distribution, so dense regions split into
+  * many small cells where fixed hyperplanes would leave one over-full
+  * bucket (the [[Similarity]] header's "IVF variant — same plumbing,
+  * different bucketing function", now implemented).
+  *
+  * Scale shape:
+  *  - assignment + centroid distance: ONE map-only codegen pass (native
+  *    [[graft.functions.L2SqExpr]] per centroid, broadcast literals);
+  *  - pair generation: equi-join on the cell id, so candidates are
+  *    Σ_cells s_c² rather than n² — bounded by the `maxCell` guard
+  *    (over-full cells mean the model under-fit there; their rows are
+  *    kept UNDEDUPED rather than exploding the join, and at 100 TB the
+  *    fix is retraining with more cells, not a quadratic verify);
+  *  - grouping: alternating-star connected components over the surviving
+  *    pairs (O(log²) rounds, [[Dedup.connectedComponents]]);
+  *  - representative choice: one bounded aggregation per component
+  *    (min struct(cdist, id)) — deterministic, no window sort.
+  */
+object SemDedup {
+
+  /** Surviving rows of `vectors` after IVF-partitioned ε-cosine semantic
+    * dedup. `model` comes from [[Ivf.train]]/[[Ivf.trainCached]] (train
+    * once per corpus; assignments must use the same model that defined
+    * the cells). */
+  def semanticDedupIvf(vectors: DataFrame, idCol: String, vecCol: String,
+      model: Ivf.IvfModel, eps: Double = 0.99,
+      maxCell: Int = 1 << 20): DataFrame = {
+    require(eps > 0 && eps <= 1, "eps must be in (0, 1]")
+    graft.functions.NativeFunctions.register(vectors.sparkSession)
+    val dists = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.NativeFunctions.graft_l2sq(col("v"), c).as("d"),
+        lit(i).as("i"))
+    }
+    // persisted: referenced by the cell-size profile, both pair-join
+    // sides, and the representative lookup
+    val assigned = OpCaches.persist(vectors
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), array_min(array(dists: _*)).as("best"))
+      .select(col("id"), col("v"),
+        col("best").getField("i").as("cell"),
+        col("best").getField("d").as("cdist")))
+    val okCells = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("csize"))
+      .filter(col("csize") > 1 && col("csize") <= maxCell)
+      .select("cell")
+    val pruned = assigned.join(okCells, Seq("cell"))
+    val pairs = pruned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(pruned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      // cosineSafe: one zero vector in a cell must not kill the job
+      .filter(Similarity.cosineSafe(col("v_a"), col("v_b")) >= eps)
+      .select("id_a", "id_b")
+    // (id, component) for every pair member; eager CC (see Dedup notes)
+    val comp = Dedup.connectedComponents(pairs)
+    val labeled = comp.join(assigned.select(col("id"), col("cdist")), Seq("id"))
+    val losers = labeled
+      .join(labeled.groupBy("component")
+          .agg(min(struct(col("cdist"), col("id"))).as("w"))
+          .select(col("component"), col("w").getField("id").as("win_id")),
+        Seq("component"))
+      .filter(col("id") =!= col("win_id"))
+      .select(col("id").as(idCol))
+    vectors.join(losers, Seq(idCol), "left_anti")
+  }
+}

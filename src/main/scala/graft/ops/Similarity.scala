@@ -44,8 +44,24 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two float-array columns. */
+  /** Cosine similarity of two float-array columns. Division semantics are
+    * the raw engine ones (ANSI: ÷0 THROWS) — the top-k paths keep this
+    * form because their DuckDB value oracles replay the exact division;
+    * pair-generating dedup paths use [[cosineSafe]]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Zero-norm-safe cosine: 0.0 when either vector has zero norm. A zero
+    * vector is a near-duplicate of NOTHING — and the raw [[cosine]]
+    * division kills the whole job under ANSI (DIVIDE_BY_ZERO, found by
+    * the ScaleSpec synthetic drill) the moment one zero embedding
+    * appears in a corpus. Threshold-consistent with external SQL for any
+    * threshold > 0: engines that produce NaN/Inf there also fail the ≥
+    * comparison. CaseWhen evaluates the division only on the safe
+    * branch. */
+  def cosineSafe(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === lit(0.0), lit(0.0)).otherwise(dot(a, b) / d)
+  }
 
   /** Exact brute-force top-k by cosine against a single query vector.
     * Compiles to scan → project(score) → TakeOrderedAndProject. */
@@ -141,7 +157,8 @@ object Similarity {
     val b = pruned.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine_sim"))
+      .select(col("id_a"), col("id_b"),
+        cosineSafe(col("v_a"), col("v_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 
@@ -201,8 +218,51 @@ object Similarity {
     require(cent.size == dims, s"seed set covers ${cent.size}/$dims dims")
     val centLit = array((0 until dims).map(d => lit(cent(d))): _*)
     vectors
-      .select(col(idCol), cosine(col(vecCol), centLit).as("cosine_sim"))
+      // cosineSafe: a zero corpus vector scores 0 (filtered for any
+      // positive threshold) instead of killing the scan under ANSI;
+      // survivor set matches the SQL replay (NaN fails ≥ there)
+      .select(col(idCol), cosineSafe(col(vecCol), centLit).as("cosine_sim"))
       .filter(col("cosine_sim") >= minCosine)
+  }
+
+  /** Hard-negative mining (the DPR recipe — Karpukhin et al.,
+    * "Dense Passage Retrieval", EMNLP 2020): for each query vector, the
+    * `k` most-cosine-similar corpus vectors EXCLUDING the query's own
+    * positive set — the "looks relevant but isn't" rows a dense
+    * retriever trains against.
+    *
+    * Scale shape: `queries` is an eval-sized table → broadcast into a
+    * map-only (corpus × queries) score expansion; `positives`
+    * (query_id, id) pairs anti-join out (also broadcast-sized); the
+    * per-query top-k accumulates through the bounded-buffer
+    * [[graft.functions.TopKAggregator]] — ≤ k candidates per query per
+    * map task, so the shuffle carries k·|queries| rows, NOT the scored
+    * expansion, and there is no corpus-wide window sort. One corpus
+    * read regardless of |queries|.
+    *
+    * Deterministic: cosine is the sequential native fold; ties break by
+    * ascending corpus id (the aggregator's contract). Output:
+    * (query_id, rk, id, cosine_sim) with rk ∈ [1, k]. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      positives: DataFrame, k: Int): DataFrame = {
+    registerNatives(corpus)
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).as("qv"))))
+      .join(broadcast(positives.select(col(qIdCol).as("query_id"),
+        col(idCol).as("id"))), Seq("query_id", "id"), "left_anti")
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopKAggregator[(Long, Long, Double)](
+      k, _._3, _._2).toColumn
+    scored.groupByKey(_._1).agg(topk).toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col._2").as(idCol), col("col._1").as("cosine_sim"))
   }
 
   /** Symmetric per-vector int8 quantization — the storage/serving format

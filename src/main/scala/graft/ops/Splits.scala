@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/validation/test splitting and curriculum sharding — the
+  * last-mile assignment operators of a training-data pipeline (every
+  * corpus ships as named splits, and curriculum recipes consume shards
+  * ordered by a difficulty signal).
+  *
+  * Two split regimes, the [[Sampling]] design language throughout
+  * (seeded Knuth hash, integer thresholds, no RNG state):
+  *  - [[hashSplit]]: ONE map-only pass, no shuffle, proportions
+  *    approximate (binomial). The 100 TB default.
+  *  - [[stratifiedExactSplit]]: exact ⌊n_s·bp/10000⌋ row counts per
+  *    stratum, via a per-stratum rank over the seeded hash order. Costs
+  *    one window sort per stratum — the audit/eval-set builder, not the
+  *    petabyte path.
+  * Both are deterministic per (id, seed) / (stratum contents, seed) and
+  * replay exactly in external SQL.
+  */
+object Splits {
+
+  /** Validate basis-point split specs: positive, sum ≤ 10000 (the
+    * remainder is the LAST split's — callers list explicit fractions for
+    * all but the final catch-all split). */
+  private def checkSplits(splitsBp: Seq[(String, Int)]): Unit = {
+    require(splitsBp.size >= 2, "need at least two splits")
+    require(splitsBp.map(_._1).distinct.size == splitsBp.size,
+      "duplicate split names")
+    require(splitsBp.init.forall(_._2 > 0), "split fractions must be > 0")
+    require(splitsBp.last._2 == -1,
+      "last split must carry bp = -1 (the catch-all remainder)")
+    require(splitsBp.init.map(_._2).sum < 10000,
+      "explicit split fractions must sum below 10000")
+  }
+
+  /** Map-only hash split: row → the split whose cumulative basis-point
+    * band contains `seededKnuth(id) · 10000 div 2^31`. Proportions are
+    * binomial around the targets (exact in expectation); membership is
+    * deterministic per (id, seed), independent of partitioning, ordering
+    * and corpus content — adding documents never reassigns existing ones
+    * (the property that makes hash splits the production default: eval
+    * contamination cannot creep in through a re-run).
+    *
+    * `splitsBp`: explicit fractions for all but the last entry, which
+    * must be `(name, -1)` and receives the remainder. */
+  def hashSplit(docs: DataFrame, idCol: String,
+      splitsBp: Seq[(String, Int)], seed: Int = 0): DataFrame = {
+    checkSplits(splitsBp)
+    // band = h·10000 div 2^31 ∈ [0, 10000): uniform over ids
+    val band = (Sampling.seededKnuth(col(idCol), seed) * lit(10000L))
+      .divide(lit(2147483648L)).cast("long")
+    val cuts = splitsBp.init.scanLeft(0L) { case (acc, (_, bp)) => acc + bp }.tail
+    val expr0: Column = lit(splitsBp.last._1)
+    val assign = splitsBp.init.zip(cuts).foldRight(expr0) {
+      case (((name, _), cut), rest) => when(band < cut, lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", assign)
+  }
+
+  /** Rank-order hash for [[stratifiedExactSplit]]: seeded Knuth, an
+    * xor-shift, then a second multiply. The xor-shift is the point —
+    * [[Sampling.seededKnuth]] alone is AFFINE mod 2^31 (for unwrapped
+    * ids, seed s just adds the constant s·K·K), so two seeds produce
+    * rank ROTATIONS of each other, not reshuffles; that is harmless for
+    * threshold membership (h < t) but defeats a rank-based split. The
+    * xor with the high half breaks affinity, so the second multiply
+    * genuinely rescrambles the order per seed (SplitsSpec pins it).
+    * Still integer-only and exactly replayable in external SQL
+    * (xor + floor-div + multiply + mod). */
+  def orderHash(idCol: Column, seed: Int): Column = {
+    val h0 = Sampling.seededKnuth(idCol, seed)
+    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
+    pmod(h1 * lit(2654435761L), lit(2147483648L))
+  }
+
+  /** Exact stratified split: within each stratum, rows are ranked by
+    * (seeded hash, id) — a deterministic shuffle — and the first
+    * ⌊n_s·bp₁/10000⌋ go to split 1, the next ⌊n_s·bp₂/10000⌋ to split 2,
+    * …, remainder to the last. Exact per-stratum counts (the eval-set
+    * builder's contract: "exactly 10% of every language"), deterministic
+    * per (stratum contents, seed).
+    *
+    * Scale note: the rank is a window sort PER STRATUM (parallel across
+    * strata, skew = the largest stratum); the per-stratum sizes ride the
+    * same window as a count — no driver collect, no second pass. At
+    * corpus scale prefer [[hashSplit]] unless exactness is the point. */
+  def stratifiedExactSplit(docs: DataFrame, idCol: String, strataCol: String,
+      splitsBp: Seq[(String, Int)], seed: Int = 0): DataFrame = {
+    checkSplits(splitsBp)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val wOrd = w.orderBy(orderHash(col(idCol), seed), col(idCol))
+    val ranked = docs
+      .withColumn("rk", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("ns", count(lit(1)).over(w))
+    // cumulative exact cut at split i: Σ_{j ≤ i} ⌊n_s·bp_j / 10000⌋
+    val cuts = splitsBp.init
+      .scanLeft(lit(0L): Column) { case (acc, (_, bp)) =>
+        acc + expr(s"ns * $bp div 10000")
+      }.tail
+    val expr0: Column = lit(splitsBp.last._1)
+    val assign = splitsBp.init.zip(cuts).foldRight(expr0) {
+      case (((name, _), cut), rest) => when(col("rk") < cut, lit(name)).otherwise(rest)
+    }
+    ranked.withColumn("split", assign).drop("rk", "ns")
+  }
+
+  /** Curriculum shard assignment: the corpus in `nShards` contiguous
+    * difficulty bands — shard 1 holds the easiest ⌈n/nShards⌉-ish rows,
+    * the last the hardest (curriculum learning, Bengio et al. ICML 2009;
+    * the shard id is what a pacing schedule consumes). Assignment is
+    * EXACTLY SQL `NTILE(nShards) OVER (ORDER BY difficulty, id)`:
+    * the first `n mod nShards` shards take ⌈n/nShards⌉ rows, the rest
+    * ⌊n/nShards⌋, over the (difficulty, id) total order.
+    *
+    * Scale shape: NTILE's global order is NOT computed with a
+    * one-partition window — the global rank decomposes as
+    * `rank = (rows with difficulty < d) + (rank of id within d)`:
+    * one bounded histogram aggregation over the DISTINCT difficulty
+    * values (collected once as literals — the [[ExactPercentile]]
+    * contract: difficulty signals are scores/grades with bounded
+    * cardinality, guarded the same way) plus one per-value window
+    * (parallel across values; skew = the hottest difficulty value).
+    * The q32-style whole-corpus single-partition sort never happens. */
+  def curriculumShards(docs: DataFrame, idCol: String, difficultyCol: String,
+      nShards: Int, maxDistinct: Int = 100000): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val hist = docs
+      .select(col(difficultyCol).cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("cnt"))
+      .collect()
+    require(hist.forall(!_.isNullAt(0)),
+      "curriculumShards: difficulty must be non-null integral " +
+        "(quantize/bucket the raw signal first)")
+    require(hist.length <= maxDistinct,
+      s"curriculumShards: ${hist.length} distinct difficulty values exceed " +
+        s"maxDistinct=$maxDistinct — the histogram-decomposed NTILE needs " +
+        "bounded-cardinality difficulty (bucket the signal first)")
+    val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = sorted.map(_._2).sum
+    // rows strictly below each difficulty value → one literal MAP (not a
+    // when-chain: 100k arms would break codegen; element_at on a map
+    // literal is one lookup)
+    val below = sorted.map(_._1)
+      .zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
+    val belowLit = typedLit(below)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(difficultyCol)).orderBy(col(idCol))
+    // NTILE(k) over n rows, 0-based global rank r: the first (n mod k)
+    // shards take ⌈n/k⌉ rows, the rest ⌊n/k⌋. Integer-exact arithmetic.
+    val big = (n + nShards - 1) / nShards // ⌈n/k⌉
+    val small = n / nShards // ⌊n/k⌋
+    val nBig = if (n % nShards == 0) nShards.toLong else n % nShards
+    val bigSpan = nBig * big
+    docs
+      .withColumn("gr",
+        element_at(belowLit, col(difficultyCol).cast("long")) +
+          row_number().over(w).cast("long") - 1L)
+      .withColumn("shard",
+        if (small == 0L) col("gr") + 1L // more shards than rows: rank+1
+        else when(col("gr") < bigSpan, expr(s"1 + (gr div $big)"))
+          .otherwise(expr(s"${nBig + 1} + ((gr - $bigSpan) div $small)")))
+      .drop("gr")
+  }
+}

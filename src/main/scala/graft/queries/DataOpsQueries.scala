@@ -440,6 +440,108 @@ object DataOpsQueries {
         |  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(cv, cv))) >= 0.15
         |ORDER BY vec_id""".stripMargin,
+    // verdict columns (q66 pattern): counts + laws computed in-engine,
+    // the oracle asserts COUNT(*) and TRUE×3 — a dedup/representative
+    // regression flips a boolean and hash-mismatches
+    "q104_semdedup_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS twin_dedup_ok,
+        |TRUE AS orig_wins_ok, TRUE AS kept_bounds_ok FROM embeddings""".stripMargin,
+    // exact stratified split replay: same order hash (seed 7 → rotation
+    // 1423399143; Knuth → xor-shift → second multiply), same per-stratum
+    // floor cuts over the ROW_NUMBER rank — every (lang, split) count
+    // must match
+    "q105_stratified_split" ->
+      """WITH h0 AS (SELECT lang, doc_id,
+        |    ((doc_id + 1423399143) % 2147483648) * 2654435761 % 2147483648 AS h0
+        |  FROM documents),
+        |h AS (SELECT lang, doc_id,
+        |    xor(h0, h0 // 65536) * 2654435761 % 2147483648 AS hh FROM h0),
+        |r AS (SELECT lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS ns
+        |  FROM h)
+        |SELECT lang,
+        |  CASE WHEN rk < ns * 8000 // 10000 THEN 'train'
+        |       WHEN rk < ns * 8000 // 10000 + ns * 1000 // 10000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hash-split replay: seed 3 → rotation 1520856339, band = h·10⁴ div 2³¹
+    "q106_hash_split" ->
+      """WITH h AS (SELECT doc_id,
+        |    ((doc_id + 1520856339) % 2147483648) * 2654435761 % 2147483648 AS hh
+        |  FROM documents)
+        |SELECT CASE WHEN hh * 10000 // 2147483648 < 9000
+        |  THEN 'train' ELSE 'holdout' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // curriculum replay with DuckDB's ACTUAL NTILE — the engine's
+    // histogram-decomposed rank must reproduce it exactly
+    "q107_curriculum" ->
+      """WITH r AS (SELECT n_chars, doc_id,
+        |    NTILE(7) OVER (ORDER BY n_chars, doc_id) AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(n_chars) AS min_d, MAX(n_chars) AS max_d
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full value replay (q26 cosine contract): same-label exclusion,
+    // cosine top-5 per query by ROW_NUMBER
+    "q108_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    label AS ql FROM embeddings WHERE vec_id <= 2),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM embeddings e, q WHERE e.label <> q.ql),
+        |r AS (SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM s)
+        |SELECT query_id, CAST(rk AS INT) AS rk, vec_id, cos AS cosine_sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // substring-contamination replay: the q102 winnow pipeline on BOTH
+    // sides (train = full docs, eval = token-slice passages), then the
+    // fingerprint join with the same minShared threshold
+    "q109_substring_contam" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'train' AS side, trim(text) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'eval' AS side,
+        |    array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 5, 24), ' ') AS t
+        |  FROM documents
+        |  WHERE doc_id % 89 = 0
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 24),
+        |hs AS (SELECT doc_id, side, CASE WHEN len(t) >= 5
+        |  THEN [list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(substr(t, i, 5), '')],
+        |         (h, c) -> (h * 31 + c) % 2147483647) FOR i IN range(1, len(t) - 3)]
+        |  ELSE [list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(t, '')],
+        |         (h, c) -> (h * 31 + c) % 2147483647)] END AS hs FROM base),
+        |m AS (SELECT doc_id, side, UNNEST(CASE WHEN len(hs) >= 8
+        |  THEN [list_min(hs[i:i+7]) FOR i IN range(1, len(hs) - 6)]
+        |  ELSE [list_min(hs)] END) AS fp FROM hs),
+        |d AS (SELECT DISTINCT doc_id, side, fp FROM m),
+        |j AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+        |    COUNT(*) AS n_shared
+        |  FROM d tr JOIN d ev ON tr.fp = ev.fp
+        |  WHERE tr.side = 'train' AND ev.side = 'eval'
+        |  GROUP BY 1, 2)
+        |SELECT train_id, eval_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM j WHERE n_shared >= 3 ORDER BY 1, 2""".stripMargin,
+    // time-decay sampling replay: same day bucketing (epoch-ns floor
+    // div), same linear-to-floor bp schedule, same Knuth-hash membership
+    "q110_decay_sample" ->
+      """WITH d AS (SELECT event_id,
+        |    (epoch_us(ts) * 1000) // 86400000000000 AS day FROM events),
+        |mx AS (SELECT MAX(day) AS md FROM d),
+        |k AS (SELECT event_id, md - day AS age_days,
+        |    GREATEST(500, 10000 - 500 * (md - day)) AS keep_bp
+        |  FROM d, mx
+        |  WHERE (event_id * 2654435761) % 2147483648 * 10000
+        |    < GREATEST(500, 10000 - 500 * (md - day)) * 2147483648)
+        |SELECT age_days, keep_bp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  MIN(event_id) AS min_id
+        |FROM k GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // epoch-mix replay: same integer budget/epoch arithmetic in HUGEINT,
     // same Knuth-hash partial-epoch rule (h·T_d < rem·2^31)
     "q103_epoch_mix" ->
@@ -2186,6 +2288,130 @@ object DataOpsQueries {
       .orderBy("lang", "epoch")
   }
 
+  /** SemDeDup with LEARNED cluster partitions ([[graft.ops.SemDedup]]):
+    * identical planted twins must collapse inside their k-means cell, and
+    * the group representative is the CENTROID-NEAREST member (equal
+    * distance for identical twins → min id → the original). Engine-
+    * independent verdict columns (the q66 pattern, plus the
+    * representative law this variant adds). */
+  val q104SemdedupIvf: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    // k = 32 (vs the probe index's 8): SemDeDup wants MANY SMALL cells —
+    // candidate pairs are Σ s_c², so 4× the cells ≈ ¼ the pairs, and the
+    // cell-key join spreads over 32 keys instead of 8 (bench: 6.1→2.9s)
+    val model = graft.ops.Ivf.trainCached(s"$dir/embeddings#dedup", emb, "embedding", k = 32)
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val all = emb.unionByName(twins)
+    val survivors = graft.ops.SemDedup.semanticDedupIvf(
+      all, "vec_id", "embedding", model, eps = 0.999999)
+    val origSurv = survivors.filter(col("vec_id") < 1000000L).select("vec_id")
+    val twinSurv = survivors.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id"))
+    val nBoth = origSurv.join(twinSurv, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    // a surviving twin whose original was dropped = representative law
+    // violated (equal cdist must tie-break to the smaller id)
+    val nTwinWins = twinSurv.join(origSurv, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_twin_wins"))
+    val nKept = survivors.agg(count(lit(1)).as("n_kept"))
+    emb.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(nBoth).crossJoin(nTwinWins).crossJoin(nKept)
+      .select(col("n_planted"),
+        (col("n_both") * 100L <= col("n_planted") * 5L).as("twin_dedup_ok"),
+        (col("n_twin_wins") === 0L).as("orig_wins_ok"),
+        (col("n_kept") * 2L >= col("n_planted") &&
+          col("n_kept") * 100L <= col("n_planted") * 105L).as("kept_bounds_ok"))
+  }
+
+  /** Exact stratified split ([[graft.ops.Splits.stratifiedExactSplit]]):
+    * per-language 80/10/10 with EXACT floor counts, rank = seeded Knuth
+    * hash order. Fully SQL-replayable (ROW_NUMBER over the same integer
+    * hash), so the oracle checks every (lang, split) count. */
+  val q105StratifiedSplit: Q = (s, dir) => {
+    graft.ops.Splits.stratifiedExactSplit(load(s, dir, "documents"),
+        "doc_id", "lang",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> -1), seed = 7)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  /** Map-only hash split ([[graft.ops.Splits.hashSplit]]): the
+    * production-default split (membership deterministic per id,
+    * re-runs never reassign). Value oracle replays the band arithmetic. */
+  val q106HashSplit: Q = (s, dir) => {
+    graft.ops.Splits.hashSplit(load(s, dir, "documents"), "doc_id",
+        Seq("train" -> 9000, "holdout" -> -1), seed = 3)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+      .orderBy("split")
+  }
+
+  /** Curriculum shards ([[graft.ops.Splits.curriculumShards]]): NTILE(7)
+    * semantics over (n_chars, doc_id) WITHOUT the single-partition global
+    * sort (histogram-decomposed rank). The oracle replays with DuckDB's
+    * actual NTILE — any decomposition slip hash-mismatches. */
+  val q107Curriculum: Q = (s, dir) => {
+    graft.ops.Splits.curriculumShards(load(s, dir, "documents"),
+        "doc_id", "n_chars", nShards = 7)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("min_d"), max("n_chars").as("max_d"))
+      .orderBy("shard")
+  }
+
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): for
+    * three query vectors, top-5 cosine neighbors excluding the query's
+    * label class (the DPR positives-exclusion shape). Full value oracle
+    * (the q26 cosine-replay contract: sequential dot fold ==
+    * list_dot_product bit-for-bit). */
+  val q108HardNegatives: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+    // positives of a query = its whole label class (incl. itself)
+    val positives = emb.select(col("vec_id"), col("label"))
+      .join(queries.select(col("q_id"), col("label")), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    graft.ops.Similarity.hardNegatives(
+        emb, "vec_id", "embedding",
+        queries, "q_id", "embedding", positives, k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Substring-level contamination ([[Dedup.winnowContaminationPairs]]):
+    * eval "passages" are 20-token slices out of the middle of source
+    * documents — the word-shingle detector's worst case (the slice
+    * boundary cuts shingles) is the winnowing guarantee's home turf (any
+    * shared ≥12-char substring shares a fingerprint). Each eval slice
+    * must hit at least its own source document. Full value oracle: the
+    * q102 winnow replay on both sides + the fingerprint join. */
+  val q109SubstringContam: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val evalDf = docs
+      .filter(pmod(col("doc_id"), lit(89L)) === 0L)
+      .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 24)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ",
+          slice(graft.ops.TextOps.tokens(col("text")), 5, 20)).as("text"))
+    graft.ops.Dedup.winnowContaminationPairs(
+        docs, "doc_id", evalDf, "eval_id", "text", k = 5, w = 8, minShared = 3L)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Recency-weighted sampling over the events table
+    * ([[Sampling.timeDecaySample]]): keep probability decays 5%/day to a
+    * 5% floor from the corpus max event day. Exact integer membership —
+    * the oracle replays every per-age-bucket count and min id. */
+  val q110DecaySample: Q = (s, dir) => {
+    val ev = EventQueries.loadEvents(s, dir)
+    graft.ops.Sampling.timeDecaySample(ev, "event_id", "ts_ns",
+        decayBpPerDay = 500, floorBp = 500, seed = 0)
+      .groupBy("age_days", "keep_bp")
+      .agg(count(lit(1)).as("n_kept"), min("event_id").as("min_id"))
+      .orderBy("age_days")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2254,5 +2480,12 @@ object DataOpsQueries {
     "q101_embed_quality" -> q101EmbedQuality,
     "q102_winnow" -> q102Winnow,
     "q103_epoch_mix" -> q103EpochMix,
+    "q104_semdedup_ivf" -> q104SemdedupIvf,
+    "q105_stratified_split" -> q105StratifiedSplit,
+    "q106_hash_split" -> q106HashSplit,
+    "q107_curriculum" -> q107Curriculum,
+    "q108_hard_negatives" -> q108HardNegatives,
+    "q109_substring_contam" -> q109SubstringContam,
+    "q110_decay_sample" -> q110DecaySample,
   )
 }

@@ -456,4 +456,56 @@ class OpsSpec extends AnyFunSuite {
       p +: (p.children ++ p.subqueries).flatMap(nodes)
     assert(!nodes(plan).map(_.nodeName).exists(_.contains("Exchange")))
   }
+
+  test("winnow contamination: every planted mid-doc passage hits its source") {
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    val train = docs.select(col("doc_id"), col("text"))
+      .filter(size(TextOps.tokens(col("text"))) >= 24)
+    // eval passages: 20 tokens cut from the MIDDLE of every 10th doc —
+    // the shingle-boundary shape word-level detectors miss
+    val evalDf = train.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+    val hits = Dedup.winnowContaminationPairs(
+      train, "doc_id", evalDf, "eval_id", "text", minShared = 3L)
+    val nEval = evalDf.count()
+    val selfHits = hits.filter(col("train_id") === col("eval_id")).count()
+    assert(nEval > 0)
+    // winnowing guarantee: the contained passage shares fingerprints
+    // with its source (≥3 at this passage length)
+    assert(selfHits == nEval, s"$selfHits of $nEval passages found")
+    // word-shingle contrast on the SAME passages: boundary shingles only —
+    // the substring detector must not be weaker than the word detector
+    val wordHits = Dedup.contaminationPairs(train, "doc_id", evalDf,
+      "eval_id", "text", minShared = 3L)
+      .filter(col("train_id") === col("eval_id")).count()
+    assert(selfHits >= wordHits)
+  }
+
+  test("timeDecaySample: schedule exact, deterministic, subset-stable") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // 4 days × 1000 events (ids 0-999 = day 0, …); newest day = 3
+    val rows = (0L until 4000L).map(i => (i, (i / 1000) * dayNs + i))
+    val df = rows.toDF("event_id", "ts_ns")
+    val out = Sampling.timeDecaySample(df, "event_id", "ts_ns",
+      decayBpPerDay = 3000, floorBp = 1000, seed = 0)
+    val byAge = out.groupBy("age_days", "keep_bp").count()
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // schedule: age 0 → 10000 (all kept), 1 → 7000, 2 → 4000, 3 → 1000
+    assert(byAge(0L)._1 == 10000L && byAge(0L)._2 == 1000L)
+    assert(byAge(1L)._1 == 7000L)
+    assert(byAge(2L)._1 == 4000L)
+    assert(byAge(3L)._1 == 1000L) // floor binds
+    // binomial tolerance at n=1000 per day
+    assert(math.abs(byAge(1L)._2 - 700L) < 100, byAge)
+    assert(math.abs(byAge(3L)._2 - 100L) < 60, byAge)
+    // membership is per-id deterministic and survives corpus subsetting
+    // (same max day in the subset)
+    val sub = Sampling.timeDecaySample(df.filter(col("event_id") % 2 === 0),
+      "event_id", "ts_ns", decayBpPerDay = 3000, floorBp = 1000, seed = 0)
+    assert(sub.select("event_id")
+      .except(out.select("event_id")).count() == 0)
+  }
 }

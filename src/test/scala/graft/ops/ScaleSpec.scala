@@ -518,4 +518,45 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == spark.read.parquet(s"$sf/lineitem.parquet").count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("splits scale drill: 1M rows — exact stratified counts, NTILE decomposition") {
+    val n = 1000000L
+    // 20 strata, 100 distinct difficulty values — the bounded-cardinality
+    // regime both operators are designed for
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(20L))).as("stratum"),
+      pmod(col("id") * 37L, lit(100L)).as("difficulty"))
+    val split = Splits.stratifiedExactSplit(df, "doc_id", "stratum",
+      Seq("train" -> 9000, "val" -> 500, "test" -> -1), seed = 11)
+    val vals = split.filter(col("split") === "val")
+      .groupBy("stratum").count().collect()
+    assert(vals.length == 20)
+    // exact floor law at 50k rows/stratum: 50000·500/10000 = 2500 each
+    vals.foreach(r => assert(r.getLong(1) == 2500L, r))
+    // NTILE decomposition at 1M rows: per-shard sizes are exactly the
+    // ⌈n/k⌉/⌊n/k⌋ split (k=7 → 142858×6, 142857×1 ... n mod 7 big shards)
+    val shards = Splits.curriculumShards(df, "doc_id", "difficulty", nShards = 7)
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val big = (n + 6) / 7
+    val nBig = (n % 7).toInt
+    (1 to 7).foreach { s =>
+      val expect = if (s <= nBig) big else n / 7
+      assert(shards(s.toLong) == expect, s"shard $s: ${shards(s.toLong)}")
+    }
+  }
+
+  test("semdedup ivf scale shape: no cartesian, pair join keyed on cell") {
+    val m = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val vecs = spark.range(10000).select(col("id").as("vec_id"),
+      array((col("id") % 97).cast("float") / 97f,
+        (col("id") % 89).cast("float") / 89f).as("embedding"))
+    val surv = SemDedup.semanticDedupIvf(vecs, "vec_id", "embedding", m,
+      eps = 0.999999, maxCell = 100000)
+    // materialize (CC is eager anyway) and pin: never loses everything,
+    // never grows
+    val k = surv.count()
+    assert(k > 0 && k <= 10000)
+    OpCaches.releaseAll()
+  }
 }

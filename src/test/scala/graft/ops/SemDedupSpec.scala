@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDedupSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    graft.functions.NativeFunctions.register(s)
+    s
+  }
+  val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+
+  def model(emb: org.apache.spark.sql.DataFrame) =
+    Ivf.trainCached(s"$embPath#semspec", emb, "embedding", k = 8)
+
+  test("identical planted twins collapse; the original (min id) survives") {
+    val emb = spark.read.parquet(embPath)
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val survivors = SemDedup.semanticDedupIvf(
+      emb.unionByName(twins), "vec_id", "embedding", model(emb), eps = 0.999999)
+    val surv = survivors.select("vec_id")
+    val origSurv = surv.filter(col("vec_id") < 1000000L)
+    val twinSurv = surv.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id"))
+    // every pair lost exactly its twin: no (orig, twin) both-survive, and
+    // no twin outlived its original (equal cdist ⇒ min id wins)
+    assert(origSurv.join(twinSurv, Seq("vec_id"), "left_semi").count() == 0)
+    assert(twinSurv.join(origSurv, Seq("vec_id"), "left_anti").count() == 0)
+    assert(survivors.count() == emb.count())
+    OpCaches.releaseAll()
+  }
+
+  test("representative is the centroid-NEAREST member, not min id") {
+    import spark.implicits._
+    // a 2-vector cluster: v2 sits closer to the lone centroid than v1,
+    // cosine(v1, v2) ≈ 1 → dup group; the min-ID rule would keep id 1,
+    // the SemDeDup rule must keep id 2
+    val m = Ivf.IvfModel(Array(Array(1.0, 0.0, 0.0, 0.0)))
+    val rows = Seq(
+      (1L, Seq(10.0f, 0f, 0f, 0f)), // far from centroid
+      (2L, Seq(1.2f, 0f, 0f, 0f)), // near centroid, same direction
+      (3L, Seq(0f, 5.0f, 0f, 0f)) // orthogonal — no dup
+    ).toDF("vec_id", "embedding")
+    val surv = SemDedup.semanticDedupIvf(rows, "vec_id", "embedding", m,
+      eps = 0.99).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(2L, 3L))
+    OpCaches.releaseAll()
+  }
+
+  test("over-full cells are kept UNDEDUPED (maxCell guard), never exploded") {
+    val emb = spark.read.parquet(embPath)
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val all = emb.unionByName(twins)
+    // maxCell = 1: every multi-member cell is over-full → nothing dedups
+    val surv = SemDedup.semanticDedupIvf(all, "vec_id", "embedding",
+      model(emb), eps = 0.999999, maxCell = 1)
+    assert(surv.count() == all.count())
+    OpCaches.releaseAll()
+  }
+
+  test("deterministic across runs") {
+    val emb = spark.read.parquet(embPath)
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val all = emb.unionByName(twins)
+    def run() = SemDedup.semanticDedupIvf(all, "vec_id", "embedding",
+      model(emb), eps = 0.999999).select("vec_id")
+    val (a, b) = (run(), run())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    OpCaches.releaseAll()
+  }
+
+  test("zero vectors never kill a pair job and never count as near-dups") {
+    import spark.implicits._
+    val m = Ivf.IvfModel(Array(Array(0.5, 0.0), Array(0.0, 0.5)))
+    val rows = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)), // two zero vectors, same cell
+      (3L, Seq(1f, 0f)), (4L, Seq(1f, 0f)) // one real dup pair
+    ).toDF("vec_id", "embedding")
+    val surv = SemDedup.semanticDedupIvf(rows, "vec_id", "embedding", m,
+      eps = 0.99).select("vec_id").collect().map(_.getLong(0)).toSet
+    // zero vectors both survive (dup of nothing); the real pair dedups
+    assert(surv == Set(1L, 2L, 3L))
+    // same guard on the LSH pair path and the centroid quality gate
+    val pairs = Similarity.cosineNearDupPairs(rows, "vec_id", "embedding",
+      dim = 2, threshold = 0.99, bits = 4)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((3L, 4L)))
+    val kept = Similarity.embedQualityFilter(rows, "vec_id", "embedding",
+      rows.filter(col("vec_id") === 3L), dims = 2, minCosine = 0.5)
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L))
+    OpCaches.releaseAll()
+  }
+
+  test("hard negatives: equals the window formulation, excludes positives") {
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+    val positives = emb.select(col("vec_id"), col("label"))
+      .join(queries.select(col("q_id"), col("label")), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding",
+      queries, "q_id", "embedding", positives, k = 5)
+    // no positive (same-label row) leaks into any query's negatives
+    assert(got.join(positives.withColumnRenamed("q_id", "query_id"),
+      Seq("query_id", "vec_id"), "left_semi").count() == 0)
+    // reference: window rank over the same exclusion
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    val ref = emb.select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .join(broadcast(queries.select(col("q_id").as("query_id"),
+        col("embedding").as("qv"), col("label").as("ql"))))
+      .filter(col("label") =!= col("ql"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("cos").as("cosine_sim"))
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SplitsSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    graft.functions.NativeFunctions.register(s)
+    s
+  }
+  val docs = "/root/testdata/sf0.001/documents.parquet"
+  val splits3 = Seq("train" -> 8000, "val" -> 1000, "test" -> -1)
+
+  test("stratifiedExactSplit: EXACT floor counts per stratum, total preserved") {
+    val df = spark.read.parquet(docs)
+    val out = Splits.stratifiedExactSplit(df, "doc_id", "lang", splits3, seed = 7)
+    val counts = out.groupBy("lang", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ns = df.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ns.foreach { case (lang, n) =>
+      assert(counts.getOrElse((lang, "train"), 0L) == n * 8000 / 10000, s"$lang train")
+      assert(counts.getOrElse((lang, "val"), 0L) == n * 1000 / 10000, s"$lang val")
+      assert(counts.getOrElse((lang, "test"), 0L) ==
+        n - n * 8000 / 10000 - n * 1000 / 10000, s"$lang test")
+    }
+    assert(out.count() == df.count())
+  }
+
+  test("stratifiedExactSplit: deterministic per seed; seeds genuinely reshuffle") {
+    val df = spark.read.parquet(docs)
+    def ids(seed: Int) = Splits.stratifiedExactSplit(df, "doc_id", "lang", splits3, seed)
+      .filter(col("split") === "val").select("doc_id")
+    assert(ids(7).except(ids(7)).count() == 0)
+    assert(ids(7).count() == ids(8).count()) // exact counts are seed-free
+    assert(ids(7).except(ids(8)).count() > 0) // membership is not
+  }
+
+  test("hashSplit: membership is per-id stable — adding documents never reassigns") {
+    val df = spark.read.parquet(docs)
+    val half = df.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val full = Splits.hashSplit(df, "doc_id", splits3, seed = 3)
+      .select(col("doc_id"), col("split"))
+    val sub = Splits.hashSplit(half, "doc_id", splits3, seed = 3)
+      .select(col("doc_id"), col("split").as("sub_split"))
+    // the subset's assignment agrees with the full corpus row-for-row
+    assert(full.join(sub, Seq("doc_id"))
+      .filter(col("split") =!= col("sub_split")).count() == 0)
+  }
+
+  test("hashSplit: proportions near targets, bands exhaustive") {
+    val out = Splits.hashSplit(spark.read.parquet(docs), "doc_id", splits3, seed = 3)
+    val n = out.count()
+    val train = out.filter(col("split") === "train").count()
+    // binomial tolerance at n≈500: ±6 percentage points
+    assert(math.abs(train.toDouble / n - 0.8) < 0.06)
+    assert(out.filter(!col("split").isInCollection(Seq("train", "val", "test")))
+      .count() == 0)
+  }
+
+  test("curriculumShards equals a reference NTILE window on the same order") {
+    val df = spark.read.parquet(docs)
+    val got = Splits.curriculumShards(df, "doc_id", "n_chars", nShards = 7)
+      .select(col("doc_id"), col("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ref = df.select(col("doc_id"), ntile(7).over(w).cast("long").as("shard_ref"))
+    assert(got.join(ref, Seq("doc_id"))
+      .filter(col("shard") =!= col("shard_ref")).count() == 0)
+  }
+
+  test("curriculumShards: more shards than rows degrades to rank, like NTILE") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10L), (2L, 5L), (3L, 10L)).toDF("doc_id", "n_chars")
+    val got = Splits.curriculumShards(tiny, "doc_id", "n_chars", nShards = 7)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // order: (5,2) < (10,1) < (10,3) → shards 1, 2, 3
+    assert(got == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+
+  test("spec validation: malformed split lists are rejected") {
+    val df = spark.read.parquet(docs)
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(df, "doc_id", Seq("a" -> 9000, "b" -> 2000, "c" -> -1))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(df, "doc_id", Seq("a" -> 5000, "b" -> 5000))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.curriculumShards(df, "doc_id", "n_chars", nShards = 7, maxDistinct = 2)
+    }
+  }
+}

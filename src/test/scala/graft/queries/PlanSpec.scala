@@ -142,6 +142,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!pTopk.contains("CartesianProduct"), pTopk)
   }
 
+  test("q106: hash split is one map pass — only the report agg exchanges") {
+    val p = plan("q106_hash_split")
+    // node-detail headers only ("(5) Exchange"), not the tree echo; the
+    // report's groupBy + orderBy own 2 exchanges — the ASSIGNMENT must
+    // add none (a pure Project straight over the scan) and no window
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, s"split assignment should add no exchange:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Project (2)"), s"assignment is not a scan-adjacent project:\n$p")
+  }
+
+  test("q107: curriculum rank windows shard by difficulty, never one partition") {
+    val p = plan("q107_curriculum")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.nonEmpty, p)
+    // the per-value window partitions by n_chars — no corpus-wide sort
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id"), p)
+  }
+
+  test("q108: hard negatives broadcast the query side and aggregate partially") {
+    val p = plan("q108_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // bounded-buffer top-k: partial ObjectHashAggregate, no window sort
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q109: substring contamination broadcasts the eval side (train never shuffles)") {
+    val p = plan("q109_substring_contam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("entry: flagship query runs and returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
