@@ -435,6 +435,47 @@ object Hashing {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Intra-document repeated-span removal: the trimmed text's whitespace
+    * tokens are cut into NON-OVERLAPPING `span`-token chunks (trailing
+    * partial chunk included), each chunk Rabin-Karp-fingerprinted (the
+    * [[shingleFps]] code-point fold), and only each fingerprint's FIRST
+    * occurrence survives; the cleaned text is the kept chunks re-joined
+    * with single spaces. One compiled pass, O(L). The within-document
+    * half of repetition dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022 §4.1 dedups repeated spans;
+    * Gopher's repetition filters drop whole documents instead —
+    * [[graft.ops.CorpusStats]] has those as q61/q90): generation loops
+    * and templated boilerplate repeat inside one document, where
+    * corpus-level line dedup (q89) never looks. */
+  def despan(s: UTF8String, span: Int): UTF8String = {
+    val toks = sparkTokens(s.toString)
+    val n = toks.length
+    val seen = new java.util.HashSet[java.lang.Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + span, n)
+      var h = 0L
+      var k = i
+      while (k < end) {
+        if (k > i) h = (h * 31 + 32L) % P31
+        h = foldCodePoints(h, toks(k))
+        k += 1
+      }
+      if (seen.add(h)) {
+        if (sb.length > 0) sb.append(' ')
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+      }
+      i = end
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** DSIR hashed-gram buckets — value-identical to
     * `transform(Dsir.grams(text), g => pmod(fingerprint(g), buckets))`
     * (all whitespace unigrams, then all adjacent space-joined bigrams),
@@ -730,6 +771,28 @@ case class ShingleFpsExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.shingleFps($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleFpsExpr =
+    copy(child = c)
+}
+
+/** `graft_despan(text, span)`: intra-document repeated-span removal
+  * ([[Hashing.despan]]) — keep the first occurrence of every
+  * `span`-token chunk, drop repeats, re-join. One codegen'd O(L) pass. */
+case class DespanExpr(child: Expression, span: Int) extends UnaryExpression {
+  require(span >= 1, "span must be >= 1")
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_despan requires STRING input, got ${child.dataType.simpleString}")
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.despan(v.asInstanceOf[UTF8String], span)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.despan($c, $span)")
+  override protected def withNewChildInternal(c: Expression): DespanExpr =
     copy(child = c)
 }
 
@@ -1060,6 +1123,9 @@ object NativeFunctions {
   def graft_gram_buckets(text: Column, buckets: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_gram_buckets",
       text, org.apache.spark.sql.functions.lit(buckets))
+  def graft_despan(text: Column, span: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_despan",
+      text, org.apache.spark.sql.functions.lit(span))
   def graft_kmv_est(sketch: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_kmv_est", sketch)
   def graft_kmv_union(a: Column, b: Column): Column =
@@ -1134,6 +1200,9 @@ object NativeFunctions {
     reg.createOrReplaceTempFunction("graft_gram_buckets",
       exprs => GramBucketsExpr(exprs.head,
         constArg("graft_gram_buckets", "buckets", exprs, 1).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_despan",
+      exprs => DespanExpr(exprs.head,
+        constArg("graft_despan", "span", exprs, 1).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_byte_tokens",
       exprs => ByteTokensExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_kmv_est",

@@ -86,11 +86,23 @@ object Sampling {
   def timeDecaySample(events: DataFrame, idCol: String, tsNsCol: String,
       decayBpPerDay: Int = 500, floorBp: Int = 500,
       seed: Int = 0): DataFrame = {
-    require(decayBpPerDay >= 0 && floorBp >= 0 && floorBp <= 10000)
     val dayNs = 86400L * 1000000000L
     val maxDay = events
       .agg(max(expr(s"$tsNsCol div $dayNs")).as("d")).head().getLong(0)
-    val age = lit(maxDay) - expr(s"$tsNsCol div $dayNs")
+    applyTimeDecay(events, idCol, tsNsCol, maxDay, decayBpPerDay, floorBp, seed)
+  }
+
+  /** The map-only half of [[timeDecaySample]] with the reference day
+    * supplied by the caller — the continuous-ingest entry point
+    * ([[graft.streaming.Streams.timeDecaySampleStream]]): yesterday's
+    * batch computes `refDay` once, today's stream applies it statelessly
+    * (the mixture-threshold daily-cadence pattern). */
+  def applyTimeDecay(events: DataFrame, idCol: String, tsNsCol: String,
+      refDay: Long, decayBpPerDay: Int = 500, floorBp: Int = 500,
+      seed: Int = 0): DataFrame = {
+    require(decayBpPerDay >= 0 && floorBp >= 0 && floorBp <= 10000)
+    val dayNs = 86400L * 1000000000L
+    val age = lit(refDay) - expr(s"$tsNsCol div $dayNs")
     val bp = greatest(lit(floorBp.toLong),
       lit(10000L) - lit(decayBpPerDay.toLong) * age)
     events

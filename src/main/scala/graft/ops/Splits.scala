@@ -123,44 +123,83 @@ object Splits {
     * cardinality, guarded the same way) plus one per-value window
     * (parallel across values; skew = the hottest difficulty value).
     * The q32-style whole-corpus single-partition sort never happens. */
-  def curriculumShards(docs: DataFrame, idCol: String, difficultyCol: String,
-      nShards: Int, maxDistinct: Int = 100000): DataFrame = {
-    require(nShards >= 1, "nShards must be >= 1")
+  /** 0-based GLOBAL rank of every row over the total order
+    * (`valueCol` asc or desc, `idCol` asc) — WITHOUT a single-partition
+    * window sort: `rank = (rows strictly before this value) + (rank of
+    * id within the value)`. The first term is one bounded histogram
+    * aggregation collected as a literal map (bounded-cardinality guard);
+    * the second is a window PER VALUE (parallel across values, skew =
+    * the hottest value). Shared by [[curriculumShards]] (NTILE) and
+    * [[balancedShards]] (snake assignment). */
+  private def globalRank(docs: DataFrame, idCol: String, valueCol: String,
+      ascending: Boolean, maxDistinct: Int, caller: String): (DataFrame, Long) = {
     val hist = docs
-      .select(col(difficultyCol).cast("long").as("d"))
+      .select(col(valueCol).cast("long").as("d"))
       .groupBy("d").agg(count(lit(1)).as("cnt"))
       .collect()
     require(hist.forall(!_.isNullAt(0)),
-      "curriculumShards: difficulty must be non-null integral " +
+      s"$caller: the rank value must be non-null integral " +
         "(quantize/bucket the raw signal first)")
     require(hist.length <= maxDistinct,
-      s"curriculumShards: ${hist.length} distinct difficulty values exceed " +
-        s"maxDistinct=$maxDistinct — the histogram-decomposed NTILE needs " +
-        "bounded-cardinality difficulty (bucket the signal first)")
-    val sorted = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      s"$caller: ${hist.length} distinct values exceed " +
+        s"maxDistinct=$maxDistinct — the histogram-decomposed rank needs " +
+        "bounded cardinality (bucket the signal first)")
+    val sorted0 = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sorted = if (ascending) sorted0 else sorted0.reverse
     val n = sorted.map(_._2).sum
-    // rows strictly below each difficulty value → one literal MAP (not a
-    // when-chain: 100k arms would break codegen; element_at on a map
-    // literal is one lookup)
-    val below = sorted.map(_._1)
+    // rows strictly before each value → one literal MAP (not a when-
+    // chain: 100k arms would break codegen; element_at is one lookup)
+    val before = sorted.map(_._1)
       .zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
-    val belowLit = typedLit(below)
+    val beforeLit = typedLit(before)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(difficultyCol)).orderBy(col(idCol))
+      .partitionBy(col(valueCol)).orderBy(col(idCol))
+    (docs.withColumn("gr",
+      element_at(beforeLit, col(valueCol).cast("long")) +
+        row_number().over(w).cast("long") - 1L), n)
+  }
+
+  def curriculumShards(docs: DataFrame, idCol: String, difficultyCol: String,
+      nShards: Int, maxDistinct: Int = 100000): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val (ranked, n) = globalRank(docs, idCol, difficultyCol,
+      ascending = true, maxDistinct, "curriculumShards")
     // NTILE(k) over n rows, 0-based global rank r: the first (n mod k)
     // shards take ⌈n/k⌉ rows, the rest ⌊n/k⌋. Integer-exact arithmetic.
     val big = (n + nShards - 1) / nShards // ⌈n/k⌉
     val small = n / nShards // ⌊n/k⌋
     val nBig = if (n % nShards == 0) nShards.toLong else n % nShards
     val bigSpan = nBig * big
-    docs
-      .withColumn("gr",
-        element_at(belowLit, col(difficultyCol).cast("long")) +
-          row_number().over(w).cast("long") - 1L)
+    ranked
       .withColumn("shard",
         if (small == 0L) col("gr") + 1L // more shards than rows: rank+1
         else when(col("gr") < bigSpan, expr(s"1 + (gr div $big)"))
           .otherwise(expr(s"${nBig + 1} + ((gr - $bigSpan) div $small)")))
+      .drop("gr")
+  }
+
+  /** Balanced token-mass sharding: assign each row to one of `nShards`
+    * shards so per-shard WEIGHT sums (token counts — the thing a data-
+    * parallel trainer actually balances) come out near-equal, not just
+    * per-shard row counts ([[Sampling.deterministicShard]] balances
+    * rows). Snake/boustrophedon assignment over the weight-descending
+    * global rank — the classic LPT approximation flattened to one
+    * deterministic arithmetic expression: rank r → round r div S, pos
+    * r mod S, shard = pos on even rounds, S−1−pos on odd (heaviest S
+    * rows spread across all shards, next S in reverse order, …).
+    *
+    * Same scale shape as [[curriculumShards]]: histogram-decomposed rank
+    * (no single-partition sort), then a pure map expression. Exactly
+    * replayable in SQL from `ROW_NUMBER() OVER (ORDER BY w DESC, id)`. */
+  def balancedShards(docs: DataFrame, idCol: String, weightCol: String,
+      nShards: Int, maxDistinct: Int = 100000): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val (ranked, _) = globalRank(docs, idCol, weightCol,
+      ascending = false, maxDistinct, "balancedShards")
+    ranked
+      .withColumn("shard", expr(
+        s"CASE WHEN (gr div $nShards) % 2 = 0 THEN gr % $nShards " +
+          s"ELSE ${nShards - 1} - (gr % $nShards) END + 1"))
       .drop("gr")
   }
 }

@@ -542,6 +542,39 @@ object DataOpsQueries {
         |SELECT age_days, keep_bp, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  MIN(event_id) AS min_id
         |FROM k GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // balanced-shard replay: same weight-desc rank, same snake arithmetic
+    "q112_balanced_shards" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS gr
+        |  FROM documents)
+        |SELECT CAST(CASE WHEN (gr // 8) % 2 = 0 THEN gr % 8
+        |  ELSE 7 - (gr % 8) END + 1 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_weight
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // intra-doc span-dedup replay: same planted doubling, same 16-token
+    // chunking, same rolling-hash fingerprints, same first-occurrence
+    // filter — the cleaned text itself must match character-for-character
+    "q111_intra_dedup" ->
+      """WITH t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk0
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 32),
+        |t AS (SELECT doc_id,
+        |    array_to_string(list_slice(tk0, 1, 32), ' ') || ' ' ||
+        |    array_to_string(list_slice(tk0, 1, 32), ' ') AS txt FROM t0),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(txt), '\s+') AS tk FROM t),
+        |sp AS (SELECT doc_id,
+        |    [array_to_string(list_slice(tk, (i-1)*16+1, least(i*16, len(tk))), ' ')
+        |     FOR i IN range(1, CAST(ceil(len(tk)/16.0) AS BIGINT) + 1)] AS spans FROM tk),
+        |fp AS (SELECT doc_id, spans,
+        |  [list_reduce([CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(s, '')],
+        |     (h, c) -> (h * 31 + c) % 2147483647) FOR s IN spans] AS fps FROM sp),
+        |cl AS (SELECT doc_id,
+        |  array_to_string([spans[i] FOR i IN range(1, len(spans) + 1)
+        |    IF list_position(fps, fps[i]) = i], ' ') AS cleaned FROM fp)
+        |SELECT doc_id, cleaned,
+        |  CAST(len(regexp_split_to_array(trim(cleaned), '\s+')) AS BIGINT) AS n_tokens_after
+        |FROM cl ORDER BY doc_id""".stripMargin,
     // epoch-mix replay: same integer budget/epoch arithmetic in HUGEINT,
     // same Knuth-hash partial-epoch rule (h·T_d < rem·2^31)
     "q103_epoch_mix" ->
@@ -2412,6 +2445,41 @@ object DataOpsQueries {
       .orderBy("age_days")
   }
 
+  /** Intra-document repeated-span removal
+    * ([[graft.functions.DespanExpr]]): every doc is planted with an
+    * EXACT self-repeat (its first 32 tokens doubled), so the 16-token
+    * chunks 3–4 duplicate chunks 1–2 and must vanish — the within-doc
+    * half of repetition dedup (generation loops, templated boilerplate)
+    * that corpus-level line dedup (q89) never sees. Full value oracle:
+    * DuckDB replays the chunking, fingerprints, first-occurrence filter
+    * and the CLEANED TEXT itself. */
+  val q111IntraDedup: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val docs = load(s, dir, "documents")
+      .filter(size(toks) >= 32)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(toks, 1, 32), slice(toks, 1, 32)).as("text"))
+    docs.select(col("doc_id"),
+        graft.functions.NativeFunctions.graft_despan(col("text"), 16).as("cleaned"))
+      .select(col("doc_id"), col("cleaned"),
+        size(graft.ops.TextOps.tokens(col("cleaned"))).cast("long")
+          .as("n_tokens_after"))
+      .orderBy("doc_id")
+  }
+
+  /** Balanced token-mass sharding ([[graft.ops.Splits.balancedShards]]):
+    * 8 shards whose WEIGHT sums (n_chars) come out near-equal via snake
+    * assignment over the weight-descending rank. Full value oracle from
+    * DuckDB's ROW_NUMBER + the same snake arithmetic. */
+  val q112BalancedShards: Q = (s, dir) => {
+    graft.ops.Splits.balancedShards(load(s, dir, "documents"),
+        "doc_id", "n_chars", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_weight"))
+      .orderBy("shard")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2487,5 +2555,7 @@ object DataOpsQueries {
     "q108_hard_negatives" -> q108HardNegatives,
     "q109_substring_contam" -> q109SubstringContam,
     "q110_decay_sample" -> q110DecaySample,
+    "q111_intra_dedup" -> q111IntraDedup,
+    "q112_balanced_shards" -> q112BalancedShards,
   )
 }

@@ -235,6 +235,30 @@ object Streams {
     graft.ops.Curation.applyMixtureThresholds(
       docs, idCol, domainCol, thresholds, seed)
 
+  /** Stateless streaming train/test split — the continuous-ingest twin
+    * of [[graft.ops.Splits.hashSplit]]: the split column is pure per-row
+    * integer arithmetic on the id hash, so arriving rows are labeled
+    * with no state store, replayed micro-batches label identically, and
+    * (the property that matters for eval hygiene) the stream's
+    * assignment for any id equals the batch operator's — growing the
+    * corpus never moves an existing row across the split boundary. */
+  def hashSplitStream(docs: DataFrame, idCol: String,
+      splitsBp: Seq[(String, Int)], seed: Int = 0): DataFrame =
+    graft.ops.Splits.hashSplit(docs, idCol, splitsBp, seed)
+
+  /** Stateless streaming recency sampling — the continuous-ingest twin
+    * of [[graft.ops.Sampling.timeDecaySample]]: the batch side computes
+    * the reference day ONCE per cadence (yesterday's corpus max), the
+    * stream applies the same linear-to-floor schedule as a map-only
+    * filter ([[graft.ops.Sampling.applyTimeDecay]]) — no state store,
+    * replay-deterministic, and rows newer than the reference day are
+    * always kept (bp ≥ 10000 for negative age). */
+  def timeDecaySampleStream(events: DataFrame, idCol: String,
+      tsNsCol: String, refDay: Long, decayBpPerDay: Int = 500,
+      floorBp: Int = 500, seed: Int = 0): DataFrame =
+    graft.ops.Sampling.applyTimeDecay(events, idCol, tsNsCol, refDay,
+      decayBpPerDay, floorBp, seed)
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

@@ -101,6 +101,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native despan: first occurrence wins, partial tails, idempotent") {
+    import spark.implicits._
+    val cases = Seq(
+      // exact aligned repeat: second copy vanishes
+      ("a b c d a b c d e f", 4, "a b c d e f"),
+      // three copies of one span collapse to one
+      ("x y x y x y", 2, "x y"),
+      // no repeats: identity (modulo whitespace normalization)
+      ("one two three four five", 2, "one two three four five"),
+      // partial tail span kept; repeat of the FULL span only
+      ("a b c a b", 3, "a b c a b"),
+      // whitespace normalizes (tokens re-joined with single spaces)
+      ("  p   q  p q ", 2, "p q"),
+      ("solo", 4, "solo"),
+      ("", 4, "")
+    ).toDF("text", "span", "want")
+    for (span <- Seq(2, 3, 4)) {
+      val got = cases.filter(col("span") === span)
+        .select(NativeFunctions.graft_despan(col("text"), span).as("got"),
+          col("want"))
+      assert(got.filter(col("got") =!= col("want")).count() == 0,
+        got.collect().mkString(", "))
+    }
+    // idempotence: despan(despan(x)) == despan(x) on the corpus
+    val docs2 = spark.read.parquet(docs).select(
+      NativeFunctions.graft_despan(col("text"), 8).as("once"))
+      .select(col("once"),
+        NativeFunctions.graft_despan(col("once"), 8).as("twice"))
+    assert(docs2.filter(col("once") =!= col("twice")).count() == 0)
+  }
+
   test("native tokenization matches the HOFs on adversarial whitespace (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

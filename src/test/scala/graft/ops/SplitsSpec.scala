@@ -81,6 +81,28 @@ class SplitsSpec extends AnyFunSuite {
     assert(got == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
   }
 
+  test("balancedShards: near-equal weight sums, snake matches a reference") {
+    import spark.implicits._
+    val df = spark.read.parquet(docs)
+    val out = Splits.balancedShards(df, "doc_id", "n_chars", nShards = 8)
+    val sums = out.groupBy("shard").agg(sum("n_chars").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums.keySet == (1L to 8L).toSet)
+    val maxW = df.agg(max("n_chars")).head().getLong(0)
+    // snake over the descending order: spread stays within one max row
+    assert(sums.values.max - sums.values.min <= maxW,
+      s"imbalance ${sums.values.max - sums.values.min} > $maxW")
+    // small-data reference: driver-side snake over the same total order
+    val tiny = Seq((1L, 50L), (2L, 40L), (3L, 40L), (4L, 10L), (5L, 9L),
+      (6L, 8L), (7L, 1L)).toDF("doc_id", "n_chars")
+    val got = Splits.balancedShards(tiny, "doc_id", "n_chars", nShards = 3)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // desc order: 1,2,3,4,5,6,7 → ranks 0..6 → snake: 1,2,3 | 3,2,1 | 1
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 3L, 5L -> 2L, 6L -> 1L, 7L -> 1L), got)
+  }
+
   test("spec validation: malformed split lists are rejected") {
     val df = spark.read.parquet(docs)
     intercept[IllegalArgumentException] {

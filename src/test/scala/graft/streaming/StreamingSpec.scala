@@ -337,6 +337,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming hash split matches the batch assignment, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.Splits
+    val splits = Seq("train" -> 9000, "holdout" -> -1)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = docs.select(col("doc_id")).as[Long].collect().toSeq
+    val mem = MemoryStream[Long]
+    mem.addData(rows ++ rows) // the retry/replay duplicate shape
+    val labeled = Streams.hashSplitStream(
+      mem.toDF().toDF("doc_id"), "doc_id", splits, seed = 3)
+    val q = labeled.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("split_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batch = Splits.hashSplit(docs.select("doc_id"), "doc_id", splits, seed = 3)
+    val streamed = spark.table("split_stream")
+    assert(streamed.count() == 2 * batch.count())
+    assert(streamed.distinct().except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("streaming time-decay sample applies the batch reference day, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.Sampling
+    val dayNs = 86400L * 1000000000L
+    val ev = normalizedEvents.select(col("event_id"), col("ts_ns"))
+    // the daily-cadence reference: batch-side corpus max day
+    val refDay = ev.agg(max(expr(s"ts_ns div $dayNs"))).head().getLong(0)
+    val rows = ev.as[(Long, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData(rows ++ rows) // replay shape
+    // plus a strictly-newer row than the reference day: must always pass
+    val newerId = rows.map(_._1).max + 1
+    mem.addData(Seq((newerId, (refDay + 3) * dayNs)))
+    val kept = Streams.timeDecaySampleStream(
+      mem.toDF().toDF("event_id", "ts_ns"), "event_id", "ts_ns", refDay,
+      decayBpPerDay = 3000, floorBp = 1000)
+    val q = kept.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decay_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batch = Sampling.applyTimeDecay(ev, "event_id", "ts_ns", refDay,
+      decayBpPerDay = 3000, floorBp = 1000).select("event_id")
+    val streamed = spark.table("decay_stream").select("event_id")
+    assert(streamed.filter(col("event_id") === newerId).count() == 1)
+    val old = streamed.filter(col("event_id") =!= newerId)
+    assert(old.count() == 2 * batch.count())
+    assert(old.distinct().except(batch).count() == 0)
+    assert(batch.except(old).count() == 0)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
