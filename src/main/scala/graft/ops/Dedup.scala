@@ -227,7 +227,16 @@ object Dedup {
     * (benchmark-sized) distinct-collapses then broadcasts, so the
     * training corpus streams through a map-side join: no shuffle of the
     * 100 TB side. Fingerprint density per doc is ~2L/(w+1) longs, ~4×
-    * sparser than the full shingle set the word-level detector carries. */
+    * sparser than the full shingle set the word-level detector carries.
+    *
+    * SELECTIVITY NOTE: this is the PARANOID detector — any shared
+    * ≥ w+k−1-char substring counts, so corpora with low character
+    * diversity (templated/synthetic text, heavy boilerplate) light up
+    * broadly (on the synthetic testdata, cross-doc pairs reach the same
+    * shared-fingerprint counts as true containment). Production recipes
+    * put the selective word-shingle detector ([[contaminationPairs]])
+    * in the drop path and use this one to AUDIT what word shingles
+    * missed; raise `minShared` / `w` to trade recall for precision. */
   def winnowContaminationPairs(train: DataFrame, trainId: String,
       evalDf: DataFrame, evalId: String, textCol: String,
       k: Int = 5, w: Int = 8, minShared: Long = 3L): DataFrame = {

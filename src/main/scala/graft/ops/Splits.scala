@@ -48,7 +48,10 @@ object Splits {
   def hashSplit(docs: DataFrame, idCol: String,
       splitsBp: Seq[(String, Int)], seed: Int = 0): DataFrame = {
     checkSplits(splitsBp)
-    // band = h·10000 div 2^31 ∈ [0, 10000): uniform over ids
+    // band = h·10000 div 2^31 ∈ [0, 10000): uniform over ids. The double
+    // division is EXACT integer division here: h·10000 < 2^45 is exactly
+    // representable, and dividing by 2^31 (a power of two) only shifts
+    // the exponent — so the truncating cast equals the oracle's `//`.
     val band = (Sampling.seededKnuth(col(idCol), seed) * lit(10000L))
       .divide(lit(2147483648L)).cast("long")
     val cuts = splitsBp.init.scanLeft(0L) { case (acc, (_, bp)) => acc + bp }.tail

@@ -78,9 +78,29 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: users bucketed by FIRST-ACTIVE day, counted on
+    * every later active day as an offset from their cohort — the
+    * engagement curve every event pipeline reports. Scale shape: one
+    * (user, day) distinct (shuffle ∝ active pairs), one bounded
+    * per-user min, one join back on the user key; the cohort matrix
+    * output is days² rows at most. */
+  val q113Retention: Q = (s, dir) => {
+    val dayNs = 86400L * 1000000000L
+    val activity = loadEvents(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+      // activity is distinct at (user, day): one row per user per cell
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_events_hourly" -> q28EventsHourly,
     "q30_sessionize" -> q30Sessionize,
+    "q113_retention" -> q113Retention,
   )
 
   /** DuckDB oracles are written against the CURRENT testdata binding
@@ -104,5 +124,12 @@ object EventQueries {
         |SELECT user_id, COUNT(*) AS n_events,
         |CAST(SUM(new_session) AS BIGINT) AS n_sessions
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q113_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) * 1000) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end training-data recipe over the round-8 operator family:
+  *
+  *   intra-doc span dedup → quality/lang curation → substring
+  *   decontamination → semantic dedup (learned cells) → stratified
+  *   split → balanced shards
+  *
+  * Each stage is individually oracle-checked; this spec pins that they
+  * COMPOSE — schema contracts line up, laws survive chaining (nothing
+  * contaminated ships, eval/train never mix, shards stay balanced), and
+  * the whole recipe is deterministic end to end. The lazy stages fuse
+  * into one plan; the eager stages (CC) break it deliberately.
+  */
+class PipelineRecipeSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    graft.functions.NativeFunctions.register(s)
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+
+  test("full recipe: compose, laws hold, deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the "benchmark" to protect: mid-doc passages of every 50th doc
+    val evalDf = docs.filter(pmod(col("doc_id"), lit(50L)) === 0L)
+      .filter(size(TextOps.tokens(col("text"))) >= 24)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 5, 20)).as("text"))
+
+    def run(): org.apache.spark.sql.DataFrame = {
+      // 1. intra-doc span dedup (map-only text rewrite)
+      val despanned = docs.withColumn("text",
+        graft.functions.NativeFunctions.graft_despan(col("text"), 16))
+      // 2. curation: language allow-list + quality floor
+      val curated = despanned
+        .filter(TextOps.langGuess(col("text"))
+          .isInCollection(Seq("en", "de", "fr", "es")))
+        .filter(TextOps.qualityScore(col("text")) >= 40)
+      // 3. decontamination vs the eval passages — the SELECTIVE
+      //    word-shingle detector drops; the paranoid winnow detector is
+      //    the audit, not the drop path (on this synthetic small-vocab
+      //    corpus any 12-char substring is everywhere — see the
+      //    winnowContaminationPairs selectivity note)
+      val contaminated = Dedup.contaminationPairs(
+        curated, "doc_id", evalDf, "eval_id", "text", minShared = 3L)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. semantic dedup on the doc embeddings (doc_id == vec_id space
+      //    at this SF; inner join keeps docs that have an embedding)
+      val withVec = clean.join(
+        emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      // corpus-level model, trained ONCE on the unfiltered embedding
+      // table (the q48/q104 pattern) — cell geometry must not drift with
+      // upstream filter changes
+      val model = Ivf.trainCached(s"$sf/embeddings#recipe", emb,
+        "embedding", k = 16)
+      val deduped = SemDedup.semanticDedupIvf(
+        withVec, "doc_id", "embedding", model, eps = 0.999999)
+      // 5. exact stratified split by language
+      val split = Splits.stratifiedExactSplit(deduped, "doc_id", "lang",
+        Seq("train" -> 9000, "holdout" -> -1), seed = 5)
+      // 6. balanced shards over the TRAIN side only
+      Splits.balancedShards(split.filter(col("split") === "train"),
+        "doc_id", "n_chars", nShards = 4)
+    }
+
+    val out = run().cache()
+    val n = out.count()
+    assert(n > 0, "recipe must not empty the corpus")
+    // decontamination law survives the chain: nothing sharing >=3 word
+    // shingles with any eval passage ships
+    val shippedHits = Dedup.contaminationPairs(
+      out.select("doc_id", "text"), "doc_id", evalDf, "eval_id", "text",
+      minShared = 3L).count()
+    assert(shippedHits == 0, s"$shippedHits contaminated docs shipped")
+    // split hygiene: every shipped row is train-side
+    assert(out.filter(col("split") =!= "train").count() == 0)
+    // shard balance law holds at the end of the chain
+    val sums = out.groupBy("shard").agg(sum("n_chars").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.length == 4)
+    val maxW = out.agg(max("n_chars")).head().getLong(0)
+    assert(sums.max - sums.min <= maxW)
+    // end-to-end determinism
+    val again = run()
+    assert(out.select("doc_id", "shard").except(
+      again.select("doc_id", "shard")).count() == 0)
+    assert(again.select("doc_id", "shard").except(
+      out.select("doc_id", "shard")).count() == 0)
+    out.unpersist()
+    OpCaches.releaseAll()
+  }
+}
