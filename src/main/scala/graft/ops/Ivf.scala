@@ -169,10 +169,16 @@ object Ivf {
       // re-running the round in exact decimal keeps the unbounded-
       // magnitude contract of the r7 fix without making every normal
       // round pay the Decimal-object aggregation buffer (~20% of q78).
-      // Both paths quantize per value identically, so when long
-      // succeeds the result is the value decimal would have produced.
+      // Per-value quantization goes through an EXPLICIT round() before
+      // the sum cast so both paths produce identical integers: a bare
+      // double→long cast truncates toward zero while double→decimal(38,0)
+      // rounds HALF_UP — without the round() the fallback would compute
+      // (slightly) different centroids than the fast path. round() is
+      // HALF_UP in both, and the rounded double is integer-exact below
+      // 2^53, so the subsequent cast is lossless either way.
       def roundRows(decimal: Boolean) = {
         val sumT = if (decimal) "decimal(38,0)" else "long"
+        def q(c: org.apache.spark.sql.Column) = round(c * scale, 0).cast(sumT)
         vectors
           // two selects: posexplode is a Generate, and its extraction
           // re-resolves getField before the struct aliases land — naming
@@ -183,9 +189,9 @@ object Ivf {
               .as(Seq("dim", "x")))
           .groupBy("cell", "dim")
           .agg(count(lit(1)).as("n"),
-            sum((col("x") * scale).cast(sumT)).as("sum_q"),
+            sum(q(col("x"))).as("sum_q"),
             // one inertia contribution per VECTOR, not per dim
-            sum(when(col("dim") === 0, (col("d") * scale).cast(sumT))).as("in_q"))
+            sum(when(col("dim") === 0, q(col("d")))).as("in_q"))
           .collect()
       }
       val rows = try roundRows(decimal = false) catch {

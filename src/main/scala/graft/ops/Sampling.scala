@@ -87,8 +87,12 @@ object Sampling {
       decayBpPerDay: Int = 500, floorBp: Int = 500,
       seed: Int = 0): DataFrame = {
     val dayNs = 86400L * 1000000000L
-    val maxDay = events
-      .agg(max(expr(s"$tsNsCol div $dayNs")).as("d")).head().getLong(0)
+    val row = events.agg(max(expr(s"$tsNsCol div $dayNs")).as("d")).head()
+    // empty input (or all-null ts): max aggregates to null — a daily
+    // pipeline's no-events-yet partition must yield an empty frame with
+    // the full output schema, not an opaque NPE; refDay 0 is inert on
+    // zero rows
+    val maxDay = if (row.isNullAt(0)) 0L else row.getLong(0)
     applyTimeDecay(events, idCol, tsNsCol, maxDay, decayBpPerDay, floorBp, seed)
   }
 

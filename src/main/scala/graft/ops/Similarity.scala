@@ -255,7 +255,11 @@ object Similarity {
         col(qVecCol).as("qv"))))
       .join(broadcast(positives.select(col(qIdCol).as("query_id"),
         col(idCol).as("id"))), Seq("query_id", "id"), "left_anti")
-      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      // cosineSafe: one zero-norm vector anywhere must not kill the
+      // mining job (zero vectors score 0 and fall out of the top-k;
+      // value-identical to the raw division on every nonzero pair)
+      .select(col("query_id"), col("id"),
+        cosineSafe(col("v"), col("qv")).as("cos"))
       .as[(Long, Long, Double)]
     val topk = new graft.functions.TopKAggregator[(Long, Long, Double)](
       k, _._3, _._2).toColumn

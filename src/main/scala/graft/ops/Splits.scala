@@ -136,12 +136,25 @@ object Splits {
     * [[balancedShards]] (snake assignment). */
   private def globalRank(docs: DataFrame, idCol: String, valueCol: String,
       ascending: Boolean, maxDistinct: Int, caller: String): (DataFrame, Long) = {
+    // integral types ONLY: the histogram keys on cast-to-long while the
+    // per-value window partitions on the RAW column — a fractional
+    // signal (cast(0.3)=cast(0.7)=0, but separate window partitions)
+    // would produce silently-overlapping global ranks. Fail loudly.
+    docs.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$caller: rank value '$valueCol' must be an integral type, got " +
+          s"${other.simpleString} — quantize/bucket the raw signal first")
+    }
     val hist = docs
       .select(col(valueCol).cast("long").as("d"))
       .groupBy("d").agg(count(lit(1)).as("cnt"))
       .collect()
     require(hist.forall(!_.isNullAt(0)),
-      s"$caller: the rank value must be non-null integral " +
+      s"$caller: the rank value must be non-null " +
         "(quantize/bucket the raw signal first)")
     require(hist.length <= maxDistinct,
       s"$caller: ${hist.length} distinct values exceed " +

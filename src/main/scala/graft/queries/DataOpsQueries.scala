@@ -447,16 +447,16 @@ object DataOpsQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS twin_dedup_ok,
         |TRUE AS orig_wins_ok, TRUE AS kept_bounds_ok FROM embeddings""".stripMargin,
     // exact stratified split replay: same order hash (seed 7 → rotation
-    // 1423399143; Knuth → xor-shift → second multiply), same per-stratum
-    // floor cuts over the ROW_NUMBER rank — every (lang, split) count
-    // must match
+    // (7·2654435761) mod 2^31 = 1401181143; Knuth → xor-shift → second
+    // multiply), same per-stratum floor cuts over the ROW_NUMBER rank —
+    // every (lang, split) count must match
     "q105_stratified_split" ->
       """WITH h0 AS (SELECT lang, doc_id,
-        |    ((doc_id + 1423399143) % 2147483648) * 2654435761 % 2147483648 AS h0
+        |    ((doc_id + 1401181143) % 2147483648) * 2654435761 % 2147483648 AS h0
         |  FROM documents),
         |h AS (SELECT lang, doc_id,
         |    xor(h0, h0 // 65536) * 2654435761 % 2147483648 AS hh FROM h0),
-        |r AS (SELECT lang,
+        |r AS (SELECT lang, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) - 1 AS rk,
         |    COUNT(*) OVER (PARTITION BY lang) AS ns
         |  FROM h)
@@ -464,7 +464,8 @@ object DataOpsQueries {
         |  CASE WHEN rk < ns * 8000 // 10000 THEN 'train'
         |       WHEN rk < ns * 8000 // 10000 + ns * 1000 // 10000 THEN 'val'
         |       ELSE 'test' END AS split,
-        |  CAST(COUNT(*) AS BIGINT) AS n
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // hash-split replay: seed 3 → rotation 1520856339, band = h·10⁴ div 2³¹
     "q106_hash_split" ->
@@ -2365,7 +2366,10 @@ object DataOpsQueries {
         "doc_id", "lang",
         Seq("train" -> 8000, "val" -> 1000, "test" -> -1), seed = 7)
       .groupBy("lang", "split")
-      .agg(count(lit(1)).as("n"))
+      // sum_ids makes the oracle MEMBERSHIP-sensitive: exact floor
+      // counts alone are identical under any rank order, so a wrong
+      // order hash would pass a count-only compare
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
       .orderBy("lang", "split")
   }
 

@@ -507,5 +507,12 @@ class OpsSpec extends AnyFunSuite {
       "event_id", "ts_ns", decayBpPerDay = 3000, floorBp = 1000, seed = 0)
     assert(sub.select("event_id")
       .except(out.select("event_id")).count() == 0)
+    // empty input (the no-events-yet daily partition): empty frame with
+    // the full output schema, not an NPE on the null max aggregate
+    val empty = Sampling.timeDecaySample(df.filter(lit(false)),
+      "event_id", "ts_ns")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet ==
+      Set("event_id", "ts_ns", "age_days", "keep_bp"))
   }
 }

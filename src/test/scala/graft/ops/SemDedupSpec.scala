@@ -122,4 +122,24 @@ class SemDedupSpec extends AnyFunSuite {
         col("cos").as("cosine_sim"))
     assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
   }
+
+  test("hard negatives survive a zero-norm corpus vector (cosineSafe)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0f, 0f), 1), // the ANSI DIVIDE_BY_ZERO landmine
+      (4L, Seq(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+    val positives = corpus.select(col("vec_id"), col("label"))
+      .join(queries.select(col("q_id"), col("label")), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+      queries, "q_id", "embedding", positives, k = 3)
+      .select("rk", "vec_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ranks: 2 (0.9-ish cos), then 4 (0), then the zero vector (0, id tie)
+    assert(got(1) == 2L)
+    assert(Set(got(2), got(3)) == Set(3L, 4L))
+  }
 }

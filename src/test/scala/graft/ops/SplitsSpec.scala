@@ -114,5 +114,17 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Splits.curriculumShards(df, "doc_id", "n_chars", nShards = 7, maxDistinct = 2)
     }
+    // fractional rank signals must fail loudly, not silently collapse:
+    // the histogram keys on cast-to-long while the window partitions on
+    // the raw value — 0.3 and 0.7 would both map to key 0
+    import spark.implicits._
+    val frac = Seq((1L, 0.3), (2L, 0.7)).toDF("doc_id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Splits.curriculumShards(frac, "doc_id", "score", nShards = 2)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Splits.balancedShards(frac, "doc_id", "score", nShards = 2)
+    }
   }
 }
