@@ -546,6 +546,50 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative scale drill: 1M vectors x 4 queries through the bounded top-k") {
+    val n = 1000000L
+    // 8-dim synthetic vectors, 16 labels; queries are 4 of the rows
+    def vec = array((0 until 8).map(j =>
+      (pmod(col("id") * (j * 2 + 3), lit(97L)).cast("float") / 97f)): _*)
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      vec.as("embedding"), pmod(col("id"), lit(16L)).cast("int").as("label"))
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+    val positives = corpus.select(col("vec_id"), col("label"))
+      .join(queries.select(col("q_id"), col("label")), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+      queries, "q_id", "embedding", positives, k = 10)
+    val rows = got.collect()
+    assert(rows.length == 40) // 4 queries x k
+    // shuffle carries only k-sized buffers: the plan has a partial
+    // ObjectHashAggregate and NO window sort over the scored expansion
+    val p = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("despan scale drill: 1M docs, one map pass, no shuffle") {
+    graft.functions.NativeFunctions.register(spark)
+    val n = 1000000L
+    // every doc carries an aligned self-repeat: 8 tokens doubled
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit("w"), pmod(col("id") + j, lit(1000L)))): _*).as("t8"))
+      .select(col("doc_id"), col("t8"),
+        concat_ws(" ", col("t8"), col("t8")).as("text"))
+    val cleaned = docs.select(col("doc_id"),
+      graft.functions.NativeFunctions.graft_despan(col("text"), 8).as("cleaned"))
+    // the repeat must vanish on every row: cleaned == first half
+    val bad = cleaned.join(docs, "doc_id")
+      .filter(col("cleaned") =!= col("t8")).count()
+    assert(bad == 0)
+    val p = cleaned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("semdedup ivf scale shape: no cartesian, pair join keyed on cell") {
     val m = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
     val vecs = spark.range(10000).select(col("id").as("vec_id"),
