@@ -269,6 +269,25 @@ object Similarity {
         col("col._2").as(idCol), col("col._1").as("cosine_sim"))
   }
 
+  /** L2 normalization: adds `norm` (the vector's L2 length, double) and
+    * `unit` (the direction, array<double>) — the standard pre-ANN step
+    * (unit vectors make cosine == dot, letting IVF/PQ/LSH all run on
+    * plain inner products). Zero vectors normalize to ZERO vectors
+    * (norm 0, all-zero unit) rather than killing the job with an ANSI
+    * divide — the [[cosineSafe]] contract: a zero vector has no
+    * direction and matches nothing. Pure per-row expression work, no
+    * shuffle; every output value is IEEE-deterministic (native dot
+    * fold + sqrt + one division per component), so the whole row
+    * replays bit-for-bit in external SQL. */
+  def l2Normalize(df: DataFrame, vecCol: String): DataFrame = {
+    registerNatives(df)
+    df.withColumn("norm", norm(col(vecCol)))
+      .withColumn("unit",
+        when(col("norm") === lit(0.0),
+          transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("norm"))))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/serving format
     * for embeddings at corpus scale (4× smaller than float32; dot products
     * stay integer until the final rescale). Adds `q_scale` (the vector's

@@ -543,6 +543,19 @@ object DataOpsQueries {
         |SELECT age_days, keep_bp, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  MIN(event_id) AS min_id
         |FROM k GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // normalization replay: same dot fold, sqrt, per-component division;
+    // list_reduce's no-init fold equals aggregate's 0.0-init fold
+    // because 0.0 + x == x exactly
+    "q114_normalize" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |         CAST(embedding AS DOUBLE[]))) AS norm FROM embeddings),
+        |u AS (SELECT vec_id, norm,
+        |    CASE WHEN norm = 0 THEN [0.0 FOR x IN e]
+        |         ELSE [x / norm FOR x IN e] END AS unit FROM n)
+        |SELECT vec_id, norm, unit[1] AS u_first, unit[64] AS u_last,
+        |  list_reduce(unit, (a, b) -> a + b) AS u_sum
+        |FROM u ORDER BY vec_id""".stripMargin,
     // balanced-shard replay: same weight-desc rank, same snake arithmetic
     "q112_balanced_shards" ->
       """WITH r AS (SELECT doc_id, n_chars,
@@ -2484,6 +2497,20 @@ object DataOpsQueries {
       .orderBy("shard")
   }
 
+  /** L2 normalization ([[graft.ops.Similarity.l2Normalize]]): norm plus
+    * deterministic probes of the unit vector (first/last component and
+    * the sequential component sum) — every value IEEE-exact in both
+    * engines, so this is a full value oracle on the normalization
+    * arithmetic itself. */
+  val q114Normalize: Q = (s, dir) => {
+    graft.ops.Similarity.l2Normalize(load(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("norm"),
+        try_element_at(col("unit"), lit(1)).as("u_first"),
+        try_element_at(col("unit"), lit(EmbeddingDim)).as("u_last"),
+        aggregate(col("unit"), lit(0.0), (a, v) => a + v).as("u_sum"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2561,5 +2588,6 @@ object DataOpsQueries {
     "q110_decay_sample" -> q110DecaySample,
     "q111_intra_dedup" -> q111IntraDedup,
     "q112_balanced_shards" -> q112BalancedShards,
+    "q114_normalize" -> q114Normalize,
   )
 }

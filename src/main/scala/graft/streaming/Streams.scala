@@ -259,6 +259,20 @@ object Streams {
     graft.ops.Sampling.applyTimeDecay(events, idCol, tsNsCol, refDay,
       decayBpPerDay, floorBp, seed)
 
+  /** Stateless streaming intra-document span dedup — the continuous-
+    * ingest twin of the `graft_despan` rewrite (q111): a pure per-row
+    * codegen pass, so it composes with any stream stage, needs no state
+    * store, and replayed micro-batches rewrite identically. Cleaning
+    * WITHIN a document belongs in the ingest pass (the one stage that
+    * sees every raw row once); cross-document dedup stays with the
+    * keyed/bloom stages above. */
+  def despanStream(docs: DataFrame, textCol: String,
+      span: Int = 16): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    docs.withColumn(textCol,
+      graft.functions.NativeFunctions.graft_despan(col(textCol), span))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_ns: Long)

@@ -123,6 +123,34 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
   }
 
+  test("l2Normalize: unit norms, zero vectors stay zero, cosine consistency") {
+    import spark.implicits._
+    val emb = spark.read.parquet(embPath)
+    val out = Similarity.l2Normalize(emb, "embedding")
+    // every nonzero vector's unit has norm ~1
+    val unitNorm = Similarity.dot(col("unit"), col("unit"))
+    assert(out.filter(col("norm") > 0)
+      .filter(abs(unitNorm - 1.0) > 1e-9).count() == 0)
+    // zero vector: no ANSI divide, zero unit
+    val z = Similarity.l2Normalize(
+      Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding"), "embedding")
+      .head()
+    assert(z.getAs[Double]("norm") == 0.0)
+    assert(z.getSeq[Double](z.fieldIndex("unit")).forall(_ == 0.0))
+    // cosine of originals ≈ dot of units (equality up to FP re-association)
+    val a = emb.filter(col("vec_id") === 1).select(col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") === 2).select(col("embedding").as("vb"))
+    val both = a.crossJoin(b)
+    val cosRaw = both.select(Similarity.cosine(col("va"), col("vb"))).head().getDouble(0)
+    val ua = Similarity.l2Normalize(emb.filter(col("vec_id") === 1), "embedding")
+      .select(col("unit").as("ua"))
+    val ub = Similarity.l2Normalize(emb.filter(col("vec_id") === 2), "embedding")
+      .select(col("unit").as("ub"))
+    val cosUnit = ua.crossJoin(ub)
+      .select(Similarity.dot(col("ua"), col("ub"))).head().getDouble(0)
+    assert(math.abs(cosRaw - cosUnit) < 1e-12)
+  }
+
   test("hard negatives survive a zero-norm corpus vector (cosineSafe)") {
     import spark.implicits._
     val corpus = Seq(

@@ -390,6 +390,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(old).count() == 0)
   }
 
+  test("streaming despan matches the batch rewrite, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.NativeFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows ++ rows) // the retry/replay duplicate shape
+    val cleaned = Streams.despanStream(
+      mem.toDF().toDF("doc_id", "text"), "text", span = 8)
+    val q = cleaned.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("despan_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batch = docs.withColumn("text",
+      graft.functions.NativeFunctions.graft_despan(col("text"), 8))
+    val streamed = spark.table("despan_stream")
+    assert(streamed.count() == 2 * batch.count())
+    assert(streamed.distinct().except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("stateful sessionization matches the batch q30 oracle query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
