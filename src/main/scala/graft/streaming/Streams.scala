@@ -18,6 +18,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * micro-batch — no state store); the windowed aggregate keeps state per
   * (window × event_type) bounded by the watermark; sessionization state is
   * one small struct per active user key, dropped on timeout.
+  *
+  * Twin-inventory boundary (what deliberately has NO streaming twin):
+  * any operator whose assignment depends on a RANK over the full corpus
+  * cannot stream — `Splits.stratifiedExactSplit` (per-stratum rank),
+  * `Splits.curriculumShards`/`balancedShards` (global rank) all reassign
+  * EXISTING rows when a new row lands mid-stratum, which violates the
+  * append-only contract (a row already emitted to `train` cannot retract
+  * into `val`). The streaming split is [[hashSplitStream]]'s map-only
+  * `Splits.hashSplit`, whose membership is a pure function of (id, seed)
+  * and therefore stable under any arrival order — the same
+  * membership-stability property that makes it the batch production
+  * default. Exactness (floor counts per stratum) is inherently a bounded
+  * batch job; run it on a completed snapshot.
   */
 object Streams {
 
