@@ -195,7 +195,13 @@ object Ivf {
           .collect()
       }
       val rows = try roundRows(decimal = false) catch {
-        case e: Throwable if isOverflow(e) => roundRows(decimal = true)
+        case e: Throwable if isOverflow(e) =>
+          // observable fallback: a silent decimal re-run would hide that
+          // the corpus tripped the long-sum magnitude bound
+          System.err.println(
+            s"graft.Ivf.refine: long-sum round hit ANSI overflow ($e); " +
+              "re-running the round with decimal(38,0) sums")
+          roundRows(decimal = true)
       }
       def asBig(v: Any): BigInt = v match {
         case null => BigInt(0)
@@ -214,14 +220,26 @@ object Ivf {
   }
 
   /** True iff the failure chain is an ANSI arithmetic/cast overflow (the
-    * long-sum escape hatch in [[refine]]). */
+    * long-sum escape hatch in [[refine]]). Matches TYPED evidence only —
+    * an `ArithmeticException` (Spark's SparkArithmeticException extends
+    * it) or a SparkThrowable whose error CONDITION is an overflow class —
+    * never a raw message substring: a codegen StackOverflowError or a
+    * user string containing "overflow" must not silently trigger a full
+    * decimal re-run (and mask the original failure if the retry fails
+    * too). */
   private def isOverflow(e: Throwable): Boolean = {
+    val overflowConditions =
+      Set("ARITHMETIC_OVERFLOW", "CAST_OVERFLOW",
+        "NUMERIC_VALUE_OUT_OF_RANGE", "BINARY_ARITHMETIC_OVERFLOW")
     var t: Throwable = e
     while (t != null) {
-      val m = String.valueOf(t.getMessage)
+      val cond = t match {
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).getOrElse("")
+        case _ => ""
+      }
       if (t.isInstanceOf[ArithmeticException] ||
-        m.contains("ARITHMETIC_OVERFLOW") || m.contains("CAST_OVERFLOW") ||
-        m.contains("overflow")) return true
+        overflowConditions.exists(cond.startsWith)) return true
       t = t.getCause
     }
     false

@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Guard for operators that ATTACH output columns: `withColumn`
+    * silently overwrites an existing column of the same name, so an
+    * input that already carries e.g. `split` or `shard` would have its
+    * data corrupted with no error. Fail loudly instead — renaming on
+    * the caller side is one `withColumnRenamed`. */
+  private[ops] def requireFreshColumns(df: DataFrame, op: String,
+      names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op writes column(s) ${names.mkString(", ")} but the input " +
+        s"already has ${clash.mkString(", ")} — rename them first")
+  }
+
   /** Seeded Knuth uniform on [0, 2^31): seed 0 is exactly the plain
     * `id·2654435761 mod 2^31` the sampling/sharding ops use (so external
     * replays stay one multiply), and a nonzero seed first rotates the id
@@ -44,6 +57,7 @@ object Sampling {
     * (which no retry or cross-engine check can reproduce). */
   def deterministicShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1)
+    requireFreshColumns(df, "deterministicShard", "shuffle_key", "shard")
     // id × odd-constant stays < 2^62 for ids < 2^31 (ANSI-overflow-safe)
     df.withColumn("shuffle_key",
         pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
@@ -82,7 +96,9 @@ object Sampling {
     * hash: `h·10000 < bp·2^31` (both sides < 2^63 — overflow-safe).
     * Deterministic per (id, seed), partition-independent, replayable;
     * one map-only pass at any corpus size. `tsNsCol` is epoch nanos
-    * (the [[graft.queries.EventQueries.normalized]] `ts_ns` column). */
+    * (the [[graft.queries.EventQueries.normalized]] `ts_ns` column) and
+    * must be NON-NEGATIVE (post-1970): day bucketing uses truncating
+    * `div`, which matches the oracle's floor `//` only for ts_ns >= 0. */
   def timeDecaySample(events: DataFrame, idCol: String, tsNsCol: String,
       decayBpPerDay: Int = 500, floorBp: Int = 500,
       seed: Int = 0): DataFrame = {
@@ -105,7 +121,14 @@ object Sampling {
       refDay: Long, decayBpPerDay: Int = 500, floorBp: Int = 500,
       seed: Int = 0): DataFrame = {
     require(decayBpPerDay >= 0 && floorBp >= 0 && floorBp <= 10000)
+    requireFreshColumns(events, "applyTimeDecay", "age_days", "keep_bp")
     val dayNs = 86400L * 1000000000L
+    // `div` truncates toward zero while the external-SQL replays use
+    // floor division (`//`) — identical ONLY for ts_ns >= 0. Epoch-nano
+    // event times are non-negative by the [[graft.queries.EventQueries]]
+    // contract (post-1970 events); pre-epoch timestamps would shift the
+    // age bucket by one day vs the oracle, so the contract is explicit
+    // rather than silent.
     val age = lit(refDay) - expr(s"$tsNsCol div $dayNs")
     val bp = greatest(lit(floorBp.toLong),
       lit(10000L) - lit(decayBpPerDay.toLong) * age)
@@ -126,6 +149,7 @@ object Sampling {
     * a k-row heap, no global sort, no shuffle of the corpus. */
   def uniformExactK(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1)
+    requireFreshColumns(df, "uniformExactK", "sample_key")
     df.withColumn("sample_key",
         pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
       .orderBy("sample_key")

@@ -48,6 +48,7 @@ object Splits {
   def hashSplit(docs: DataFrame, idCol: String,
       splitsBp: Seq[(String, Int)], seed: Int = 0): DataFrame = {
     checkSplits(splitsBp)
+    Sampling.requireFreshColumns(docs, "hashSplit", "split")
     // band = h·10000 div 2^31 ∈ [0, 10000): uniform over ids. The double
     // division is EXACT integer division here: h·10000 < 2^45 is exactly
     // representable, and dividing by 2^31 (a power of two) only shifts
@@ -92,6 +93,10 @@ object Splits {
   def stratifiedExactSplit(docs: DataFrame, idCol: String, strataCol: String,
       splitsBp: Seq[(String, Int)], seed: Int = 0): DataFrame = {
     checkSplits(splitsBp)
+    // rk/ns are internal scratch but a clash would still corrupt: the
+    // trailing drop() would remove the CALLER's columns of those names
+    Sampling.requireFreshColumns(docs, "stratifiedExactSplit",
+      "split", "rk", "ns")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
     val wOrd = w.orderBy(orderHash(col(idCol), seed), col(idCol))
     val ranked = docs
@@ -121,7 +126,7 @@ object Splits {
     * one-partition window — the global rank decomposes as
     * `rank = (rows with difficulty < d) + (rank of id within d)`:
     * one bounded histogram aggregation over the DISTINCT difficulty
-    * values (collected once as literals — the [[ExactPercentile]]
+    * values (broadcast-joined back — the [[ExactPercentile]]
     * contract: difficulty signals are scores/grades with bounded
     * cardinality, guarded the same way) plus one per-value window
     * (parallel across values; skew = the hottest difficulty value).
@@ -130,10 +135,11 @@ object Splits {
     * (`valueCol` asc or desc, `idCol` asc) — WITHOUT a single-partition
     * window sort: `rank = (rows strictly before this value) + (rank of
     * id within the value)`. The first term is one bounded histogram
-    * aggregation collected as a literal map (bounded-cardinality guard);
-    * the second is a window PER VALUE (parallel across values, skew =
-    * the hottest value). Shared by [[curriculumShards]] (NTILE) and
-    * [[balancedShards]] (snake assignment). */
+    * aggregation whose cumulative counts join back BROADCAST (bounded-
+    * cardinality guard; O(1) hash probe per row); the second is a window
+    * PER VALUE (parallel across values, skew = the hottest value).
+    * Shared by [[curriculumShards]] (NTILE) and [[balancedShards]]
+    * (snake assignment). */
   private def globalRank(docs: DataFrame, idCol: String, valueCol: String,
       ascending: Boolean, maxDistinct: Int, caller: String): (DataFrame, Long) = {
     // integral types ONLY: the histogram keys on cast-to-long while the
@@ -163,21 +169,32 @@ object Splits {
     val sorted0 = hist.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val sorted = if (ascending) sorted0 else sorted0.reverse
     val n = sorted.map(_._2).sum
-    // rows strictly before each value → one literal MAP (not a when-
-    // chain: 100k arms would break codegen; element_at is one lookup)
-    val before = sorted.map(_._1)
-      .zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
-    val beforeLit = typedLit(before)
+    // rows strictly before each value → a BROADCAST hash join against the
+    // (value, before) table. Not a when-chain (100k arms break codegen)
+    // and not a literal map either: GetMapValue on an ArrayBasedMapData
+    // literal is a LINEAR scan of the key array, so the rank pass would
+    // pay O(rows × distinct) comparisons at large maxDistinct — the hash
+    // join probes in O(1) per row and the build side is the histogram we
+    // already hold. Inner join is total: every (non-null) value appears
+    // in its own histogram.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val beforeDf = broadcast(
+      sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2).init)
+        .toSeq.toDF("__rank_v", "__before"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(valueCol)).orderBy(col(idCol))
-    (docs.withColumn("gr",
-      element_at(beforeLit, col(valueCol).cast("long")) +
-        row_number().over(w).cast("long") - 1L), n)
+    (docs.join(beforeDf, col(valueCol).cast("long") === col("__rank_v"))
+      .withColumn("gr",
+        col("__before") + row_number().over(w).cast("long") - 1L)
+      .drop("__rank_v", "__before"), n)
   }
 
   def curriculumShards(docs: DataFrame, idCol: String, difficultyCol: String,
       nShards: Int, maxDistinct: Int = 100000): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
+    Sampling.requireFreshColumns(docs, "curriculumShards", "shard", "gr",
+      "__rank_v", "__before")
     val (ranked, n) = globalRank(docs, idCol, difficultyCol,
       ascending = true, maxDistinct, "curriculumShards")
     // NTILE(k) over n rows, 0-based global rank r: the first (n mod k)
@@ -210,6 +227,8 @@ object Splits {
   def balancedShards(docs: DataFrame, idCol: String, weightCol: String,
       nShards: Int, maxDistinct: Int = 100000): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
+    Sampling.requireFreshColumns(docs, "balancedShards", "shard", "gr",
+      "__rank_v", "__before")
     val (ranked, _) = globalRank(docs, idCol, weightCol,
       ascending = false, maxDistinct, "balancedShards")
     ranked

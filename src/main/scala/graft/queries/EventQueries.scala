@@ -83,7 +83,9 @@ object EventQueries {
     * engagement curve every event pipeline reports. Scale shape: one
     * (user, day) distinct (shuffle ∝ active pairs), one bounded
     * per-user min, one join back on the user key; the cohort matrix
-    * output is days² rows at most. */
+    * output is days² rows at most. Day bucketing uses truncating `div`
+    * against the oracle's floor `//` — identical under the ts_ns >= 0
+    * (post-1970) contract [[normalized]] data satisfies. */
   val q113Retention: Q = (s, dir) => {
     val dayNs = 86400L * 1000000000L
     val activity = loadEvents(s, dir)

@@ -127,4 +127,37 @@ class SplitsSpec extends AnyFunSuite {
       Splits.balancedShards(frac, "doc_id", "score", nShards = 2)
     }
   }
+
+  test("output-column collisions fail loudly instead of overwriting") {
+    import spark.implicits._
+    // withColumn silently replaces same-named input columns — an input
+    // that already carries `split`/`shard` would be corrupted silently
+    val hasSplit = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "split")
+    val e1 = intercept[IllegalArgumentException] {
+      Splits.hashSplit(hasSplit, "doc_id", Seq("train" -> 9000, "rest" -> -1))
+    }
+    assert(e1.getMessage.contains("split"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      Splits.stratifiedExactSplit(hasSplit, "doc_id", "split",
+        Seq("train" -> 9000, "rest" -> -1))
+    }
+    val hasShard = Seq((1L, 5L, 0L)).toDF("doc_id", "n_chars", "shard")
+    intercept[IllegalArgumentException] {
+      Splits.curriculumShards(hasShard, "doc_id", "n_chars", nShards = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.balancedShards(hasShard, "doc_id", "n_chars", nShards = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicShard(hasShard, "doc_id", nShards = 2)
+    }
+    val hasAge = Seq((1L, 10L, 3L)).toDF("event_id", "ts_ns", "age_days")
+    intercept[IllegalArgumentException] {
+      Sampling.applyTimeDecay(hasAge, "event_id", "ts_ns", refDay = 1L)
+    }
+    val hasKey = Seq((1L, 2L)).toDF("doc_id", "sample_key")
+    intercept[IllegalArgumentException] {
+      Sampling.uniformExactK(hasKey, "doc_id", k = 1)
+    }
+  }
 }
