@@ -337,6 +337,70 @@ object Dedup {
         edges.select(col("v").as("id"), col("v").as("component")).distinct())
   }
 
+  /** Connected components when every edge is CONFINED to a disjoint
+    * group — pairs produced by an equi-join on a bucketing key (IVF
+    * cell, LSH bucket) have this shape by construction: both endpoints
+    * share the key, so no component can span groups. That collapses the
+    * iterative distributed problem to ONE shuffle of the edges on the
+    * group key plus a local union-find per group — a single Spark job,
+    * versus O(log²) eager checkpoint rounds of
+    * [[connectedComponentsStar]] whose per-round scheduling latency
+    * dominates on bounded-cell inputs (the q104 floor).
+    *
+    * Labels match [[connectedComponentsStar]] exactly: every node maps
+    * to its component's MINIMUM id (union-by-min + path compression
+    * makes the root the min regardless of edge order, so output is
+    * deterministic under any partitioning).
+    *
+    * Scale contract: per-group state is O(nodes + edges in that group).
+    * Groups are bounded by the caller's bucket cap (SemDeDup's
+    * `maxCell`, LSH `maxBucket`) and `maxEdgesPerGroup` fails LOUDLY
+    * rather than letting one degenerate bucket OOM an executor — the
+    * escape for genuinely unbounded groups is the iterative
+    * [[connectedComponentsStar]]. */
+  def connectedComponentsWithinGroups(pairs: DataFrame, groupCol: String,
+      maxEdgesPerGroup: Long = 10000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      // self-pairs carry no connectivity; dropping them up front keeps
+      // the emitted node set identical to connectedComponentsStar's
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col(groupCol).cast("long"),
+        col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression: point the walked chain at the root
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        var nEdges = 0L
+        it.foreach { case (_, a, b) =>
+          nEdges += 1
+          require(nEdges <= maxEdgesPerGroup,
+            s"connectedComponentsWithinGroups: group $g exceeds " +
+              s"$maxEdgesPerGroup edges — cap the bucket upstream or use " +
+              "connectedComponentsStar")
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root: the surviving root is the component min
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+          parent.getOrElseUpdate(ra.min(rb), ra.min(rb))
+        }
+        // materialize the key set BEFORE the final find() pass: path
+        // compression mutates the map while we walk it
+        parent.keys.toArray.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "component")
+  }
+
   /** One LARGE-STAR step over (u, v) edges (input treated as symmetric;
     * output oriented child > parent). Object-level so
     * [[graft.tools.PlanAudit]] can tabulate the per-round plan shape the

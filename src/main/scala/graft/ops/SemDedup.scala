@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   *    (over-full cells mean the model under-fit there; their rows are
   *    kept UNDEDUPED rather than exploding the join, and at 100 TB the
   *    fix is retraining with more cells, not a quadratic verify);
-  *  - grouping: alternating-star connected components over the surviving
-  *    pairs (O(log²) rounds, [[Dedup.connectedComponents]]);
+  *  - grouping: every surviving pair is intra-cell by construction, so
+  *    components never span cells — ONE shuffle + per-cell local
+  *    union-find ([[Dedup.connectedComponentsWithinGroups]], bounded by
+  *    the same `maxCell` contract) instead of the eager O(log²)-round
+  *    distributed CC;
   *  - representative choice: one bounded aggregation per component
   *    (min struct(cdist, id)) — deterministic, no window sort.
   */
@@ -47,35 +50,52 @@ object SemDedup {
         lit(i).as("i"))
     }
     // persisted: referenced by the cell-size profile, both pair-join
-    // sides, and the representative lookup
+    // sides, and the representative lookup. The L2 norm is hoisted HERE
+    // (one native fold per ROW) so the pair filter below pays one dot
+    // per candidate pair instead of cosineSafe's dot + two norm folds —
+    // same IEEE arithmetic (norm(v) is a pure function of the row).
     val assigned = OpCaches.persist(vectors
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), array_min(array(dists: _*)).as("best"))
       .select(col("id"), col("v"),
         col("best").getField("i").as("cell"),
-        col("best").getField("d").as("cdist")))
+        col("best").getField("d").as("cdist"),
+        Similarity.norm(col("v")).as("nrm")))
     val okCells = assigned.groupBy("cell")
       .agg(count(lit(1)).as("csize"))
       .filter(col("csize") > 1 && col("csize") <= maxCell)
       .select("cell")
     val pruned = assigned.join(okCells, Seq("cell"))
-    val pairs = pruned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-      .join(pruned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b")),
+    val denom = col("nrm_a") * col("nrm_b")
+    val pairs = pruned.select(col("cell"), col("id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+      .join(pruned.select(col("cell"), col("id").as("id_b"),
+          col("v").as("v_b"), col("nrm").as("nrm_b")),
         Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      // cosineSafe: one zero vector in a cell must not kill the job
-      .filter(Similarity.cosineSafe(col("v_a"), col("v_b")) >= eps)
-      .select("id_a", "id_b")
-    // (id, component) for every pair member; eager CC (see Dedup notes)
-    val comp = Dedup.connectedComponents(pairs)
+      // cosineSafe semantics with the hoisted norms: one zero vector in
+      // a cell must not kill the job
+      .filter(when(denom === lit(0.0), lit(0.0))
+        .otherwise(Similarity.dot(col("v_a"), col("v_b")) / denom) >= eps)
+      .select("cell", "id_a", "id_b")
+    // (id, component) for every pair member. Every edge is intra-cell by
+    // construction (the equi-join above), so components NEVER span cells
+    // — one shuffle + local union-find per cell replaces the eager
+    // multi-round distributed CC (the q104 cost floor).
+    val comp = Dedup.connectedComponentsWithinGroups(pairs, "cell")
     val labeled = comp.join(assigned.select(col("id"), col("cdist")), Seq("id"))
-    val losers = labeled
+    // persisted: the loser set is component-sized (tiny) but its plan is
+    // the WHOLE pair join + union-find — the old distributed CC was
+    // eagerly checkpointed so downstream multi-references were cheap;
+    // the lazy one-job CC needs the explicit cache or every consumer of
+    // the survivors re-runs the pair generation
+    val losers = OpCaches.persist(labeled
       .join(labeled.groupBy("component")
           .agg(min(struct(col("cdist"), col("id"))).as("w"))
           .select(col("component"), col("w").getField("id").as("win_id")),
         Seq("component"))
       .filter(col("id") =!= col("win_id"))
-      .select(col("id").as(idCol))
+      .select(col("id").as(idCol)))
     vectors.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -33,6 +33,33 @@ class SemDedupSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("group-local CC equals the distributed star CC on confined graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random edges, each confined to one of 7 groups
+    // (the IVF-cell shape); includes chains, a clique, dup + self edges
+    val edges = (0 until 400).map { i =>
+      val g = i % 7
+      val a = (i * 2654435761L) % 50
+      val b = (i * 40503L + 7) % 50
+      (g.toLong, g * 1000L + a, g * 1000L + b)
+    } ++ Seq((0L, 1L, 1L)) // self-edge: must not add a node
+    val pairs = edges.toDF("cell", "id_a", "id_b")
+    val got = Dedup.connectedComponentsWithinGroups(pairs, "cell")
+    val ref = Dedup.connectedComponentsStar(pairs.select("id_a", "id_b"))
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+    OpCaches.releaseAll()
+  }
+
+  test("group-local CC: oversized group fails loudly, never OOMs silently") {
+    import spark.implicits._
+    val pairs = (1L to 20L).map(i => (0L, i, i + 1)).toDF("cell", "id_a", "id_b")
+    val e = intercept[org.apache.spark.SparkException] {
+      Dedup.connectedComponentsWithinGroups(pairs, "cell",
+        maxEdgesPerGroup = 5).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("representative is the centroid-NEAREST member, not min id") {
     import spark.implicits._
     // a 2-vector cluster: v2 sits closer to the lone centroid than v1,
