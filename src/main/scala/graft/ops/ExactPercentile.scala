@@ -108,4 +108,51 @@ object ExactPercentile {
     }
     agged.select(col(groupCol) +: outputs: _*)
   }
+
+  /** 0-based order-statistic index of DuckDB/Postgres QUANTILE_DISC:
+    * ⌈q·n⌉ − 1, clamped at 0 — the convention an external SQL replay
+    * computes. */
+  def discIndexCeil(n: org.apache.spark.sql.Column,
+      q: Double): org.apache.spark.sql.Column =
+    greatest(ceil(lit(q) * n.cast("double")) - 1L, lit(0L))
+
+  /** 0-based order-statistic index at rank q·(n−1) — the element-
+    * quantile convention [[DdSketch]]'s quantile answers (and Spark's
+    * `approx_percentile` targets): ⌊q·(n−1)⌋. */
+  def discIndexFloor(n: org.apache.spark.sql.Column,
+      q: Double): org.apache.spark.sql.Column =
+    floor(lit(q) * (n - 1L).cast("double"))
+
+  /** Per-group exact DISCRETE percentiles — an actual group value, no
+    * interpolation: the order statistic whose 0-based index is
+    * `indexOf(n, fraction)`. The convention is pluggable because
+    * engines disagree ([[discIndexCeil]] replays external
+    * QUANTILE_DISC; [[discIndexFloor]] matches the rank a [[DdSketch]]
+    * estimate answers, making sketch-vs-exact verdicts compare
+    * LIKE-for-like order statistics instead of punishing the sketch
+    * for a convention gap). Same bounded scale shape as
+    * [[byHistogram]]: reducer state ∝ distinct values per group; all-
+    * null groups survive with NULL outputs. */
+  def discByHistogram(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(String, Double)],
+      indexOf: (org.apache.spark.sql.Column, Double) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val byVal = Window.partitionBy(groupCol).orderBy("__v")
+    val byGrp = Window.partitionBy(groupCol)
+    val hist = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(byVal))
+      .withColumn("__n", sum("__c").over(byGrp))
+    val pickers = ps.map { case (name, p) =>
+      val idx = indexOf(col("__n"), p).cast("double")
+      max(when(col("__cum") - col("__c") <= idx && idx < col("__cum"),
+        col("__v"))).as(name)
+    }
+    df.select(col(groupCol)).distinct()
+      .join(hist.groupBy(groupCol).agg(pickers.head, pickers.drop(1): _*),
+        Seq(groupCol), "left")
+  }
 }

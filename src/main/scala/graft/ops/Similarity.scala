@@ -248,8 +248,6 @@ object Similarity {
       positives: DataFrame, k: Int): DataFrame = {
     registerNatives(corpus)
     require(k >= 1, "k must be >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(broadcast(queries.select(col(qIdCol).as("query_id"),
         col(qVecCol).as("qv"))))
@@ -260,13 +258,70 @@ object Similarity {
       // value-identical to the raw division on every nonzero pair)
       .select(col("query_id"), col("id"),
         cosineSafe(col("v"), col("qv")).as("cos"))
-      .as[(Long, Long, Double)]
+    topKPerQuery(scored, k, idCol)
+  }
+
+  /** The bounded-buffer per-query top-k tail shared by [[hardNegatives]]
+    * and [[hardNegativesIvf]]: `scored` is (query_id, id, cos); ≤ k
+    * candidates survive per query per map task, so the shuffle carries
+    * k·|queries| rows and no window ever sorts the scored expansion. */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     val topk = new graft.functions.TopKAggregator[(Long, Long, Double)](
       k, _._3, _._2).toColumn
-    scored.groupByKey(_._1).agg(topk).toDF("query_id", "topk")
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1).agg(topk).toDF("query_id", "topk")
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
         col("col._2").as(idCol), col("col._1").as("cosine_sim"))
+  }
+
+  /** ANN-bounded hard-negative mining: [[hardNegatives]] scores every
+    * (corpus row × query) exact dot — right for eval-sized query sets,
+    * wrong for 10k+ queries over a 100 TB corpus. This variant prunes
+    * with an IVF index (the q92 composition): each query probes only
+    * its `nProbe` nearest centroid cells, so scored candidates are
+    * Σ_q Σ_{probed cells} s_c ≈ |queries|·nProbe·(n/k_cells) instead of
+    * |queries|·n — the standard recall-for-cost ANN trade
+    * ([[graft.ops.Ivf]] header).
+    *
+    * Plan shape: cell assignment is the same broadcast-literal codegen
+    * expression the probe index uses (ONE map pass over the corpus);
+    * per-query probe cells are per-ROW arithmetic on the broadcast
+    * query side (array_sort over (distance, cell) structs — ties break
+    * by cell id, deterministic); candidate generation is a broadcast
+    * hash join on the cell key; the top-k tail is the same bounded
+    * aggregation as the exact path. With `nProbe = model.centroids
+    * .length` every cell is probed and the result EQUALS the exact
+    * path (the spec's recall gate pins it). */
+  def hardNegativesIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      positives: DataFrame, k: Int, model: Ivf.IvfModel,
+      nProbe: Int): DataFrame = {
+    registerNatives(corpus)
+    require(k >= 1, "k must be >= 1")
+    require(nProbe >= 1 && nProbe <= model.centroids.length,
+      s"nProbe must be in [1, ${model.centroids.length}]")
+    val indexed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", Ivf.assign(model, col("v")))
+    val qdists = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.NativeFunctions.graft_l2sq(col("qv"), c).as("d"),
+        lit(i).as("i"))
+    }
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("pc",
+        slice(array_sort(array(qdists: _*)), 1, nProbe).getField("i"))
+      .select(col("query_id"), col("qv"), explode(col("pc")).as("cell"))
+    val scored = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(positives.select(col(qIdCol).as("query_id"),
+        col(idCol).as("id"))), Seq("query_id", "id"), "left_anti")
+      .select(col("query_id"), col("id"),
+        cosineSafe(col("v"), col("qv")).as("cos"))
+    topKPerQuery(scored, k, idCol)
   }
 
   /** L2 normalization: adds `norm` (the vector's L2 length, double) and

@@ -487,6 +487,10 @@ object DataOpsQueries {
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // full value replay (q26 cosine contract): same-label exclusion,
     // cosine top-5 per query by ROW_NUMBER
+    "q115_hard_negatives_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |TRUE AS full_probe_exact_ok, TRUE AS k_rows_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id <= 2""".stripMargin,
     "q108_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
         |    label AS ql FROM embeddings WHERE vec_id <= 2),
@@ -2511,6 +2515,50 @@ object DataOpsQueries {
       .orderBy("vec_id")
   }
 
+  /** ANN-bounded hard-negative mining
+    * ([[graft.ops.Similarity.hardNegativesIvf]]): the IVF-probed variant
+    * must EQUAL the exact path when every cell is probed (nProbe = k,
+    * the zero-recall-loss pin) and keep high recall at partial probe.
+    * Engine-independent verdict columns (the q48 pattern — the k-means
+    * centroids are model state no SQL replay can reproduce). */
+  val q115HardNegativesIvf: Q = (s, dir) => {
+    val emb = load(s, dir, "embeddings")
+    // the probe index model (q48/q92's train-once cache key)
+    val model = graft.ops.Ivf.trainCached(s"$dir/embeddings", emb, "embedding", k = 8)
+    val queries = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+    val positives = emb.select(col("vec_id"), col("label"))
+      .join(queries.select(col("q_id"), col("label")), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    def ivf(nProbe: Int) = graft.ops.Similarity.hardNegativesIvf(
+      emb, "vec_id", "embedding", queries, "q_id", "embedding",
+      positives, k = 5, model, nProbe)
+    val exact = graft.ops.Similarity.hardNegatives(
+      emb, "vec_id", "embedding", queries, "q_id", "embedding",
+      positives, k = 5)
+    val full = ivf(nProbe = 8)
+    val part = ivf(nProbe = 4)
+    val cols = Seq("query_id", "rk", "vec_id")
+    val nFullDiff = full.select(cols.map(col): _*)
+      .exceptAll(exact.select(cols.map(col): _*))
+      .unionByName(exact.select(cols.map(col): _*)
+        .exceptAll(full.select(cols.map(col): _*)))
+      .agg(count(lit(1)).as("n_full_diff"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = part.select("query_id", "vec_id")
+      .join(exact.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nPart = part.agg(count(lit(1)).as("n_part"))
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(nFullDiff).crossJoin(nExact).crossJoin(nHit).crossJoin(nPart)
+      .select(col("n_queries"),
+        (col("n_full_diff") === 0L).as("full_probe_exact_ok"),
+        (col("n_part") === col("n_queries") * 5L).as("k_rows_ok"),
+        // 4-of-8-cell probe keeps ≥ 60% of the exact hard negatives
+        (col("n_hit") * 100L >= col("n_exact") * 60L).as("recall_ok"))
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2589,5 +2637,6 @@ object DataOpsQueries {
     "q111_intra_dedup" -> q111IntraDedup,
     "q112_balanced_shards" -> q112BalancedShards,
     "q114_normalize" -> q114Normalize,
+    "q115_hard_negatives_ivf" -> q115HardNegativesIvf,
   )
 }

@@ -99,10 +99,83 @@ object EventQueries {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Ordered session funnel: within each 30-min-gap session, how far the
+    * view → click → purchase sequence progressed IN ORDER (a click only
+    * counts after a view, a purchase only after a qualifying click) —
+    * the conversion report every event pipeline ships.
+    *
+    * Scale shape: the session id rides q30's lag + running-sum window
+    * (one shuffle on user_id); the three step timestamps are chained
+    * conditional MIN windows over (user, session) — hash-partitioning
+    * by user_id already clusters (user, session), so Catalyst inserts
+    * NO further exchange, just per-partition sorts; the depth roll-up
+    * shuffles one row per session. Strictly-after semantics (ts_ns >
+    * prev step) — simultaneous events do not satisfy an order. */
+  val q116Funnel: Q = (s, dir) => {
+    val gapNs = 30L * 60 * 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val bySession = Window.partitionBy("user_id", "session_id")
+    val sess = loadEvents(s, dir)
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ns") - col("prev_ts") > gapNs,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val funneled = sess
+      .withColumn("t1", min(when(col("event_type") === "view",
+        col("ts_ns"))).over(bySession))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts_ns") > col("t1"), col("ts_ns"))).over(bySession))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts_ns") > col("t2"), col("ts_ns"))).over(bySession))
+    funneled.groupBy("user_id", "session_id")
+      .agg(min(when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+        .when(col("t1").isNotNull, 1L).otherwise(0L)).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("depth")
+  }
+
+  /** Per-user inter-event-gap percentiles: exact discrete median/p90 of
+    * each user's gap distribution (full value oracle via QUANTILE_DISC)
+    * plus DDSketch estimates verified against the LIKE-convention exact
+    * order statistic — the sketch is the 100 TB path (mergeable,
+    * bounded state; the exact histogram is the audit). One lag window
+    * on user_id; all three aggregations group on the user key. */
+  val q117GapQuantiles: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    import graft.ops.{DdSketch, ExactPercentile}
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val gaps = graft.ops.OpCaches.persist(loadEvents(s, dir)
+      .withColumn("gap",
+        (col("ts_ns") - lag(col("ts_ns"), 1).over(byUser)).cast("double"))
+      .filter(col("gap").isNotNull)
+      .select(col("user_id"), col("gap")))
+    val ps = Seq("median_gap" -> 0.5, "p90_gap" -> 0.9)
+    val duckDisc = ExactPercentile.discByHistogram(
+      gaps, "user_id", "gap", ps, ExactPercentile.discIndexCeil)
+    val ddDisc = ExactPercentile.discByHistogram(
+        gaps, "user_id", "gap",
+        Seq("__e50" -> 0.5, "__e90" -> 0.9), ExactPercentile.discIndexFloor)
+    val sk = gaps.groupBy("user_id")
+      .agg(DdSketch.sketch(col("gap")).as("sk"))
+    // the α = 1% relative-error contract against the sketch's OWN rank
+    // convention (no bucket collapse at this value range)
+    def ok(q: Double, exact: org.apache.spark.sql.Column) =
+      abs(DdSketch.quantile(col("sk"), q) - exact) <= abs(exact) * 0.0101 + 1.0
+    duckDisc.join(ddDisc, Seq("user_id")).join(sk, Seq("user_id"))
+      .select(col("user_id"), col("median_gap"), col("p90_gap"),
+        ok(0.5, col("__e50")).as("dd50_ok"),
+        ok(0.9, col("__e90")).as("dd90_ok"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_events_hourly" -> q28EventsHourly,
     "q30_sessionize" -> q30Sessionize,
     "q113_retention" -> q113Retention,
+    "q116_funnel" -> q116Funnel,
+    "q117_gap_quantiles" -> q117GapQuantiles,
   )
 
   /** DuckDB oracles are written against the CURRENT testdata binding
@@ -133,5 +206,38 @@ object EventQueries {
         |SELECT c.cohort_day, a.day - c.cohort_day AS offset,
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q116_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) * 1000 AS ts_ns FROM events),
+        |l AS (SELECT *, LAG(ts_ns) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ts FROM e),
+        |s AS (SELECT *, SUM(CASE WHEN prev_ts IS NULL
+        |      OR ts_ns - prev_ts > 1800000000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id FROM l),
+        |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_ns END)
+        |    OVER (PARTITION BY user_id, session_id) AS t1 FROM s),
+        |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_ns > t1
+        |      THEN ts_ns END)
+        |    OVER (PARTITION BY user_id, session_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_ns > t2
+        |      THEN ts_ns END)
+        |    OVER (PARTITION BY user_id, session_id) AS t3 FROM w2),
+        |d AS (SELECT user_id, session_id,
+        |    MIN(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        |  FROM w3 GROUP BY 1, 2)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q117_gap_quantiles" ->
+      """WITH g AS (SELECT user_id,
+        |    CAST(epoch_us(ts) * 1000 - LAG(epoch_us(ts) * 1000) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS gap
+        |  FROM events)
+        |SELECT user_id, QUANTILE_DISC(gap, 0.5) AS median_gap,
+        |  QUANTILE_DISC(gap, 0.9) AS p90_gap,
+        |  TRUE AS dd50_ok, TRUE AS dd90_ok
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

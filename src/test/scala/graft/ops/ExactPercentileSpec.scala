@@ -72,6 +72,36 @@ class ExactPercentileSpec extends AnyFunSuite {
     ExactPercentile.requireBoundedGroups(nulls, "g", "v", 10L)
   }
 
+  test("discByHistogram: both index conventions match driver references") {
+    import spark.implicits._
+    // uneven spacing + duplicates + two groups of different sizes
+    val a = Seq(10.0, 20.0, 20.0, 30.0, 1000.0) // n = 5
+    val b = Seq(5.0, 7.0, 11.0, 13.0, 17.0, 19.0) // n = 6
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    def refCeil(xs: Seq[Double], q: Double) = // DuckDB QUANTILE_DISC
+      xs.sorted.apply(math.max(0, math.ceil(q * xs.size).toInt - 1))
+    def refFloor(xs: Seq[Double], q: Double) = // rank q·(n−1) element
+      xs.sorted.apply(math.floor(q * (xs.size - 1)).toInt)
+    for (q <- Seq(0.0, 0.5, 0.6, 0.9, 1.0)) {
+      val gotC = ExactPercentile.discByHistogram(df, "g", "v",
+        Seq("p" -> q), ExactPercentile.discIndexCeil)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(gotC == Map("a" -> refCeil(a, q), "b" -> refCeil(b, q)),
+        s"ceil convention at q=$q: $gotC")
+      val gotF = ExactPercentile.discByHistogram(df, "g", "v",
+        Seq("p" -> q), ExactPercentile.discIndexFloor)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(gotF == Map("a" -> refFloor(a, q), "b" -> refFloor(b, q)),
+        s"floor convention at q=$q: $gotF")
+    }
+    // all-null group survives with NULL output
+    val withNull = df.unionByName(Seq(("c", Option.empty[Double]))
+      .toDF("g", "v"))
+    val rows = ExactPercentile.discByHistogram(withNull, "g", "v",
+      Seq("p" -> 0.5), ExactPercentile.discIndexCeil).collect()
+    assert(rows.length == 3 && rows.exists(r => r.getString(0) == "c" && r.isNullAt(1)))
+  }
+
   test("plan shape: shuffle carries distinct values (partial agg), group-sharded window") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("v"))

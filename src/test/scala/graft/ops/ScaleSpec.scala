@@ -570,6 +570,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("IVF-probed hard-negative drill: probed candidates a fraction of exact") {
+    graft.functions.NativeFunctions.register(spark)
+    val n = 1000000L
+    def vec = array((0 until 8).map(j =>
+      (pmod(col("id") * (j * 2 + 3), lit(97L)).cast("float") / 97f)): _*)
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      vec.as("embedding"), pmod(col("id"), lit(16L)).cast("int").as("label"))
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+    val positives = corpus.select(col("vec_id"), col("label"))
+      .join(queries.select(col("q_id"), col("label")), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    // handcrafted 8-cell model (no k-means needed for the plan-shape drill)
+    val model = Ivf.IvfModel((0 until 8).map(i =>
+      (0 until 8).map(j => ((i * 3 + j * 5) % 11) / 11.0).toArray).toArray)
+    val got = Similarity.hardNegativesIvf(corpus, "vec_id", "embedding",
+      queries, "q_id", "embedding", positives, k = 10, model, nProbe = 2)
+    assert(got.count() == 40) // 4 queries x k
+    // the candidate bound: scored rows = Σ_q Σ_{probed cells} s_c,
+    // a strict fraction of the |corpus| x |queries| exact expansion
+    val cellSizes = corpus
+      .select(Ivf.assign(model, col("embedding")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probedRows = queries.select(col("q_id"), col("embedding")).collect()
+      .map { r =>
+        // float/float division promotes to double in Spark: the synthetic
+        // embedding column is array<double>
+        val q = r.getSeq[Double](1).map(_.toFloat)
+        Ivf.probeCells(model, q, nProbe = 2)
+          .map(c => cellSizes.getOrElse(c, 0L)).sum
+      }.sum
+    val exactRows = n * 4
+    assert(probedRows * 2 < exactRows,
+      s"probed $probedRows rows vs exact $exactRows — cells not pruning")
+    // same bounded-buffer tail as the exact path: no window sort anywhere
+    val p = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("despan scale drill: 1M docs, one map pass, no shuffle") {
     graft.functions.NativeFunctions.register(spark)
     val n = 1000000L

@@ -178,6 +178,29 @@ class SemDedupSpec extends AnyFunSuite {
     assert(math.abs(cosRaw - cosUnit) < 1e-12)
   }
 
+  test("IVF-probed hard negatives: full probe equals exact, partial keeps recall") {
+    val emb = spark.read.parquet(embPath)
+    val m = Ivf.trainCached(s"$embPath#hnspec", emb, "embedding", k = 8)
+    val queries = emb.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+    val positives = emb.select(col("vec_id"), col("label"))
+      .join(queries.select(col("q_id"), col("label")), Seq("label"))
+      .select(col("q_id"), col("vec_id"))
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding",
+      queries, "q_id", "embedding", positives, k = 5)
+    // nProbe = every cell ⇒ zero recall loss: bit-equal to the exact path
+    val full = Similarity.hardNegativesIvf(emb, "vec_id", "embedding",
+      queries, "q_id", "embedding", positives, k = 5, m, nProbe = 8)
+    assert(full.except(exact).count() == 0 && exact.except(full).count() == 0)
+    // partial probe: top negatives live in cells near the query
+    val part = Similarity.hardNegativesIvf(emb, "vec_id", "embedding",
+      queries, "q_id", "embedding", positives, k = 5, m, nProbe = 4)
+    val hits = part.select("query_id", "vec_id")
+      .join(exact.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_semi").count()
+    assert(hits * 100 >= exact.count() * 60, s"recall $hits/${exact.count()}")
+  }
+
   test("hard negatives survive a zero-norm corpus vector (cosineSafe)") {
     import spark.implicits._
     val corpus = Seq(
