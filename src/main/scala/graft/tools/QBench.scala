@@ -19,9 +19,14 @@ object QBench {
       (System.nanoTime() - t0) / 1e9
     }
     args.headOption.foreach(force) // warm-up
+    // SPARK_GRAFT_QBENCH_RUNS > 2 prints every run — the variance probe
+    // (per-JVM bimodality shows up as a whole JVM being fast or slow;
+    // min-of-2 inside one JVM cannot filter that)
+    val runs = sys.env.get("SPARK_GRAFT_QBENCH_RUNS").map(_.toInt).getOrElse(2)
     args.foreach { n =>
-      val t = math.min(force(n), force(n))
-      println(f"[qbench] $n ${t}%.2fs")
+      val ts = (1 to runs).map(_ => force(n))
+      println(f"[qbench] $n min ${ts.min}%.2fs " +
+        s"runs ${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
