@@ -149,6 +149,59 @@ object Curation {
     docs.filter(Sampling.seededKnuth(col(idCol), seed) < thrCol)
   }
 
+  /** Temperature-flattened domain mixture — sample domain d with
+    * probability ∝ n_d^α, α < 1, so head domains shrink and tail
+    * domains keep presence (the multilingual sampling recipe of
+    * Conneau & Lample, "Cross-lingual Language Model Pretraining",
+    * NeurIPS 2019; capped at one full epoch per domain as in Chung et
+    * al., "UniMax", ICLR 2023 — a domain is never oversampled).
+    *
+    * Determinism contract: α is restricted to 2^-sqrtSteps (0.5, 0.25,
+    * …) because IEEE-754 sqrt is CORRECTLY ROUNDED — bit-identical in
+    * every engine — while pow() carries no such guarantee, and a last-
+    * ulp pow disagreement would flip floor() boundaries between this
+    * engine and an external replay. The weight chain is then exact:
+    * repeated sqrt (correctly rounded), × 2^20 (a power of two —
+    * exponent shift, EXACT), floor → integer weights; everything after
+    * (Σ, budget share, basis points, membership) is pure integer
+    * arithmetic (BigInt here, HUGEINT in the SQL replay).
+    *
+    * Per domain: t_d = min(n_d, ⌊budget·wq_d / Σwq⌋), realized by the
+    * seeded-Knuth membership at ⌊t_d·10000/n_d⌋ basis points — counts
+    * binomial around t_d, membership deterministic per (id, seed).
+    *
+    * Scale shape: ONE aggregation collects #domains rows (model-sized);
+    * selection is a broadcast join on the domain key plus a map-only
+    * integer filter — scoring 100 TB is one read. Output adds
+    * `keep_bp`. */
+  def temperatureMixture(docs: DataFrame, idCol: String, domainCol: String,
+      budget: Long, sqrtSteps: Int = 1, seed: Int = 0): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(sqrtSteps >= 1 && sqrtSteps <= 4,
+      "sqrtSteps must be in [1, 4] (alpha = 2^-sqrtSteps)")
+    Sampling.requireFreshColumns(docs, "temperatureMixture", "keep_bp")
+    val counts = docs.groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (counts.isEmpty) // empty corpus: schema-stable empty result
+      return docs.withColumn("keep_bp", lit(0L)).filter(lit(false))
+    val wq = counts.map { case (_, n) =>
+      var w = n.toDouble
+      (1 to sqrtSteps).foreach(_ => w = math.sqrt(w))
+      math.floor(w * (1L << 20).toDouble).toLong
+    }
+    val sw = wq.map(BigInt(_)).sum
+    val bp = counts.zip(wq).map { case ((d, n), w) =>
+      val t = (BigInt(budget) * w / sw).min(BigInt(n)).toLong
+      (d, t * 10000L / n)
+    }
+    val bpDf = broadcast(bp.toSeq.toDF(domainCol, "keep_bp"))
+    docs.join(bpDf, Seq(domainCol))
+      .filter(Sampling.seededKnuth(col(idCol), seed) * lit(10000L) <
+        col("keep_bp") * lit(2147483648L))
+  }
+
   /** Epoch mixing for data-constrained training (Muennighoff et al.,
     * "Scaling Data-Constrained Language Models", NeurIPS 2023): when the
     * token budget EXCEEDS the corpus, domains are repeated — each domain

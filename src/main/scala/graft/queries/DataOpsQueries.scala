@@ -491,6 +491,25 @@ object DataOpsQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |TRUE AS full_probe_exact_ok, TRUE AS k_rows_ok, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id <= 2""".stripMargin,
+    "q118_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS budget FROM documents),
+        |q AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+        |  FROM c),
+        |s AS (SELECT SUM(CAST(wq AS HUGEINT)) AS sw FROM q),
+        |b AS (SELECT lang, n, CAST(
+        |    LEAST(CAST(n AS HUGEINT), CAST(budget AS HUGEINT) * wq // sw)
+        |      * 10000 // n AS BIGINT) AS keep_bp
+        |  FROM q, s, tot),
+        |k AS (SELECT d.lang, d.doc_id, b.keep_bp
+        |  FROM documents d JOIN b ON d.lang = b.lang
+        |  WHERE ((d.doc_id * 2654435761) % 2147483648) * 10000
+        |    < b.keep_bp * 2147483648)
+        |SELECT lang, keep_bp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM k GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q108_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
         |    label AS ql FROM embeddings WHERE vec_id <= 2),
@@ -2559,6 +2578,22 @@ object DataOpsQueries {
         (col("n_hit") * 100L >= col("n_exact") * 60L).as("recall_ok"))
   }
 
+  /** Temperature-flattened domain mixture
+    * ([[graft.ops.Curation.temperatureMixture]]): α = 0.5 sampling over
+    * the language skew with budget = half the corpus. FULL value oracle
+    * — the correctly-rounded-sqrt + integer-arithmetic design replays
+    * bit-for-bit in DuckDB (sqrt → ×2^20 → floor → HUGEINT shares →
+    * Knuth membership), so every per-language keep_bp, count and
+    * member-id sum must hash-match. */
+  val q118TemperatureMix: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val budget = docs.count() / 2
+    graft.ops.Curation.temperatureMixture(docs, "doc_id", "lang", budget)
+      .groupBy("lang", "keep_bp")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2638,5 +2673,6 @@ object DataOpsQueries {
     "q112_balanced_shards" -> q112BalancedShards,
     "q114_normalize" -> q114Normalize,
     "q115_hard_negatives_ivf" -> q115HardNegativesIvf,
+    "q118_temperature_mix" -> q118TemperatureMix,
   )
 }

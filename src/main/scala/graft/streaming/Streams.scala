@@ -318,4 +318,41 @@ object Streams {
           Iterator(UserSessions(user, n, sessions))
       }
   }
+
+  case class GapState(lastTsNs: Long)
+  case class UserGap(user_id: Long, ts_ns: Long, gap_ns: Long)
+
+  /** Per-user inter-event gaps as custom streaming state — the
+    * continuous-ingest half of q117: each event (except a user's first)
+    * emits its gap to the previous event, with ONE long (the last
+    * timestamp) as the whole per-user state. Downstream the gaps feed
+    * the same mergeable DDSketch windows as the batch audit
+    * ([[quantileSketchStream]]), so "p90 inter-event gap per window"
+    * runs end-to-end on a stream with bounded state everywhere.
+    *
+    * The batch twin is the lag window inside
+    * `EventQueries.q117GapQuantiles`; StreamingSpec pins stream == batch
+    * on an in-order replay split across micro-batches (the state
+    * carries gaps ACROSS batch boundaries, where a per-batch lag would
+    * drop them). In-batch slices sort by ts_ns before the scan — the
+    * sessionize contract; cross-batch out-of-order arrival needs a
+    * watermarked re-order upstream, same as sessionize. */
+  def gapStream(events: Dataset[SessionEvent]): Dataset[UserGap] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, UserGap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_ns)
+          var last = state.getOption.map(_.lastTsNs).getOrElse(Long.MinValue)
+          val out = sorted.flatMap { e =>
+            val g = if (last == Long.MinValue) None
+              else Some(UserGap(user, e.ts_ns, e.ts_ns - last))
+            last = e.ts_ns
+            g
+          }
+          state.update(GapState(last))
+          out.iterator
+      }
+  }
 }

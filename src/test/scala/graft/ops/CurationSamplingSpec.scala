@@ -219,4 +219,39 @@ class CurationSamplingSpec extends AnyFunSuite {
       p +: (p.children ++ p.subqueries).flatMap(nodes)
     assert(!nodes(plan).map(_.nodeName).exists(_.contains("Exchange")))
   }
+
+  test("temperatureMixture: flattens the head, keeps the tail, caps at one epoch") {
+    val n = docs.count()
+    val out = Curation.temperatureMixture(docs, "doc_id", "lang", n / 2)
+    val raw = docs.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+    val kept = out.groupBy("lang").agg(count(lit(1)).as("n_kept"),
+      first("keep_bp").as("bp"))
+    val j = raw.join(kept, Seq("lang")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every language present in the output (temperature keeps the tail)
+    assert(j.size == docs.select("lang").distinct().count())
+    // the head language's kept SHARE is strictly below its raw share
+    val (headLang, (headRaw, headKept, _)) = j.maxBy(_._2._1)
+    val totKept = j.values.map(_._2).sum
+    assert(headKept.toDouble / totKept < headRaw.toDouble / n,
+      s"$headLang share not flattened: $headKept/$totKept vs $headRaw/$n")
+    // kept counts are binomial around t_d = n_d * bp / 10000: 5σ bound
+    j.foreach { case (lang, (nd, nk, bp)) =>
+      val t = nd.toDouble * bp / 10000.0
+      val sigma = math.sqrt(t * (1 - bp / 10000.0)).max(1.0)
+      assert(math.abs(nk - t) <= 5 * sigma, s"$lang kept $nk vs target $t")
+    }
+    // UniMax cap: a budget exceeding the corpus keeps EVERY row exactly
+    // once (bp = 10000 for all domains), never oversamples
+    val all = Curation.temperatureMixture(docs, "doc_id", "lang", n * 10)
+    assert(all.count() == n)
+    assert(all.select("keep_bp").distinct().head().getLong(0) == 10000L)
+    // deterministic + subset + collision guard
+    val again = Curation.temperatureMixture(docs, "doc_id", "lang", n / 2)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(out, "doc_id", "lang", 10L)
+    }
+  }
 }

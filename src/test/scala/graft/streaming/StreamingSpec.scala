@@ -438,6 +438,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("gap stream: cross-batch gaps equal the batch lag window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = normalizedEvents
+      .select(col("user_id"), col("ts_ns"))
+      .as[Streams.SessionEvent].collect().toSeq.sortBy(_.ts_ns)
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Streams.SessionEvent]
+    val q = Streams.gapStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("gaps_split").start()
+    mem.addData(first); q.processAllAvailable()
+    mem.addData(second); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gaps_split")
+    // batch twin: the q117 lag window; the boundary gap between the two
+    // micro-batches must come out of the GroupState, not vanish
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns")
+    val batch = normalizedEvents.select(col("user_id"), col("ts_ns"))
+      .withColumn("gap_ns", col("ts_ns") - lag("ts_ns", 1).over(w))
+      .filter(col("gap_ns").isNotNull)
+      .select("user_id", "ts_ns", "gap_ns")
+    assert(batch.count() == streamed.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("sessionization state survives a micro-batch split (µs-era events)") {
     // The cross-batch law: feeding the same events as TWO time-ordered
     // micro-batches must land on the same final per-user state as one —
