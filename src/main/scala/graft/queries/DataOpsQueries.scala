@@ -491,6 +491,39 @@ object DataOpsQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |TRUE AS full_probe_exact_ok, TRUE AS k_rows_ok, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id <= 2""".stripMargin,
+    "q120_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |d AS (SELECT doc_id, len(tk) AS dl,
+        |  len(list_filter(tk, x -> x = 'vector')) AS tf0,
+        |  len(list_filter(tk, x -> x = 'hash')) AS tf1,
+        |  len(list_filter(tk, x -> x = 'spark')) AS tf2,
+        |  len(list_filter(tk, x -> x = 'window')) AS tf3 FROM t),
+        |g AS (SELECT COUNT(*) AS n, SUM(dl) AS tt,
+        |  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |  SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3 FROM d),
+        |w AS (SELECT n, tt,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df0+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w0,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df1+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w1,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df2+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w2,
+        |  CAST(ROUND(ROUND(LN(CAST(2*n+2 AS DOUBLE)/CAST(2*df3+1 AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS w3
+        |  FROM g),
+        |bs AS (SELECT doc_id,
+        |    (CAST(w0 AS HUGEINT) * 22 * tf0 * tt) // (CAST(tf0 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  + (CAST(w1 AS HUGEINT) * 22 * tf1 * tt) // (CAST(tf1 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  + (CAST(w2 AS HUGEINT) * 22 * tf2 * tt) // (CAST(tf2 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  + (CAST(w3 AS HUGEINT) * 22 * tf3 * tt) // (CAST(tf3 AS HUGEINT) * 10 * tt + CAST(3 AS HUGEINT) * tt + CAST(dl AS HUGEINT) * 9 * n)
+        |  AS score FROM d, w),
+        |br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM bs QUALIFY rk <= 50),
+        |qr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents QUALIFY rk <= 50),
+        |u AS (SELECT doc_id, 1000000000000 // (60 + rk) AS rcp FROM br
+        |  UNION ALL SELECT doc_id, 1000000000000 // (60 + rk) FROM qr)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+        |  CAST(SUM(rcp) AS BIGINT) AS rrf_x1e12
+        |FROM u GROUP BY 1 ORDER BY rrf_x1e12 DESC, doc_id LIMIT 20""".stripMargin,
     "q118_temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM documents GROUP BY 1),
@@ -2594,6 +2627,31 @@ object DataOpsQueries {
       .orderBy("lang")
   }
 
+  /** Reciprocal-rank fusion ([[graft.ops.Fusion.rrf]]): hybrid
+    * retrieval merging the BM25 lexical top-50 (the q96 machinery) with
+    * a document-length prior ranking. FULL value oracle — both rankings
+    * and the integer 1e-12-unit reciprocal sum replay exactly in SQL.
+    * The row_number windows rank WITHIN already-top-k'd frames (50
+    * rows), so the single-partition window is model-sized by
+    * construction — the corpus-side work is the retrievers'. */
+  val q120RrfFusion: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = load(s, dir, "documents")
+    val model = graft.ops.Bm25.fit(docs, "text",
+      Seq("vector", "hash", "spark", "window"))
+    val bm = graft.ops.Bm25.topK(docs, "doc_id", "text", model, 50)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("score_x1e8"), col("doc_id"))))
+      .select("doc_id", "rk")
+    val prior = docs.orderBy(desc("n_chars"), col("doc_id")).limit(50)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("n_chars"), col("doc_id"))))
+      .select("doc_id", "rk")
+    graft.ops.Fusion.rrf(Seq(bm, prior), "doc_id")
+      .orderBy(desc("rrf_x1e12"), col("doc_id"))
+      .limit(20)
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2674,5 +2732,6 @@ object DataOpsQueries {
     "q114_normalize" -> q114Normalize,
     "q115_hard_negatives_ivf" -> q115HardNegativesIvf,
     "q118_temperature_mix" -> q118TemperatureMix,
+    "q120_rrf_fusion" -> q120RrfFusion,
   )
 }

@@ -170,12 +170,43 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Last-touch attribution: each purchase attributed to the user's
+    * most recent click within a 24 h lookback — the as-of-join
+    * composition every event pipeline ships. Rides
+    * [[graft.ops.AsOf.asofJoin]] (union + running last-non-null, one
+    * shuffle on the user key — no new machinery); revenue accumulates
+    * in exact integer cents (the lsum contract) so the daily roll-up
+    * replays bit-for-bit; days after 1970 by the ts_ns >= 0 contract.
+    * Purchases with no qualifying click stay counted, unattributed. */
+  val q119Attribution: Q = (s, dir) => {
+    val dayNs = 86400L * 1000000000L
+    val lookbackNs = 24L * 3600 * 1000000000L
+    val ev = loadEvents(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ns"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ns").as("click_ts"))
+    graft.ops.AsOf.asofJoin(purchases, clicks, "user_id",
+        "ts_ns", "click_ts", Seq("click_id", "click_ts"), "left")
+      .withColumn("attributed", col("click_id").isNotNull &&
+        col("ts_ns") - col("click_ts") <= lookbackNs)
+      .groupBy(expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        (sum(when(col("attributed"), cents(col("value")))) / lit(100.0))
+          .as("attr_value"))
+      .orderBy("day")
+  }
+
   val all: Map[String, Q] = Map(
     "q28_events_hourly" -> q28EventsHourly,
     "q30_sessionize" -> q30Sessionize,
     "q113_retention" -> q113Retention,
     "q116_funnel" -> q116Funnel,
     "q117_gap_quantiles" -> q117GapQuantiles,
+    "q119_attribution" -> q119Attribution,
   )
 
   /** DuckDB oracles are written against the CURRENT testdata binding
@@ -230,6 +261,26 @@ object EventQueries {
         |SELECT CAST(depth AS BIGINT) AS depth,
         |  CAST(COUNT(*) AS BIGINT) AS n_sessions
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q119_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) * 1000 AS ts_ns, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) * 1000 AS click_ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, p.ts_ns, p.value, c.click_id, c.click_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts),
+        |a AS (SELECT *, (click_id IS NOT NULL
+        |    AND ts_ns - click_ts <= 86400000000000) AS attributed FROM j)
+        |SELECT ts_ns // 86400000000000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  CAST(SUM(CASE WHEN attributed
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+        |    AS DOUBLE) / 100.0 AS attr_value
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q117_gap_quantiles" ->
       """WITH g AS (SELECT user_id,
         |    CAST(epoch_us(ts) * 1000 - LAG(epoch_us(ts) * 1000) OVER

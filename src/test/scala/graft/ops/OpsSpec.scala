@@ -515,4 +515,25 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.columns.toSet ==
       Set("event_id", "ts_ns", "age_days", "keep_bp"))
   }
+
+  test("rrf: integer reciprocal sums match the hand-computed fusion") {
+    import spark.implicits._
+    def ranking(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("id", "rk")
+    // three systems; doc 3 only in two, doc 4 only in one
+    val a = ranking(Seq(1L, 2L, 3L))
+    val b = ranking(Seq(2L, 1L, 4L))
+    val c = ranking(Seq(1L, 3L, 2L))
+    val got = Fusion.rrf(Seq(a, b, c), "id", k0 = 60)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def rcp(rk: Int) = 1000000000000L / (60 + rk)
+    assert(got(1L) == (3L, rcp(1) + rcp(2) + rcp(1)))
+    assert(got(2L) == (3L, rcp(2) + rcp(1) + rcp(3)))
+    assert(got(3L) == (2L, rcp(3) + rcp(2)))
+    assert(got(4L) == (1L, rcp(3)))
+    // three-system sums are order-independent by integer arithmetic
+    val perm = Fusion.rrf(Seq(c, a, b), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(perm == got.map { case (k, v) => k -> v._2 })
+  }
 }
