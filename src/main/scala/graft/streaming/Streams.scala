@@ -319,6 +319,57 @@ object Streams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, ts_ns: Long, event_type: String)
+  case class FunnelState(sessions: Long, lastTsNs: Long,
+    t1: Long, t2: Long, t3: Long)
+  case class SessionFunnel(user_id: Long, session_id: Long, depth: Long)
+
+  /** Stateful streaming funnel — the continuous twin of q116: per-user
+    * state tracks the open session's gap boundary plus the first
+    * qualifying view/click/purchase timestamps (strictly-ordered
+    * progression, the q116 semantics), and every touched session emits
+    * its running depth in Update mode (depth is monotone per session,
+    * so last-update == final == the batch chained-window depth; the
+    * StreamingSpec pins the roll-up equal to q116). State is five
+    * longs per user, dropped logic mirrors [[sessionize]]: in-batch
+    * slices sort by ts_ns; across batches the state carries order.
+    * Because events stream in time order, "first view" == "min view
+    * ts" and the strictly-after click/purchase checks reproduce the
+    * batch min-window semantics exactly. */
+  def funnelStream(events: Dataset[FunnelEvent],
+      gapNs: Long = 30L * 60 * 1000000000L): Dataset[SessionFunnel] = {
+    import events.sparkSession.implicits._
+    val M = Long.MinValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, SessionFunnel](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_ns)
+          var (sessions, lastTs, t1, t2, t3) = state.getOption
+            .map(s => (s.sessions, s.lastTsNs, s.t1, s.t2, s.t3))
+            .getOrElse((0L, M, M, M, M))
+          def depth: Long =
+            if (t3 != M) 3L else if (t2 != M) 2L else if (t1 != M) 1L else 0L
+          val touched = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          sorted.foreach { e =>
+            if (lastTs == M || e.ts_ns - lastTs > gapNs) {
+              if (sessions > 0) touched(sessions) = depth // close previous
+              sessions += 1; t1 = M; t2 = M; t3 = M
+            }
+            lastTs = e.ts_ns
+            e.event_type match {
+              case "view" if t1 == M => t1 = e.ts_ns
+              case "click" if t1 != M && e.ts_ns > t1 && t2 == M => t2 = e.ts_ns
+              case "purchase" if t2 != M && e.ts_ns > t2 && t3 == M => t3 = e.ts_ns
+              case _ => ()
+            }
+            touched(sessions) = depth
+          }
+          state.update(FunnelState(sessions, lastTs, t1, t2, t3))
+          touched.iterator.map { case (sid, d) => SessionFunnel(user, sid, d) }
+      }
+  }
+
   case class GapState(lastTsNs: Long)
   case class UserGap(user_id: Long, ts_ns: Long, gap_ns: Long)
 

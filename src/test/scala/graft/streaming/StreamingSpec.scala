@@ -438,6 +438,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("funnel stream: per-depth session counts equal batch q116 across a split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = normalizedEvents
+      .select(col("user_id"), col("ts_ns"), col("event_type"))
+      .as[Streams.FunnelEvent].collect().toSeq.sortBy(_.ts_ns)
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Streams.FunnelEvent]
+    val q = Streams.funnelStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_split").start()
+    mem.addData(first); q.processAllAvailable()
+    mem.addData(second); q.processAllAvailable()
+    q.stop()
+    // depth is monotone per session: last update == max == final depth
+    val streamed = spark.table("funnel_split")
+      .groupBy("user_id", "session_id").agg(max("depth").as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+    val batch = EventQueries.q116Funnel(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("gap stream: cross-batch gaps equal the batch lag window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
