@@ -315,4 +315,30 @@ object CorpusStats {
       element_at(array(lit("head"), lit("middle"), lit("tail")),
         ntile(3).over(w)))
   }
+
+  /** One-pass per-group corpus profile — the "data card" numbers every
+    * training corpus ships with: exact document and token counts, exact
+    * Gopher-battery pass counts, plus the two MERGEABLE sketches (HLL
+    * over native text fingerprints for distinct-document estimation,
+    * DDSketch over the length column for size quantiles). ONE
+    * aggregation job over the corpus; because the sketch columns merge
+    * bit-exactly ([[Hll.merge]]/[[DdSketch.merge]]), per-shard or
+    * per-day profile rows roll up into the corpus-wide card without
+    * rescanning — the incremental data-card path. Shuffle carries one
+    * row per group (counts + two sketch blobs), never text. */
+  def profile(docs: DataFrame, groupCol: String, textCol: String,
+      lenCol: String): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val g = TextOps.gopherFlags(col(textCol))
+    docs.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("sum_tokens"),
+        sum(when(g.getField("len_ok") && g.getField("mwl_ok") &&
+          g.getField("sym_ok") && g.getField("alpha_ok") &&
+          g.getField("stop_ok"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        Hll.sketch(graft.functions.NativeFunctions
+          .graft_fingerprint(col(textCol))).as("fp_hll"),
+        DdSketch.sketch(col(lenCol).cast("double")).as("len_dd"))
+  }
 }

@@ -491,6 +491,30 @@ object DataOpsQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |TRUE AS full_probe_exact_ok, TRUE AS k_rows_ok, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id <= 2""".stripMargin,
+    "q121_corpus_profile" ->
+      """WITH g AS (SELECT lang, n_chars,
+        |  regexp_split_to_array(trim(text), '\s+') AS toks, text FROM documents),
+        |m AS (SELECT lang, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n,
+        |  list_reduce([CAST(length(t) AS BIGINT) FOR t IN toks], (a, b) -> a + b) AS sumlen,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |  len(list_filter(toks, t -> t IN ('the','be','to','of','and','that','have','with'))) AS stops
+        |  FROM g),
+        |f AS (SELECT lang, n_chars, n,
+        |  (n BETWEEN 50 AND 100000)
+        |    AND ((CASE WHEN n = 0 THEN 0 ELSE sumlen * 100 // n END) BETWEEN 300 AND 1000)
+        |    AND ((hashes + dots) * 10 <= n)
+        |    AND (alpha * 5 >= n * 4)
+        |    AND (stops >= 2) AS pass
+        |  FROM m)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+        |  QUANTILE_DISC(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+        |  TRUE AS hll_ok, TRUE AS dd50_ok
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q120_rrf_fusion" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
         |d AS (SELECT doc_id, len(tk) AS dl,
@@ -2652,6 +2676,36 @@ object DataOpsQueries {
       .limit(20)
   }
 
+  /** Corpus profile / data card ([[graft.ops.CorpusStats.profile]]):
+    * the one-pass per-language card — exact doc/token/Gopher-pass
+    * counts replay in SQL; the mergeable sketch columns are audited
+    * in-engine (HLL distinct-fingerprint vs the exact distinct count,
+    * DDSketch median vs the like-convention exact order statistic) and
+    * surface as verdict booleans; p50_chars is the QUANTILE_DISC value
+    * replay (the q117 convention). */
+  val q121CorpusProfile: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    import graft.ops.{CorpusStats, DdSketch, ExactPercentile, Hll}
+    val docs = load(s, dir, "documents")
+    val prof = CorpusStats.profile(docs, "lang", "text", "n_chars")
+    val nd = docs.groupBy("lang")
+      .agg(countDistinct(graft.functions.NativeFunctions
+        .graft_fingerprint(col("text"))).as("nd"))
+    val lens = docs.select(col("lang"), col("n_chars"))
+    val disc = ExactPercentile.discByHistogram(lens, "lang", "n_chars",
+      Seq("p50_chars" -> 0.5), ExactPercentile.discIndexCeil)
+    val ddRef = ExactPercentile.discByHistogram(lens, "lang", "n_chars",
+      Seq("__e50" -> 0.5), ExactPercentile.discIndexFloor)
+    prof.join(nd, Seq("lang")).join(disc, Seq("lang")).join(ddRef, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        col("n_gopher_pass"), col("p50_chars"),
+        (abs(Hll.estimate(col("fp_hll")) - col("nd")) <=
+          col("nd").cast("double") * 0.05 + lit(2.0)).as("hll_ok"),
+        (abs(DdSketch.quantile(col("len_dd"), 0.5) - col("__e50")) <=
+          abs(col("__e50")) * 0.0101 + lit(1.0)).as("dd50_ok"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2733,5 +2787,6 @@ object DataOpsQueries {
     "q115_hard_negatives_ivf" -> q115HardNegativesIvf,
     "q118_temperature_mix" -> q118TemperatureMix,
     "q120_rrf_fusion" -> q120RrfFusion,
+    "q121_corpus_profile" -> q121CorpusProfile,
   )
 }

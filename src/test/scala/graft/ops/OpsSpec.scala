@@ -516,6 +516,29 @@ class OpsSpec extends AnyFunSuite {
       Set("event_id", "ts_ns", "age_days", "keep_bp"))
   }
 
+  test("corpus profile: shard rows roll up bit-exactly to the corpus card") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val whole = CorpusStats.profile(
+      docs.withColumn("g", lit("all")), "g", "text", "n_chars").head()
+    val parts = CorpusStats.profile(
+      docs.withColumn("g", pmod(col("doc_id"), lit(4)).cast("string")),
+      "g", "text", "n_chars")
+    val rolled = parts.agg(sum("n_docs").as("n_docs"),
+      sum("sum_tokens").as("sum_tokens"),
+      sum("n_gopher_pass").as("n_gopher_pass"),
+      Hll.merge(col("fp_hll")).as("fp_hll"),
+      DdSketch.merge(col("len_dd")).as("len_dd")).head()
+    assert(rolled.getLong(0) == whole.getAs[Long]("n_docs"))
+    assert(rolled.getLong(1) == whole.getAs[Long]("sum_tokens"))
+    assert(rolled.getLong(2) == whole.getAs[Long]("n_gopher_pass"))
+    // the mergeable halves merge BIT-exactly: per-shard cards roll up
+    // into the corpus card without rescanning anything
+    assert(java.util.Arrays.equals(rolled.getAs[Array[Byte]](3),
+      whole.getAs[Array[Byte]]("fp_hll")))
+    assert(java.util.Arrays.equals(rolled.getAs[Array[Byte]](4),
+      whole.getAs[Array[Byte]]("len_dd")))
+  }
+
   test("rrf: integer reciprocal sums match the hand-computed fusion") {
     import spark.implicits._
     def ranking(ids: Seq[Long]) =
