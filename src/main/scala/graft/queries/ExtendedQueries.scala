@@ -34,29 +34,28 @@ object ExtendedQueries {
     * distinct values, the right tool on discrete domains) and
     * [[q52ApproxPercentile]] (bounded sketch, for continuous domains). */
   val q32Percentile: Q = (s, dir) => {
-    // opt-in scale guard (spark.graft.percentile.maxGroupRows): the
-    // buffering path refuses to run blind when a group exceeds the bound
-    graft.ops.ExactPercentile.guardFromConf(
-      load(s, dir, "lineitem"), "l_returnflag", "l_quantity")
-    load(s, dir, "lineitem")
+    // Exact interpolated percentiles via the BOUNDED histogram path.
+    // Earlier rounds ran Spark's native `percentile` here — a
+    // TypedImperativeAggregate that buffers EVERY group value on one
+    // reducer, the engine's one documented memory-weak plan. The
+    // histogram path is bit-identical (ExactPercentileSpec pins
+    // byHistogram == Spark percentile == DuckDB QUANTILE_CONT, same
+    // interpolation formula) and its reducer state is DOMAIN-bounded
+    // here, not corpus-bounded: the dec2 cast quantizes both columns to
+    // exact cents, so distinct values are capped by the price/quantity
+    // RANGE (≈10^7 worst case) no matter how many rows a 100 TB corpus
+    // holds. The buffering formulation survives as the spec reference.
+    val li = load(s, dir, "lineitem")
       // decimal-cast first (exact 2-decimal values), then double for the
       // interpolation: DuckDB's QUANTILE_CONT on DECIMAL rounds to the
-      // decimal scale, so the quantile itself must run on DOUBLE. The cast
-      // chain is hoisted into one pre-aggregation projection — inside the
-      // agg it would re-evaluate once per percentile argument per row.
+      // decimal scale, so the quantile itself must run on DOUBLE.
       .select(col("l_returnflag"),
         dec2(col("l_quantity")).cast("double").as("qty"),
         dec2(col("l_extendedprice")).cast("double").as("price"))
-      .groupBy("l_returnflag")
-      // one percentile buffer per COLUMN, not per requested quantile: the
-      // array form sorts the price buffer once for both quantiles (three
-      // TypedImperativeAggregate buffers + three sorts → two + two)
-      .agg(
-        expr("percentile(qty, 0.5)").as("median_qty"),
-        expr("percentile(price, array(0.5, 0.95))").as("ps"))
-      .select(col("l_returnflag"), col("median_qty"),
-        col("ps").getItem(0).as("median_price"),
-        col("ps").getItem(1).as("p95_price"))
+    graft.ops.ExactPercentile.byHistogram(li, "l_returnflag", "qty",
+        Seq("median_qty" -> 0.5))
+      .join(graft.ops.ExactPercentile.byHistogram(li, "l_returnflag", "price",
+        Seq("median_price" -> 0.5, "p95_price" -> 0.95)), Seq("l_returnflag"))
       .orderBy("l_returnflag")
   }
 
