@@ -4,11 +4,11 @@ import graft.GraftSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** End-to-end training-data recipe over the round-8 operator family:
+/** End-to-end training-data recipe over the round-8/9 operator family:
   *
   *   intra-doc span dedup → quality/lang curation → substring
-  *   decontamination → semantic dedup (learned cells) → stratified
-  *   split → balanced shards
+  *   decontamination → semantic dedup (learned cells) → temperature
+  *   mixture (α = 0.5, UniMax cap) → stratified split → balanced shards
   *
   * Each stage is individually oracle-checked; this spec pins that they
   * COMPOSE — schema contracts line up, laws survive chaining (nothing
@@ -63,8 +63,13 @@ class PipelineRecipeSpec extends AnyFunSuite {
         "embedding", k = 16)
       val deduped = SemDedup.semanticDedupIvf(
         withVec, "doc_id", "embedding", model, eps = 0.999999)
+      // 4.5 temperature-flattened language mixture (α = 0.5): the head
+      //     language shrinks, the tail keeps presence; the UniMax cap
+      //     never oversamples a language
+      val mixed = Curation.temperatureMixture(deduped, "doc_id", "lang",
+        budget = deduped.count() / 2)
       // 5. exact stratified split by language
-      val split = Splits.stratifiedExactSplit(deduped, "doc_id", "lang",
+      val split = Splits.stratifiedExactSplit(mixed, "doc_id", "lang",
         Seq("train" -> 9000, "holdout" -> -1), seed = 5)
       // 6. balanced shards over the TRAIN side only
       Splits.balancedShards(split.filter(col("split") === "train"),
@@ -82,6 +87,10 @@ class PipelineRecipeSpec extends AnyFunSuite {
     assert(shippedHits == 0, s"$shippedHits contaminated docs shipped")
     // split hygiene: every shipped row is train-side
     assert(out.filter(col("split") =!= "train").count() == 0)
+    // the temperature mixture kept the language tail alive through the
+    // rest of the chain
+    assert(out.select("lang").distinct().count() >= 2,
+      "tail languages must survive the mixture")
     // shard balance law holds at the end of the chain
     val sums = out.groupBy("shard").agg(sum("n_chars").as("s"))
       .collect().map(_.getLong(1))
