@@ -175,6 +175,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q116: funnel's chained session windows reuse the user_id exchange") {
+    val p = plan("q116_funnel")
+    // one exchange for ALL windows (lag + running sum + three session
+    // mins: hash(user_id) satisfies the (user, session) clustering) plus
+    // the depth roll-up and the final sort — anything more means a
+    // window re-partitioned
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 3, s"funnel should shuffle at most 3 times:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id"), p)
+  }
+
+  test("q118: temperature mixture selection is a broadcast join, no window") {
+    val p = plan("q118_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q115: IVF-probed mining joins on the cell key, no cartesian scoring") {
+    val p = plan("q115_hard_negatives_ivf")
+    // the probed candidate join must be a broadcast HASH join on cell;
+    // the only nested-loop joins are the exact path's deliberate
+    // broadcast query-expansion and the one-row verdict assembly
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q119: attribution rides one user-key shuffle plus the daily roll-up") {
+    val p = plan("q119_attribution")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 3, s"as-of attribution should not re-shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("entry: flagship query runs and returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
