@@ -59,24 +59,23 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
-  /** Exact percentiles via the bounded-memory histogram formulation
-    * ([[graft.ops.ExactPercentile.byHistogram]]) — the scale-correct
-    * EXACT path for discrete value domains, closing q32's memory
-    * contract: reducer state ∝ distinct values per group (50 for
-    * l_quantity, ~1M price cents) instead of every buffered row. Same
-    * oracle as q32 (DuckDB QUANTILE_CONT): the histogram interpolation
-    * replicates Spark's buffering `percentile` bit-for-bit, so all three
-    * formulations hash-match. */
+  /** The histogram percentile path at a FINER granularity than q32
+    * (which now rides it too on the classic grouping): composite
+    * (returnflag, linestatus) groups and the full quartile ladder plus
+    * the p99 tail over l_quantity — the per-cohort distribution report
+    * shape. Reducer state stays ∝ the 50 distinct quantity values per
+    * group whatever the corpus size; the histogram interpolation
+    * replicates Spark's buffering `percentile` (and DuckDB's
+    * QUANTILE_CONT) bit-for-bit, so the full value oracle hash-matches
+    * at every requested fraction. */
   val q80PercentileHist: Q = (s, dir) => {
     val src = load(s, dir, "lineitem")
-      .select(col("l_returnflag"),
-        dec2(col("l_quantity")).cast("double").as("qty"),
-        dec2(col("l_extendedprice")).cast("double").as("price"))
-    graft.ops.ExactPercentile.byHistogram(src, "l_returnflag", "qty",
-        Seq("median_qty" -> 0.5))
-      .join(graft.ops.ExactPercentile.byHistogram(src, "l_returnflag", "price",
-        Seq("median_price" -> 0.5, "p95_price" -> 0.95)), Seq("l_returnflag"))
-      .orderBy("l_returnflag")
+      .select(concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("cohort"),
+        dec2(col("l_quantity")).cast("double").as("qty"))
+    graft.ops.ExactPercentile.byHistogram(src, "cohort", "qty",
+        Seq("p25_qty" -> 0.25, "median_qty" -> 0.5, "p75_qty" -> 0.75,
+          "p99_qty" -> 0.99))
+      .orderBy("cohort")
   }
 
   /** Approximate percentiles (the 100 TB twin of q32): bounded-memory,
@@ -358,10 +357,11 @@ object ExtendedQueries {
         |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_percentile_hist" ->
-      """SELECT l_returnflag,
+      """SELECT l_returnflag || '/' || l_linestatus AS cohort,
+        |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.25) AS p25_qty,
         |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_qty,
-        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
-        |QUANTILE_CONT(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_price
+        |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.75) AS p75_qty,
+        |QUANTILE_CONT(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.99) AS p99_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_approx_percentile" ->
       """SELECT l_returnflag,
