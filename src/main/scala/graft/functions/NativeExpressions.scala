@@ -328,6 +328,59 @@ object Hashing {
     s
   }
 
+  /** The deterministic pseudo-random hyperplanes of the LSH signature,
+    * FLATTENED (bits × dim, row-major): component (i, j) is a
+    * splitmix-style mix of (seed, i, j) scaled to [-1, 1). This is the
+    * single source of the plane constants — `Similarity.hyperplanes`
+    * delegates here, so the native signature below and any external
+    * replay share them bit-for-bit. */
+  def flatHyperplanes(dim: Int, bits: Int, seed: Int): Array[Double] = {
+    val out = new Array[Double](bits * dim)
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < dim) {
+        var z = (seed.toLong * 0x9E3779B97F4A7C15L) +
+          i.toLong * 0xBF58476D1CE4E5B9L + j.toLong * 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        out(i * dim + j) = z.toDouble / Long.MaxValue.toDouble
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Packed random-hyperplane signature over flattened [[flatHyperplanes]]:
+    * per plane one sequential dot fold (ascending j — the HOF zip_with
+    * order), sign bit packed `acc·2 + bit` ascending i (the foldLeft
+    * order), so the value is BIT-IDENTICAL to the composed formulation.
+    * `d >= 0 || isNaN` mirrors Spark's NaN-largest comparison semantics
+    * for the `when(dot >= 0, …)` sign test. */
+  def hyperplaneSig(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Double], dim: Int): Long = {
+    val n = a.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(s"hyperplaneSig: dim mismatch $n vs $dim")
+    val bits = planes.length / dim
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      var d = 0.0
+      var j = 0
+      val off = i * dim
+      while (j < dim) {
+        d += a.getDouble(j) * planes(off + j)
+        j += 1
+      }
+      sig = sig * 2 + (if (d >= 0 || java.lang.Double.isNaN(d)) 1L else 0L)
+      i += 1
+    }
+    sig
+  }
+
   /** Squared L2 distance of a double-array column to a literal centroid —
     * the fold order (acc + (x_i − c_i)², ascending i) matches the HOF
     * `aggregate(zip_with(vec, centroidLits, (x,c) => (x−c)·(x−c)), 0.0, +)`
@@ -747,6 +800,45 @@ case class L2SqExpr(child: Expression, centroid: Array[Double])
     copy(child = c)
 }
 
+/** `graft_hplane_sig(vec, dim, bits, seed)`: packed random-hyperplane
+  * LSH signature — bit-identical to the composed HOF formulation
+  * (`Similarity.hyperplaneSignatureHof`: same [[Hashing.flatHyperplanes]]
+  * constants, same sequential dot folds, same bit packing;
+  * FunctionsSpec pins it) evaluated as ONE compiled loop instead of
+  * `bits` separate dot-expression trees. Besides the steady-state win,
+  * the small generated method leaves the tiered-JIT warm-up band the
+  * composed q43/q44/q66 plans sat in (BENCH_NOTES round 9: 4-6
+  * executions to converge). */
+case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int,
+    seed: Int) extends UnaryExpression {
+  require(dim >= 1, "dim must be >= 1")
+  require(bits >= 1 && bits <= 60, "bits must be in [1, 60]")
+  private lazy val planes: Array[Double] =
+    Hashing.flatHyperplanes(dim, bits, seed)
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hplane_sig requires ARRAY<DOUBLE> input, got ${other.simpleString}")
+    }
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.hyperplaneSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.hyperplaneSig($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigExpr =
+    copy(child = c)
+}
+
 /** `graft_shingle_fps(text, n)`: DISTINCT Rabin-Karp fingerprints of the
   * word n-gram shingles ([[Hashing.shingleFps]]) in one compiled pass —
   * the hot input of the prefix-filter Jaccard join (q95) and graded
@@ -1117,6 +1209,12 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_l2sq",
       vec.cast("array<double>"),
       org.apache.spark.sql.functions.typedLit(centroid.toSeq))
+  def graft_hplane_sig(vec: Column, dim: Int, bits: Int, seed: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_hplane_sig",
+      vec.cast("array<double>"),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(seed))
   def graft_shingle_fps(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_shingle_fps",
       text, org.apache.spark.sql.functions.lit(n))
@@ -1194,6 +1292,11 @@ object NativeFunctions {
         constArg("graft_l2sq", "centroid", exprs, 1)
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hplane_sig",
+      exprs => HyperplaneSigExpr(exprs.head,
+        constArg("graft_hplane_sig", "dim", exprs, 1).asInstanceOf[Int],
+        constArg("graft_hplane_sig", "bits", exprs, 2).asInstanceOf[Int],
+        constArg("graft_hplane_sig", "seed", exprs, 3).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_fps",
       exprs => ShingleFpsExpr(exprs.head,
         constArg("graft_shingle_fps", "n", exprs, 1).asInstanceOf[Int]), "scala_udf")

@@ -78,21 +78,29 @@ object Similarity {
   /** The deterministic pseudo-random hyperplanes behind
     * [[hyperplaneSignature]], exposed so an external oracle (e.g. DuckDB
     * SQL with literal plane arrays) can reproduce the exact signatures.
-    * Component j of plane i = splitmix-style mix of (seed,i,j) → [-1,1). */
-  def hyperplanes(dim: Int, bits: Int, seed: Int = 42): Seq[Seq[Double]] =
-    (0 until bits).map { i =>
-      (0 until dim).map { j =>
-        var z = (seed.toLong * 0x9E3779B97F4A7C15L) + i.toLong * 0xBF58476D1CE4E5B9L + j.toLong * 0x94D049BB133111EBL
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
-        (z.toDouble / Long.MaxValue.toDouble)
-      }
-    }
+    * Component j of plane i = splitmix-style mix of (seed,i,j) → [-1,1);
+    * the single source of the constants is
+    * [[graft.functions.Hashing.flatHyperplanes]], shared with the
+    * native expression. */
+  def hyperplanes(dim: Int, bits: Int, seed: Int = 42): Seq[Seq[Double]] = {
+    val flat = graft.functions.Hashing.flatHyperplanes(dim, bits, seed)
+    (0 until bits).map(i => (0 until dim).map(j => flat(i * dim + j)))
+  }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
-    * the [[hyperplanes]] (seeded, data-independent). */
-  def hyperplaneSignature(vecCol: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products
+    * with the [[hyperplanes]] (seeded, data-independent) — the native
+    * codegen'd expression (one compiled loop; bit-identical to
+    * [[hyperplaneSignatureHof]], FunctionsSpec pins it — the composed
+    * form was `bits` separate dot trees whose large generated method
+    * also sat in the tiered-JIT warm-up band, the q43/q44 variance
+    * source). */
+  def hyperplaneSignature(vecCol: Column, dim: Int, bits: Int, seed: Int = 42): Column =
+    graft.functions.NativeFunctions.graft_hplane_sig(vecCol, dim, bits, seed)
+
+  /** The composed higher-order-function formulation of
+    * [[hyperplaneSignature]] — the readable spec the native expression
+    * is pinned against; interpreted glue, not on the hot path. */
+  def hyperplaneSignatureHof(vecCol: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
     val sigBits = hyperplanes(dim, bits, seed).map { p =>
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(vecCol, planeCol) >= 0, lit(1L)).otherwise(lit(0L))

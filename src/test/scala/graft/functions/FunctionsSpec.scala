@@ -81,6 +81,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter(col("native") =!= col("hofv")).count() == 0)
   }
 
+  test("native hyperplane signature equals the HOF composition (corpus + edges)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    for (bits <- Seq(4, 8); seed <- Seq(42, 7)) {
+      val df = emb.select(
+        graft.ops.Similarity.hyperplaneSignature(col("embedding"), dim, bits, seed)
+          .as("native"),
+        graft.ops.Similarity.hyperplaneSignatureHof(col("embedding"), dim, bits, seed)
+          .as("hofv"))
+      assert(df.filter(col("native") =!= col("hofv")).count() == 0,
+        s"bits=$bits seed=$seed")
+    }
+    // edges: zero vector (every dot exactly 0 → all sign bits set) and
+    // negatives — same values under both formulations
+    val edge = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)),
+      (2L, Seq(-1f, -2f, 3f, -4f)),
+      (3L, Seq(1e30f, -1e30f, 1e-30f, 0f))).toDF("id", "v")
+    val e = edge.select(
+      graft.ops.Similarity.hyperplaneSignature(col("v"), 4, 8, 42).as("native"),
+      graft.ops.Similarity.hyperplaneSignatureHof(col("v"), 4, 8, 42).as("hofv"))
+    assert(e.filter(col("native") =!= col("hofv")).count() == 0)
+  }
+
   test("native gram buckets equal the HOF composition (corpus + edges)") {
     import graft.ops.Dsir
     def hof(c: org.apache.spark.sql.Column, b: Int) =
