@@ -1249,80 +1249,74 @@ object NativeFunctions {
 
   /** Register `graft_fingerprint` / `graft_simhash` in the session's
     * function registry (Column API + spark.sql both resolve through it). */
+  /** The single (name → expression builder) registry behind BOTH
+    * registration surfaces — the per-session [[register]] call and the
+    * cluster-wide [[graft.GraftExtensions]] injection — so the two can
+    * never drift (round 9 found the extensions list stuck at seven
+    * functions while the per-session list had grown to nineteen).
+    * Builders validate scalar arguments through [[constArg]]
+    * (foldable-only, loud errors). */
+  private[graft] val builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_fingerprint" -> (exprs => RollingHashExpr(exprs.head)),
+    "graft_simhash" -> (exprs => SimHashExpr(exprs.head)),
+    "graft_word_shingles" -> (exprs => WordShinglesExpr(exprs.head,
+      constArg("graft_word_shingles", "n", exprs, 1).asInstanceOf[Int])),
+    "graft_dot" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
+    "graft_minhash" -> (exprs => MinHashSigExpr(exprs.head,
+      constArg("graft_minhash", "n", exprs, 1).asInstanceOf[Int],
+      constArg("graft_minhash", "numHashes", exprs, 2).asInstanceOf[Int])),
+    "graft_bloom_contains" -> (exprs => BloomContainsExpr(exprs.head,
+      constArg("graft_bloom_contains", "bits", exprs, 1)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray(),
+      constArg("graft_bloom_contains", "k", exprs, 2).asInstanceOf[Int])),
+    "graft_bpe_merge" -> (exprs => BpeMergeExpr(exprs.head,
+      constArg("graft_bpe_merge", "a", exprs, 1).toString,
+      constArg("graft_bpe_merge", "b", exprs, 2).toString)),
+    "graft_cms_est" -> (exprs => CmsEstExpr(exprs.head,
+      constArg("graft_cms_est", "grid", exprs, 1)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray(),
+      constArg("graft_cms_est", "w", exprs, 2).asInstanceOf[Int],
+      constArg("graft_cms_est", "d", exprs, 3).asInstanceOf[Int])),
+    "graft_hll_est" -> (exprs => HllEstExpr(exprs.head)),
+    "graft_winnow" -> (exprs => WinnowExpr(exprs.head,
+      constArg("graft_winnow", "k", exprs, 1).asInstanceOf[Int],
+      constArg("graft_winnow", "w", exprs, 2).asInstanceOf[Int])),
+    "graft_l2sq" -> (exprs => L2SqExpr(exprs.head,
+      constArg("graft_l2sq", "centroid", exprs, 1)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray())),
+    "graft_hplane_sig" -> (exprs => HyperplaneSigExpr(exprs.head,
+      constArg("graft_hplane_sig", "dim", exprs, 1).asInstanceOf[Int],
+      constArg("graft_hplane_sig", "bits", exprs, 2).asInstanceOf[Int],
+      constArg("graft_hplane_sig", "seed", exprs, 3).asInstanceOf[Int])),
+    "graft_shingle_fps" -> (exprs => ShingleFpsExpr(exprs.head,
+      constArg("graft_shingle_fps", "n", exprs, 1).asInstanceOf[Int])),
+    "graft_gram_buckets" -> (exprs => GramBucketsExpr(exprs.head,
+      constArg("graft_gram_buckets", "buckets", exprs, 1).asInstanceOf[Int])),
+    "graft_despan" -> (exprs => DespanExpr(exprs.head,
+      constArg("graft_despan", "span", exprs, 1).asInstanceOf[Int])),
+    "graft_byte_tokens" -> (exprs => ByteTokensExpr(exprs.head)),
+    "graft_kmv_est" -> (exprs => KmvEstExpr(exprs.head)),
+    "graft_kmv_union" -> (exprs => KmvUnionExpr(exprs(0), exprs(1))),
+    "graft_kmv_inter" -> (exprs => KmvInterExpr(exprs(0), exprs(1))),
+    "graft_dd_quantile" -> (exprs => DdQuantileExpr(exprs.head,
+      constArg("graft_dd_quantile", "q", exprs, 1) match {
+        case d: java.lang.Double => d.doubleValue
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> "`graft_dd_quantile`", "paramName" -> "`q`",
+            "paramType" -> s""""${String.valueOf(other)}""""))
+      })))
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_fingerprint",
-      exprs => RollingHashExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHashExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_word_shingles",
-      exprs => WordShinglesExpr(exprs.head,
-        constArg("graft_word_shingles", "n", exprs, 1).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      exprs => MinHashSigExpr(exprs.head,
-        constArg("graft_minhash", "n", exprs, 1).asInstanceOf[Int],
-        constArg("graft_minhash", "numHashes", exprs, 2).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_bloom_contains",
-      exprs => BloomContainsExpr(exprs.head,
-        constArg("graft_bloom_contains", "bits", exprs, 1)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toLongArray(),
-        constArg("graft_bloom_contains", "k", exprs, 2).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_bpe_merge",
-      exprs => BpeMergeExpr(exprs.head,
-        constArg("graft_bpe_merge", "a", exprs, 1).toString,
-        constArg("graft_bpe_merge", "b", exprs, 2).toString), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cms_est",
-      exprs => CmsEstExpr(exprs.head,
-        constArg("graft_cms_est", "grid", exprs, 1)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toLongArray(),
-        constArg("graft_cms_est", "w", exprs, 2).asInstanceOf[Int],
-        constArg("graft_cms_est", "d", exprs, 3).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hll_est",
-      exprs => HllEstExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_winnow",
-      exprs => WinnowExpr(exprs.head,
-        constArg("graft_winnow", "k", exprs, 1).asInstanceOf[Int],
-        constArg("graft_winnow", "w", exprs, 2).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_l2sq",
-      exprs => L2SqExpr(exprs.head,
-        constArg("graft_l2sq", "centroid", exprs, 1)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray()), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_hplane_sig",
-      exprs => HyperplaneSigExpr(exprs.head,
-        constArg("graft_hplane_sig", "dim", exprs, 1).asInstanceOf[Int],
-        constArg("graft_hplane_sig", "bits", exprs, 2).asInstanceOf[Int],
-        constArg("graft_hplane_sig", "seed", exprs, 3).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingle_fps",
-      exprs => ShingleFpsExpr(exprs.head,
-        constArg("graft_shingle_fps", "n", exprs, 1).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_gram_buckets",
-      exprs => GramBucketsExpr(exprs.head,
-        constArg("graft_gram_buckets", "buckets", exprs, 1).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_despan",
-      exprs => DespanExpr(exprs.head,
-        constArg("graft_despan", "span", exprs, 1).asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_byte_tokens",
-      exprs => ByteTokensExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_kmv_est",
-      exprs => KmvEstExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_kmv_union",
-      exprs => KmvUnionExpr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_kmv_inter",
-      exprs => KmvInterExpr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_dd_quantile",
-      exprs => DdQuantileExpr(exprs.head,
-        constArg("graft_dd_quantile", "q", exprs, 1) match {
-          case d: java.lang.Double => d.doubleValue
-          case other => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "NON_FOLDABLE_ARGUMENT",
-            messageParameters = Map(
-              "funcName" -> "`graft_dd_quantile`", "paramName" -> "`q`",
-              "paramType" -> s""""${String.valueOf(other)}""""))
-        }), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -81,6 +81,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter(col("native") =!= col("hofv")).count() == 0)
   }
 
+  test("one registry behind both registration surfaces (no drift)") {
+    // every Column wrapper method graft_* must have a builder of the
+    // same name — the builder list feeds BOTH per-session register()
+    // and the cluster-wide GraftExtensions injection, so a function
+    // added to one surface but not the other fails here
+    val builderNames = NativeFunctions.builders.map(_._1).toSet
+    val wrapperNames = NativeFunctions.getClass.getMethods
+      .map(_.getName).filter(_.startsWith("graft_")).toSet
+    assert(wrapperNames.subsetOf(builderNames),
+      s"wrappers without builders: ${wrapperNames -- builderNames}")
+    // and the extensions path actually resolves every one of them:
+    // inject into a fresh extensions object and count registrations
+    var injected = Set.empty[String]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions {
+      override def injectFunction(
+          fd: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              org.apache.spark.sql.catalyst.expressions.Expression)): Unit = {
+        injected += fd._1.funcName
+        super.injectFunction(fd)
+      }
+    }
+    new graft.GraftExtensions().apply(ext)
+    assert(builderNames.subsetOf(injected),
+      s"builders not injected: ${builderNames -- injected}")
+  }
+
   test("native hyperplane signature equals the HOF composition (corpus + edges)") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
