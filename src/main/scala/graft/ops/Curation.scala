@@ -83,9 +83,21 @@ object Curation {
     * surviving rows of `docs`. */
   def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.99, maxBucket: Int = 4096): DataFrame = {
-    val pairs = Similarity.cosineNearDupPairs(docs, idCol, vecCol,
+    // every candidate pair is intra-bucket (equi-join on the single LSH
+    // signature), so components never span buckets: ONE shuffle + local
+    // union-find per bucket replaces the eager multi-round CC whose
+    // per-round job latency dominated this operator (the q104 pattern;
+    // component label = min id, so losers are the non-label members).
+    // The loser set is component-sized but its plan is the whole pair
+    // join — persist it or every consumer of the survivors re-runs
+    // pair generation (the SemDedup lesson).
+    val pairs = Similarity.cosineNearDupPairsWithBucket(docs, idCol, vecCol,
       dim = dim, threshold = threshold, maxBucket = maxBucket)
-    val losers = Dedup.nearDupLosers(pairs).select(col("id").as(idCol))
+    val losers = OpCaches.persist(
+      Dedup.connectedComponentsWithinGroups(
+          pairs.select("bucket", "id_a", "id_b"), "bucket")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol)))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -146,7 +146,22 @@ object Similarity {
     *    bucket means the signature failed to discriminate there (near-dup
     *    mining wants more bits, not a quadratic verify). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bits: Int = 0, maxBucket: Int = 4096): DataFrame = {
+      dim: Int, threshold: Double, bits: Int = 0, maxBucket: Int = 4096): DataFrame =
+    cosineNearDupPairsWithBucket(vectors, idCol, vecCol, dim, threshold,
+      bits, maxBucket).select("id_a", "id_b", "cosine_sim")
+
+  /** [[cosineNearDupPairs]] KEEPING the bucket key on each pair: because
+    * candidates come from an equi-join on the single signature, every
+    * pair is intra-bucket by construction — so near-dup components
+    * never span buckets, and a consumer can group them with the
+    * one-shuffle [[Dedup.connectedComponentsWithinGroups]] instead of
+    * the eager multi-round CC (the q104 pattern; [[Curation
+    * .semanticDedup]] rides this). NOT true of banded MinHash pairs
+    * (q40/q65): a document pairs through DIFFERENT band buckets there,
+    * so those components genuinely need the distributed CC. */
+  private[ops] def cosineNearDupPairsWithBucket(vectors: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bits: Int = 0, maxBucket: Int = 4096): DataFrame = {
     registerNatives(vectors)
     val nBits =
       if (bits > 0) bits
@@ -165,7 +180,7 @@ object Similarity {
     val b = pruned.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("bucket"), col("id_a"), col("id_b"),
         cosineSafe(col("v_a"), col("v_b")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
