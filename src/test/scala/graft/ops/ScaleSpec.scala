@@ -570,6 +570,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("group-local CC drill: ~1M chain edges, ONE shuffle, min labels") {
+    // 10k disjoint groups of 100-node chains — the worst CC depth for
+    // label propagation, trivial for a local union-find; every node
+    // must label to its chain minimum in a single job
+    val per = 100L
+    val edges = spark.range(10000L * per)
+      .select(expr(s"id div $per").as("cell"),
+        col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      .filter(pmod(col("id_a") + 1L, lit(per)) =!= 0L) // stay intra-chain
+    val out = Dedup.connectedComponentsWithinGroups(edges, "cell")
+    assert(out.count() == 10000L * per)
+    assert(out.filter(col("component") =!=
+      expr(s"(id div $per) * $per")).count() == 0)
+    // the whole grouping is ONE exchange (the groupByKey shuffle) —
+    // no iterative rounds, no second pass
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, p)
+  }
+
   test("IVF-probed hard-negative drill: probed candidates a fraction of exact") {
     graft.functions.NativeFunctions.register(spark)
     val n = 1000000L
