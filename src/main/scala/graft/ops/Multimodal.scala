@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * pipelines. Media is carried as opaque `binary` columns plus a typed
   * metadata struct; decode/feature-extract runs per-partition.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] produces deterministic fake features from the
-  * bytes. Everything around it — schema, batch shape, partition-parallel
-  * execution, feature schema — is real and is exactly what a production
-  * decode (JNI/FFI or Pandas-UDF-style vectorized batch) would plug into.
+  * IMAGE decode is REAL: [[ImageIoCodec]] runs the JDK's built-in
+  * `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with every stock JDK,
+  * headless — no external dependency) and emits genuinely decoded
+  * dimensions and per-channel pixel sums. Audio/video codecs are NOT in
+  * the JDK, so payloads `ImageIO` cannot read fall back per-payload to
+  * [[StubCodec]]'s deterministic byte histogram — the documented
+  * fallback, not the primary path. Everything around the codec — schema,
+  * batch shape, partition-parallel execution, feature schema — is the
+  * seam a JNI/FFI or vectorized-batch production decoder plugs into.
   *
   * Scale notes: decode is the classic CPU-heavy map stage — no shuffle,
   * scales with cores. Partition sizing should target the media payload
@@ -73,11 +77,114 @@ object Multimodal {
     def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]]
   }
 
-  /** The deterministic stand-in codec (no media libraries in this
-    * container): per-payload byte-value histogram, L1-normalized. */
+  /** The deterministic stand-in codec — the documented FALLBACK for
+    * media the JDK cannot decode (audio/video): per-payload byte-value
+    * histogram, L1-normalized. For images use [[ImageIoCodec]]. */
   object StubCodec extends BatchCodec {
     override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
       payloads.map(b => decodeStub(b, dim).toArray)
+  }
+
+  /** REAL image codec over the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/GIF/BMP — present in every stock JDK, headless, zero
+    * added dependencies). Per decoded image the feature vector is
+    * `[width, height, r_sum, g_sum, b_sum, luminance histogram over the
+    * remaining dim-5 buckets]` — every emitted value is an
+    * integer-valued float (dimensions, channel sums, counts), so decode
+    * results are exact and replayable by integer arithmetic in an
+    * external oracle (the q45 contract; exactness holds while channel
+    * sums stay under 2^24, i.e. images up to ~65k pixels — larger
+    * images round in float32, the declared feature width).
+    *
+    * Payloads `ImageIO.read` rejects (returns null — non-image media)
+    * fall back per-payload to [[StubCodec]]'s byte histogram, keeping
+    * mixed-media tables decodable in one pass. */
+  object ImageIoCodec extends BatchCodec {
+    override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] = {
+      require(dim >= 5, "ImageIoCodec needs dim >= 5 (w, h, r_sum, g_sum, b_sum)")
+      payloads.map(b => decodeImage(b, dim).getOrElse(decodeStub(b, dim).toArray))
+    }
+
+    /** Decode one payload; None when the bytes are not a JDK-readable
+      * image (the caller falls back to the stub). */
+    private[ops] def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null } // truncated/corrupt stream
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Float](dim)
+        out(0) = w.toFloat
+        out(1) = h.toFloat
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            rs += r; gs += g; bs += b
+            if (dim > 5) out(5 + ((r + g + b) / 3) * (dim - 5) / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        out(2) = rs.toFloat; out(3) = gs.toFloat; out(4) = bs.toFloat
+        Some(out)
+      }
+    }
+  }
+
+  /** Deterministic tiny REAL PNG keyed by `id` — the oracle-checkable
+    * decode fixture: width `(id mod 7)+2`, height `(id mod 5)+2`, pixel
+    * (x, y) channels `r=(3m+5x+7y) mod 256`, `g=(11m+13x+17y) mod 256`,
+    * `b=(19m+23x+29y) mod 256` with `m = id mod 256`. Every decoded
+    * dimension and channel sum is plain integer arithmetic on the id —
+    * replayable in any SQL engine — while the payload itself is a
+    * genuine PNG that only a real decoder can read back (a stubbed
+    * decode CANNOT reproduce these values from the compressed bytes:
+    * DEFLATE destroys the byte↔pixel correspondence). */
+  private[graft] def synthPng(id: Long): Array[Byte] = {
+    val w = (Math.floorMod(id, 7L) + 2L).toInt
+    val h = (Math.floorMod(id, 5L) + 2L).toInt
+    val m = Math.floorMod(id, 256L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (3 * m + 5 * x + 7 * y) % 256
+        val g = (11 * m + 13 * x + 17 * y) % 256
+        val b = (19 * m + 23 * x + 29 * y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[synthPng]] fixtures, one real PNG per input row —
+    * partition-parallel encode, metadata deliberately left null so the
+    * DECODE stage is the only source of dimensions. */
+  def synthImages(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, synthPng(id), Row("image", "png", null, null, null))
+        }
+      }(enc)
   }
 
   /** The decode/feature-extract stage: partition-parallel over blobs,

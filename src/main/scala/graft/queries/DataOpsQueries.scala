@@ -467,11 +467,16 @@ object DataOpsQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // hash-split replay: seed 3 → rotation 1520856339, band = h·10⁴ div 2³¹
+    // hash-split replay: seed 3 → rotation 1520856339, then the mixed
+    // chain (Knuth → xor-shift → second multiply — the round-10
+    // seededKnuth: composed seeded selections must be independent),
+    // band = h·10⁴ div 2³¹
     "q106_hash_split" ->
-      """WITH h AS (SELECT doc_id,
-        |    ((doc_id + 1520856339) % 2147483648) * 2654435761 % 2147483648 AS hh
-        |  FROM documents)
+      """WITH h0 AS (SELECT doc_id,
+        |    ((doc_id + 1520856339) % 2147483648) * 2654435761 % 2147483648 AS h0
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    xor(h0, h0 // 65536) * 2654435761 % 2147483648 AS hh FROM h0)
         |SELECT CASE WHEN hh * 10000 // 2147483648 < 9000
         |  THEN 'train' ELSE 'holdout' END AS split,
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id
@@ -942,25 +947,24 @@ object DataOpsQueries {
         |FROM documents""".stripMargin,
     "q41_simhash" ->
       """SELECT doc_id, TRUE AS native_eq_hof FROM documents ORDER BY doc_id""",
-    // Replays Multimodal.decodeStub exactly: per-byte histogram mod 16,
-    // float32 (REAL) division by the byte count, double widening, ×1e6
-    // floor-truncation. ASCII-only corpus → chars ≡ bytes (q46 contract).
+    // The decode is REAL (JDK ImageIO): the engine synthesizes a genuine
+    // PNG per doc_id (Multimodal.synthPng — deterministic size/gradient
+    // formulas), DEFLATE-compresses it, and the query reports only what
+    // ImageIO.read gives back. The oracle replays the FORMULAS with
+    // integer arithmetic — it never sees the PNG bytes, so a hash match
+    // proves the engine actually decoded pixels (a byte-level stub
+    // cannot recover w/h/channel sums from compressed data).
     "q45_decode_features" ->
-      """WITH f AS (
-        |  SELECT doc_id AS media_id,
-        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
-        |    MD5(text) AS checksum,
-        |    [CAST(len(list_filter(
-        |        [ascii(c) FOR c IN list_filter(regexp_split_to_array(text, ''), c -> c <> '')],
-        |        b -> b % 16 = k)) AS REAL)
-        |      / CAST(GREATEST(1, OCTET_LENGTH(ENCODE(text))) AS REAL)
-        |     FOR k IN range(0, 16)] AS feats
-        |  FROM documents)
-        |SELECT media_id, n_bytes, checksum,
-        |CAST(16 AS INT) AS feat_dim,
-        |CAST(FLOOR(CAST(feats[1] AS DOUBLE) * 1e6) AS BIGINT) AS feat_first_x1e6,
-        |CAST(FLOOR(list_reduce([CAST(x AS DOUBLE) FOR x IN feats], (a, b) -> a + b) * 1e6) AS BIGINT) AS feat_l1_x1e6
-        |FROM f ORDER BY media_id""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |(doc_id % 7) + 2 AS width,
+        |(doc_id % 5) + 2 AS height,
+        |CAST(list_sum(list_transform(range(0, ((doc_id % 7) + 2) * ((doc_id % 5) + 2)),
+        |  i -> (3*(doc_id % 256) + 5*(i % ((doc_id % 7) + 2)) + 7*(i // ((doc_id % 7) + 2))) % 256)) AS BIGINT) AS r_sum,
+        |CAST(list_sum(list_transform(range(0, ((doc_id % 7) + 2) * ((doc_id % 5) + 2)),
+        |  i -> (11*(doc_id % 256) + 13*(i % ((doc_id % 7) + 2)) + 17*(i // ((doc_id % 7) + 2))) % 256)) AS BIGINT) AS g_sum,
+        |CAST(list_sum(list_transform(range(0, ((doc_id % 7) + 2) * ((doc_id % 5) + 2)),
+        |  i -> (19*(doc_id % 256) + 23*(i % ((doc_id % 7) + 2)) + 29*(i // ((doc_id % 7) + 2))) % 256)) AS BIGINT) AS b_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q48_ann_ivf" ->
       """SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_vectors,
         |TRUE AS k_ok, TRUE AS planted_found, TRUE AS twin_cos_ok
@@ -1352,24 +1356,28 @@ object DataOpsQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Multimodal decode stage (stubbed codec, real plumbing). The raw
-    * `features: array<float>` column is reduced to deterministic scalar
-    * stats (dim, first element, L1 mass — all stable: the stub decode is
-    * pure integer histogramming divided by a constant), so the DuckDB
-    * oracle replays the decode exactly: byte-value histogram mod 16,
-    * float32 division (DuckDB REAL arithmetic stays REAL — verified),
-    * double widening, and floor-truncation of the ×1e6 scalars. The
-    * corpus is ASCII-only (pinned by q46's byte≡char contract), so
-    * per-character codes equal per-byte values. */
+  /** Multimodal decode stage — REAL image decode through the JDK's
+    * `javax.imageio` ([[Multimodal.ImageIoCodec]]), no external
+    * dependency. One genuine PNG is synthesized per document id
+    * ([[Multimodal.synthPng]]: size and RGB gradients are integer
+    * formulas of the id), then the SAME [[Multimodal.decodeFeatures]]
+    * batch seam every codec uses decodes it back. Output is only what
+    * the decoder read out of the compressed bytes — width, height,
+    * per-channel pixel sums — which the oracle reproduces from the
+    * formulas by pure integer arithmetic. A stubbed decode cannot pass:
+    * DEFLATE destroys any byte↔pixel correspondence, so matching sums
+    * prove real pixel decoding end to end. */
   val q45DecodeFeatures: Q = (s, dir) => {
-    val media = Multimodal.asMediaTable(load(s, dir, "documents"), "doc_id", "text")
-    Multimodal.decodeFeatures(media)
-      .select(col("media_id"), col("n_bytes"), col("checksum"),
-        size(col("features")).as("feat_dim"),
-        (try_element_at(col("features"), lit(1)).cast("double") * 1e6)
-          .cast("long").as("feat_first_x1e6"),
-        (aggregate(col("features"), lit(0.0), (a, v) => a + v.cast("double")) * 1e6)
-          .cast("long").as("feat_l1_x1e6"))
+    val media = Multimodal.synthImages(
+      load(s, dir, "documents").select("doc_id"), "doc_id")
+    Multimodal.decodeFeatures(media, featureDim = 5,
+        codec = Multimodal.ImageIoCodec)
+      .select(col("media_id"),
+        try_element_at(col("features"), lit(1)).cast("long").as("width"),
+        try_element_at(col("features"), lit(2)).cast("long").as("height"),
+        try_element_at(col("features"), lit(3)).cast("long").as("r_sum"),
+        try_element_at(col("features"), lit(4)).cast("long").as("g_sum"),
+        try_element_at(col("features"), lit(5)).cast("long").as("b_sum"))
       .orderBy("media_id")
   }
 
@@ -2066,8 +2074,10 @@ object DataOpsQueries {
     * byte tokenization — a full value oracle. */
   val q87ByteBpe: Q = (s, dir) => {
     graft.functions.NativeFunctions.register(s)
-    graft.ops.CorpusStats.bpeTrain(load(s, dir, "documents"), "text",
-      rounds = 3, tokenizer = graft.ops.CorpusStats.byteTokens)
+    // the INT-id fast path (closed byte alphabet; BpeSpec pins it
+    // merge-for-merge equal to bpeTrain(byteTokens), the string path)
+    graft.ops.CorpusStats.byteBpeTrain(load(s, dir, "documents"), "text",
+      rounds = 3)
   }
 
   val q86IncrementalDedup: Q = (s, dir) => {

@@ -186,6 +186,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() == 30)
   }
 
+  test("ImageIoCodec: real PNG decode recovers exact dimensions and channel sums") {
+    val media = Multimodal.synthImages(docs.limit(25).select("doc_id"), "doc_id")
+    // payloads are genuine PNGs (magic bytes), not raw pixel dumps
+    media.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](1)
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    }
+    val out = Multimodal.decodeFeatures(media, featureDim = 5,
+      codec = Multimodal.ImageIoCodec).collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](3)
+      val (w, h) = ((id % 7 + 2).toInt, (id % 5 + 2).toInt)
+      val m = (id % 256).toInt
+      def sum(ka: Int, kx: Int, ky: Int): Long =
+        (for (y <- 0 until h; x <- 0 until w)
+          yield ((ka * m + kx * x + ky * y) % 256).toLong).sum
+      assert(f(0) == w.toFloat && f(1) == h.toFloat, s"id=$id dims ${f(0)}x${f(1)}")
+      assert(f(2) == sum(3, 5, 7).toFloat, s"id=$id r_sum ${f(2)}")
+      assert(f(3) == sum(11, 13, 17).toFloat, s"id=$id g_sum ${f(3)}")
+      assert(f(4) == sum(19, 23, 29).toFloat, s"id=$id b_sum ${f(4)}")
+    }
+    // luminance histogram (dim > 5): counts over the remaining buckets
+    // total exactly w*h pixels
+    val hist = Multimodal.decodeFeatures(media, featureDim = 13,
+      codec = Multimodal.ImageIoCodec).collect()
+    hist.foreach { r =>
+      val f = r.getSeq[Float](3)
+      assert(f.drop(5).sum == f(0) * f(1), s"histogram mass ${f.drop(5).sum}")
+    }
+  }
+
+  test("ImageIoCodec: non-image payloads fall back to the stub byte histogram") {
+    val media = Multimodal.asMediaTable(docs.limit(10), "doc_id", "text")
+    val viaImage = Multimodal.decodeFeatures(media, featureDim = 16,
+      codec = Multimodal.ImageIoCodec).select("media_id", "features")
+    val viaStub = Multimodal.decodeFeatures(media, featureDim = 16,
+      codec = Multimodal.StubCodec).select("media_id", "features")
+    assert(viaImage.except(viaStub).count() == 0)
+  }
+
   test("multimodal metadata queries prune the payload from the parquet scan") {
     val media = Multimodal.asMediaTable(docs.limit(50), "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
