@@ -63,21 +63,25 @@ object Splits {
     docs.withColumn("split", assign)
   }
 
-  /** Rank-order hash for [[stratifiedExactSplit]]: seeded Knuth, an
-    * xor-shift, then a second multiply. The xor-shift is the point —
-    * [[Sampling.seededKnuth]] alone is AFFINE mod 2^31 (for unwrapped
-    * ids, seed s just adds the constant s·K·K), so two seeds produce
-    * rank ROTATIONS of each other, not reshuffles; that is harmless for
-    * threshold membership (h < t) but defeats a rank-based split. The
-    * xor with the high half breaks affinity, so the second multiply
-    * genuinely rescrambles the order per seed (SplitsSpec pins it).
-    * Still integer-only and exactly replayable in external SQL
-    * (xor + floor-div + multiply + mod). */
-  def orderHash(idCol: Column, seed: Int): Column = {
-    val h0 = Sampling.seededKnuth(idCol, seed)
-    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
-    pmod(h1 * lit(2654435761L), lit(2147483648L))
-  }
+  /** Rank-order hash for [[stratifiedExactSplit]]: the fully MIXED
+    * chain — Knuth multiply, xor-shift, second multiply. Since round 10
+    * [[Sampling.seededKnuth]] applies the same mixing for every nonzero
+    * seed (the 5M recipe drill showed the affine rotate-multiply
+    * corrupts COMPOSED selections, not just ranks), so the nonzero-seed
+    * branch simply delegates — bit-identical to the old orderHash, all
+    * existing oracles hold. Seed 0 keeps the explicit xor-shift +
+    * multiply on top of the plain Knuth hash (seededKnuth's seed-0
+    * contract is the bare one-multiply form and must stay replayable as
+    * such). Integer-only, exactly replayable in external SQL
+    * (xor + floor-div + multiply + mod); SplitsSpec pins the per-seed
+    * reshuffle. */
+  def orderHash(idCol: Column, seed: Int): Column =
+    if (seed != 0) Sampling.seededKnuth(idCol, seed)
+    else {
+      val h0 = Sampling.seededKnuth(idCol, 0)
+      val h1 = h0.bitwiseXOR(shiftright(h0, 16))
+      pmod(h1 * lit(2654435761L), lit(2147483648L))
+    }
 
   /** Exact stratified split: within each stratum, rows are ranked by
     * (seeded hash, id) — a deterministic shuffle — and the first

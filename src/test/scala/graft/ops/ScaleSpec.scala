@@ -653,6 +653,100 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("recipe scale drill: 5M docs end-to-end (curate→semdedup→mixture→split→profile)") {
+    // r9 verdict item 3: the per-op 1M drills can't catch CROSS-operator
+    // cache/memory interactions — run the PipelineRecipeSpec production
+    // chain over a synthetic corpus 5–10x those drills and record wall
+    // time + peak execution memory (numbers land in BENCH_NOTES).
+    val n = 5000000L
+    val dim = 16
+    val sc = spark.sparkContext
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+          spilled.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    var tLast = t0
+    def lap(stage: String): Unit = {
+      val now = System.nanoTime()
+      val line = f"  $stage: ${(now - tLast) / 1e9}%.1fs"
+      println(s"[recipe-drill]$line") // live (info() buffers to test end)
+      info(line)
+      tLast = now
+    }
+    try {
+      val docs = spark.read.format("graft-synth")
+        .option("rows", n).option("partitions", 64)
+        .option("dupfraction", 0.1).load()
+      // deterministic embeddings in groups of 4: ids sharing id>>2 carry
+      // IDENTICAL vectors (planted semantic quadruplets), distinct
+      // groups hash apart — ~n/4 clusters for the LSH-bucketed dedup
+      val withVec = docs.withColumn("embedding",
+        transform(sequence(lit(1), lit(dim)), i =>
+          (pmod(xxhash64(shiftright(col("doc_id"), 2) * 31 + i), lit(1000))
+            .cast("double") / 500.0 - 1.0)))
+      // 1-3. curation: language allow-list, quality floor, exact dedup.
+      // Persisted: the production recipe materializes between expensive
+      // stages too — downstream the frame is referenced by both pair-join
+      // sides, the CC, the anti-join and the counts; without the persist
+      // the regex-heavy curation re-runs per consumer
+      val curated = OpCaches.persist(Curation.curate(withVec, "doc_id",
+        "text", allowedLangs = Seq("en", "de", "fr", "es", "zh", "und"),
+        minQuality = 20))
+      val nCurated = curated.count()
+      lap(s"curate ($nCurated rows)")
+      // 4. semantic dedup over the planted quadruplets (LSH buckets +
+      //    group-local CC; over-full buckets stay undeduped by contract)
+      val deduped = OpCaches.persist(Curation.semanticDedup(curated,
+        "doc_id", "embedding", dim = dim, threshold = 0.999))
+      val nDeduped = deduped.count()
+      lap(s"semanticDedup ($nDeduped rows)")
+      assert(nCurated > n / 2, s"curation dropped too much: $nCurated")
+      // quadruplets collapse ~4:1 (boundary groups and capped buckets
+      // keep extras) — pin a substantial, sane reduction
+      assert(nDeduped < nCurated * 2 / 3 && nDeduped > nCurated / 8,
+        s"semantic dedup out of band: $nCurated -> $nDeduped")
+      // 5. temperature mixture over the language mix (alpha = 0.5)
+      val mixed = Curation.temperatureMixture(deduped, "doc_id", "lang",
+        budget = nDeduped / 2)
+      val nMixed = mixed.count()
+      lap(s"temperatureMixture ($nMixed rows)")
+      // 6. split + per-language data card
+      val split = Splits.hashSplit(mixed, "doc_id",
+        Seq("train" -> 9000, "holdout" -> -1), seed = 7)
+      val card = CorpusStats.profile(
+        split.filter(col("split") === "train"), "lang", "text", "n_chars")
+        .collect()
+      lap("hashSplit + profile")
+      assert(nMixed <= nDeduped && nMixed > 0)
+      assert(card.length >= 2, "language tail must survive the mixture")
+      val sumDocs = card.map(_.getAs[Long]("n_docs")).sum
+      assert(sumDocs > 0 && sumDocs <= nMixed)
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"recipe 5M: ${secs}%.1fs wall, curated=$nCurated " +
+        f"deduped=$nDeduped mixed=$nMixed train=$sumDocs " +
+        f"peakExecMem=${peak.get / (1 << 20)}%d MiB " +
+        f"spilled=${spilled.get / (1 << 20)}%d MiB")
+      // the bounded-state claim with a number attached: per-task
+      // execution memory must stay far under the executor share even
+      // with 5M docs — catches a q32-class corpus-proportional reducer
+      assert(peak.get < (4L << 30),
+        s"per-task peak execution memory ${peak.get} suggests unbounded state")
+    } finally {
+      sc.removeSparkListener(listener)
+      OpCaches.releaseAll()
+    }
+  }
+
   test("semdedup ivf scale shape: no cartesian, pair join keyed on cell") {
     val m = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
     val vecs = spark.range(10000).select(col("id").as("vec_id"),

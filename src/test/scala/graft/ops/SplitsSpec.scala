@@ -61,6 +61,35 @@ class SplitsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("composed seeded selections are independent (the 5M-drill regression)") {
+    // The round-10 recipe drill found the affine seeded hash made a
+    // seed-0 threshold selection followed by a seed-7 band carve
+    // INTERVALS (90/10 split measured 98.9/1.1 over mixture survivors).
+    // Pin the composition at a size where binomial noise is small:
+    // survivors of a 50% seed-0 selection must split ~90/10 at seed 7.
+    val ids = spark.range(200000).toDF("doc_id")
+    val surv = ids.filter(
+      Sampling.seededKnuth(col("doc_id"), 0) * lit(10000L) <
+        lit(5000L) * lit(2147483648L))
+    val split = Splits.hashSplit(surv, "doc_id",
+      Seq("train" -> 9000, "holdout" -> -1), seed = 7)
+    val n = split.count().toDouble
+    val tr = split.filter(col("split") === "train").count()
+    assert(n > 90000, s"seed-0 selection out of band: $n")
+    assert(math.abs(tr / n - 0.9) < 0.01,
+      f"composed selections correlated: train ${tr / n}%.4f (want ~0.90)")
+    // and the same for two nonzero seeds
+    val surv2 = ids.filter(
+      Sampling.seededKnuth(col("doc_id"), 3) * lit(10000L) <
+        lit(5000L) * lit(2147483648L))
+    val split2 = Splits.hashSplit(surv2, "doc_id",
+      Seq("train" -> 9000, "holdout" -> -1), seed = 7)
+    val n2 = split2.count().toDouble
+    val tr2 = split2.filter(col("split") === "train").count()
+    assert(math.abs(tr2 / n2 - 0.9) < 0.01,
+      f"seed-3→seed-7 correlated: ${tr2 / n2}%.4f")
+  }
+
   test("curriculumShards equals a reference NTILE window on the same order") {
     val df = spark.read.parquet(docs)
     val got = Splits.curriculumShards(df, "doc_id", "n_chars", nShards = 7)
