@@ -83,6 +83,55 @@ object Hashing {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Byte-level tokenization to INT ids — the same segmentation as
+    * [[byteTokens]] (whitespace-delimited byte runs + end-of-word
+    * markers) with ids instead of rendered strings: 0–255 = the byte
+    * values, 256 = the `</w>` marker. The closed-alphabet fast path for
+    * the byte BPE trainer: pair keys pack into one long and the merge
+    * pass rewrites int arrays (see [[graft.ops.CorpusStats.bpeMergesBytes]]). */
+  def byteTokenIds(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Any](bytes.length + 8)
+    var inWord = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+        b == 0x0b || b == '\f'
+      if (isWs) {
+        if (inWord) { out += Int.box(256); inWord = false }
+      } else {
+        out += Int.box(b)
+        inWord = true
+      }
+      i += 1
+    }
+    if (inWord) out += Int.box(256)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** One greedy left-to-right non-overlapping BPE merge pass over INT
+    * token ids — the exact mirror of [[bpeMerge]] with the merged pair
+    * becoming `newId` instead of a space-joined string. */
+  def bpeMergeIds(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: Int, b: Int, newId: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (arr == null) return null
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getInt(i)
+      if (i + 1 < n && t == a && arr.getInt(i + 1) == b) {
+        out += Int.box(newId)
+        i += 2
+      } else {
+        out += Int.box(t)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Winnowing fingerprint selection in one compiled pass — semantics
     * IDENTICAL to the HOF formulation [[graft.ops.TextOps.winnow]]
     * (OpsSpec pins the equivalence):
@@ -994,6 +1043,59 @@ case class ByteTokensExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_byte_token_ids(text)`: [[ByteTokensExpr]]'s segmentation with
+  * INT ids instead of rendered strings (0–255 bytes, 256 `</w>`) — the
+  * closed-alphabet fast path of the byte BPE trainer
+  * ([[graft.ops.CorpusStats.bpeMergesBytes]]; BpeSpec pins the id↔string
+  * correspondence). */
+case class ByteTokenIdsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_byte_token_ids requires STRING input, got ${child.dataType.simpleString}")
+  override def nullSafeEval(v: Any): Any =
+    Hashing.byteTokenIds(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.byteTokenIds($c)")
+  override protected def withNewChildInternal(c: Expression): ByteTokenIdsExpr =
+    copy(child = c)
+}
+
+/** `graft_bpe_merge_ids(tokens, a, b, newId)`: one greedy merge pass
+  * over INT token ids — [[BpeMergeExpr]]'s scan with the merged pair
+  * becoming `newId`. The pair and its id are per-round constants riding
+  * the compiled plan. */
+case class BpeMergeIdsExpr(child: Expression, a: Int, b: Int, newId: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe_merge_ids requires ARRAY<INT> input, got ${other.simpleString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Hashing.bpeMergeIds(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], a, b, newId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.bpeMergeIds($c, $a, $b, $newId)")
+  override protected def withNewChildInternal(c: Expression): BpeMergeIdsExpr =
+    copy(child = c)
+}
+
 /** `graft_bloom_contains(key, bits, k)`: native bloom-filter membership
   * probe. The bit array (built once from the SMALL side — see
   * [[graft.ops.Bloom]]) rides the compiled plan as a codegen reference
@@ -1201,6 +1303,13 @@ object NativeFunctions {
       sketch, org.apache.spark.sql.functions.lit(q))
   def graft_byte_tokens(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_byte_tokens", text)
+  def graft_byte_token_ids(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_byte_token_ids", text)
+  def graft_bpe_merge_ids(tokens: Column, a: Int, b: Int, newId: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_bpe_merge_ids",
+      tokens, org.apache.spark.sql.functions.lit(a),
+      org.apache.spark.sql.functions.lit(b),
+      org.apache.spark.sql.functions.lit(newId))
   def graft_winnow(text: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_winnow",
       text, org.apache.spark.sql.functions.lit(k),
@@ -1254,56 +1363,66 @@ object NativeFunctions {
     * cluster-wide [[graft.GraftExtensions]] injection — so the two can
     * never drift (round 9 found the extensions list stuck at seven
     * functions while the per-session list had grown to nineteen).
-    * Builders validate scalar arguments through [[constArg]]
-    * (foldable-only, loud errors). */
-  private[graft] val builders: Seq[(String,
+    * Each entry carries (SQL name, concrete Expression class name,
+    * builder) — the class name feeds `ExpressionInfo` so `DESCRIBE
+    * FUNCTION EXTENDED` points at the real implementation class rather
+    * than a shared registry label. Builders validate scalar arguments
+    * through [[constArg]] (foldable-only, loud errors). */
+  private[graft] val builders: Seq[(String, String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "graft_fingerprint" -> (exprs => RollingHashExpr(exprs.head)),
-    "graft_simhash" -> (exprs => SimHashExpr(exprs.head)),
-    "graft_word_shingles" -> (exprs => WordShinglesExpr(exprs.head,
+    ("graft_fingerprint", "graft.functions.RollingHashExpr", exprs => RollingHashExpr(exprs.head)),
+    ("graft_simhash", "graft.functions.SimHashExpr", exprs => SimHashExpr(exprs.head)),
+    ("graft_word_shingles", "graft.functions.WordShinglesExpr", exprs => WordShinglesExpr(exprs.head,
       constArg("graft_word_shingles", "n", exprs, 1).asInstanceOf[Int])),
-    "graft_dot" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
-    "graft_minhash" -> (exprs => MinHashSigExpr(exprs.head,
+    ("graft_dot", "graft.functions.DotProductExpr", exprs => DotProductExpr(exprs(0), exprs(1))),
+    ("graft_minhash", "graft.functions.MinHashSigExpr", exprs => MinHashSigExpr(exprs.head,
       constArg("graft_minhash", "n", exprs, 1).asInstanceOf[Int],
       constArg("graft_minhash", "numHashes", exprs, 2).asInstanceOf[Int])),
-    "graft_bloom_contains" -> (exprs => BloomContainsExpr(exprs.head,
+    ("graft_bloom_contains", "graft.functions.BloomContainsExpr", exprs => BloomContainsExpr(exprs.head,
       constArg("graft_bloom_contains", "bits", exprs, 1)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray(),
       constArg("graft_bloom_contains", "k", exprs, 2).asInstanceOf[Int])),
-    "graft_bpe_merge" -> (exprs => BpeMergeExpr(exprs.head,
+    ("graft_bpe_merge", "graft.functions.BpeMergeExpr", exprs => BpeMergeExpr(exprs.head,
       constArg("graft_bpe_merge", "a", exprs, 1).toString,
       constArg("graft_bpe_merge", "b", exprs, 2).toString)),
-    "graft_cms_est" -> (exprs => CmsEstExpr(exprs.head,
+    ("graft_cms_est", "graft.functions.CmsEstExpr", exprs => CmsEstExpr(exprs.head,
       constArg("graft_cms_est", "grid", exprs, 1)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray(),
       constArg("graft_cms_est", "w", exprs, 2).asInstanceOf[Int],
       constArg("graft_cms_est", "d", exprs, 3).asInstanceOf[Int])),
-    "graft_hll_est" -> (exprs => HllEstExpr(exprs.head)),
-    "graft_winnow" -> (exprs => WinnowExpr(exprs.head,
+    ("graft_hll_est", "graft.functions.HllEstExpr", exprs => HllEstExpr(exprs.head)),
+    ("graft_winnow", "graft.functions.WinnowExpr", exprs => WinnowExpr(exprs.head,
       constArg("graft_winnow", "k", exprs, 1).asInstanceOf[Int],
       constArg("graft_winnow", "w", exprs, 2).asInstanceOf[Int])),
-    "graft_l2sq" -> (exprs => L2SqExpr(exprs.head,
+    ("graft_l2sq", "graft.functions.L2SqExpr", exprs => L2SqExpr(exprs.head,
       constArg("graft_l2sq", "centroid", exprs, 1)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toDoubleArray())),
-    "graft_hplane_sig" -> (exprs => HyperplaneSigExpr(exprs.head,
+    ("graft_hplane_sig", "graft.functions.HyperplaneSigExpr", exprs => HyperplaneSigExpr(exprs.head,
       constArg("graft_hplane_sig", "dim", exprs, 1).asInstanceOf[Int],
       constArg("graft_hplane_sig", "bits", exprs, 2).asInstanceOf[Int],
       constArg("graft_hplane_sig", "seed", exprs, 3).asInstanceOf[Int])),
-    "graft_shingle_fps" -> (exprs => ShingleFpsExpr(exprs.head,
+    ("graft_shingle_fps", "graft.functions.ShingleFpsExpr", exprs => ShingleFpsExpr(exprs.head,
       constArg("graft_shingle_fps", "n", exprs, 1).asInstanceOf[Int])),
-    "graft_gram_buckets" -> (exprs => GramBucketsExpr(exprs.head,
+    ("graft_gram_buckets", "graft.functions.GramBucketsExpr", exprs => GramBucketsExpr(exprs.head,
       constArg("graft_gram_buckets", "buckets", exprs, 1).asInstanceOf[Int])),
-    "graft_despan" -> (exprs => DespanExpr(exprs.head,
+    ("graft_despan", "graft.functions.DespanExpr", exprs => DespanExpr(exprs.head,
       constArg("graft_despan", "span", exprs, 1).asInstanceOf[Int])),
-    "graft_byte_tokens" -> (exprs => ByteTokensExpr(exprs.head)),
-    "graft_kmv_est" -> (exprs => KmvEstExpr(exprs.head)),
-    "graft_kmv_union" -> (exprs => KmvUnionExpr(exprs(0), exprs(1))),
-    "graft_kmv_inter" -> (exprs => KmvInterExpr(exprs(0), exprs(1))),
-    "graft_dd_quantile" -> (exprs => DdQuantileExpr(exprs.head,
+    ("graft_byte_tokens", "graft.functions.ByteTokensExpr", exprs => ByteTokensExpr(exprs.head)),
+    ("graft_byte_token_ids", "graft.functions.ByteTokenIdsExpr",
+      exprs => ByteTokenIdsExpr(exprs.head)),
+    ("graft_bpe_merge_ids", "graft.functions.BpeMergeIdsExpr",
+      exprs => BpeMergeIdsExpr(exprs.head,
+        constArg("graft_bpe_merge_ids", "a", exprs, 1).asInstanceOf[Int],
+        constArg("graft_bpe_merge_ids", "b", exprs, 2).asInstanceOf[Int],
+        constArg("graft_bpe_merge_ids", "newId", exprs, 3).asInstanceOf[Int])),
+    ("graft_kmv_est", "graft.functions.KmvEstExpr", exprs => KmvEstExpr(exprs.head)),
+    ("graft_kmv_union", "graft.functions.KmvUnionExpr", exprs => KmvUnionExpr(exprs(0), exprs(1))),
+    ("graft_kmv_inter", "graft.functions.KmvInterExpr", exprs => KmvInterExpr(exprs(0), exprs(1))),
+    ("graft_dd_quantile", "graft.functions.DdQuantileExpr", exprs => DdQuantileExpr(exprs.head,
       constArg("graft_dd_quantile", "q", exprs, 1) match {
         case d: java.lang.Double => d.doubleValue
         case other => throw new org.apache.spark.sql.AnalysisException(
@@ -1315,7 +1434,7 @@ object NativeFunctions {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
+    builders.foreach { case (name, _, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level distributional statistics for training-data curation:
@@ -76,13 +76,23 @@ object CorpusStats {
     * pair, its pre-merge frequency, and the corpus token count after the
     * merge.
     *
-    * Control flow is the [[Dedup.connectedComponents]] eager-loop idiom:
-    * the DRIVER holds only one (a, b, cnt) row per round (the next merge
-    * — genuinely global control state, like CC's convergence sum), each
-    * round's token arrays are `localCheckpoint()`ed so planning stays
-    * O(1) per round, and the post-merge token count is OBSERVED on the
-    * checkpoint's own materialization job rather than re-scanned — two
-    * Spark jobs per round total (top-pair agg + merge/checkpoint).
+    * Control flow is the [[Dedup.connectedComponents]] eager-loop idiom
+    * taken one step further — ONE Spark job per round (r9 verdict item:
+    * the previous shape paid two, top-pair agg + merge/checkpoint, and
+    * the wall clock of a small-data iterative loop is per-job scheduling
+    * latency): the round's merges are NOT materialized; they compose as
+    * nested [[graft.functions.BpeMergeExpr]] calls (the [[bpeEncode]]
+    * trick) on top of the last checkpoint, so round r's single pair-agg
+    * job scans `checkpoint + ≤checkpointEvery compiled merges`, and the
+    * PREVIOUS merge's post-merge token count rides that same job as an
+    * observed metric. Every `checkpointEvery` rounds the composed
+    * corpus is `localCheckpoint()`ed (one extra job, amortized) to
+    * bound re-apply depth and keep planning O(1); the final merge's
+    * token count costs one closing count job. Jobs total:
+    * k·(1 + 1/checkpointEvery) + 1 instead of 2k. The DRIVER still
+    * holds only one (a, b, cnt) row per round — the distributed
+    * groupBy top-1 stays (a driver-side pair-count map would be
+    * corpus-vocabulary-sized for word tokenizers at 100 TB).
     *
     * Pair selection keys on the (left, right) token STRUCT, never on the
     * space-joined rendering — merged tokens contain spaces, so the
@@ -91,9 +101,12 @@ object CorpusStats {
     * engine-replayable.
     *
     * At 100 TB: per round, one partial-aggregated pair-count shuffle
-    * (rows ∝ distinct pairs) feeding a driver top-1, plus one
-    * shuffle-free compiled merge pass ([[graft.functions.BpeMergeExpr]]).
-    * Round count is the vocabulary budget (k merges), not data-sized. */
+    * (rows ∝ distinct pairs) feeding a driver top-1, over a shuffle-free
+    * compiled merge re-application (≤checkpointEvery deep — the re-apply
+    * trades bounded recompute for halved job count; at petabyte scans
+    * set `checkpointEvery` low, at vocabulary-budget round counts the
+    * scheduling latency dominates and the default is right). Round
+    * count is the vocabulary budget (k merges), not data-sized. */
   /** One trained merge: the pair (a, b), its pre-merge corpus frequency,
     * and the corpus token count after applying it. `a`/`b` are kept as
     * SEPARATE tokens (merged tokens contain spaces, so the space-joined
@@ -125,16 +138,49 @@ object CorpusStats {
     * downstream [[bpeEncode]] consumes. Same loop as [[bpeTrain]] (which
     * is now a thin rendering of this). */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int,
-      tokenizer: Column => Column = TextOps.tokens): Seq[BpeMerge] = {
+      tokenizer: Column => Column = TextOps.tokens,
+      checkpointEvery: Int = 16): Seq[BpeMerge] = {
     require(rounds >= 1, "bpeTrain needs at least one merge round")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = docs.sparkSession
     graft.functions.NativeFunctions.register(spark) // graft_bpe_merge
-    var toks = docs.select(tokenizer(col(textCol)).as("toks")).localCheckpoint()
+    // `base` + `pending` define the current corpus: the merges since the
+    // last checkpoint stay UNMATERIALIZED, composed as nested compiled
+    // merge expressions over `base` — one job per round, not two. The
+    // TOKENIZED corpus is checkpointed once up front: tokenization
+    // (especially byte-level) costs more than a merge pass, and without
+    // this every round would re-tokenize from text (measured: q87
+    // 3.05s re-tokenizing vs 2.6s with the old per-round checkpoints —
+    // the job-count win must not buy a compute regression)
+    var base: DataFrame =
+      docs.select(tokenizer(col(textCol)).as("toks")).localCheckpoint()
+    var ck: Option[DataFrame] = Some(base)
+    var pending = Vector.empty[(String, String)]
+    def corpus: DataFrame = base.select(
+      pending.foldLeft(col("toks")) { case (c, (a, b)) =>
+        graft.functions.NativeFunctions.graft_bpe_merge(c, a, b)
+      }.as("toks"))
+    def countTokens(row: Row): Long = if (row.isNullAt(0)) 0L else row.getLong(0)
     val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = toks.where(size(col("toks")) >= 2)
+      if (pending.size >= checkpointEvery) {
+        // bound the re-apply depth: materialize the composed corpus
+        // (one extra job every checkpointEvery rounds), release the
+        // superseded checkpoint's blocks
+        val fresh = corpus.localCheckpoint()
+        ck.foreach(Iterative.release)
+        ck = Some(fresh); base = fresh; pending = Vector.empty
+      }
+      // one job: the pair-count agg scans the composed corpus, and the
+      // PREVIOUS merge's post-merge token count rides it as an observed
+      // metric (the CC-convergence trick) — the token sum sees the
+      // corpus BELOW the >=2-token filter, i.e. the true total
+      val name = s"bpe_scan_$r"
+      val frame = corpus.observe(name,
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+      val top = frame.where(size(col("toks")) >= 2)
         .select(explode(
           zip_with(
             slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -143,26 +189,153 @@ object CorpusStats {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("l"), asc("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true // no doc has 2 tokens left
+        .limit(1)
+      val rows = top.collect()
+      if (out.nonEmpty && out.last.nTokensAfter < 0) {
+        val m = top.queryExecution.observedMetrics(name)
+        out(out.size - 1) = out.last.copy(nTokensAfter = countTokens(m))
+      }
+      if (rows.isEmpty) exhausted = true // no doc has 2 tokens left
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        // one job: compiled merge pass + checkpoint, token count observed;
-        // the superseded round's corpus blocks are released immediately
-        // (k merge rounds would otherwise pin k corpus copies in storage)
-        val (ck, m) = Iterative.checkpointWithMetrics(
-          toks.select(
-            graft.functions.NativeFunctions.graft_bpe_merge(col("toks"), a, b).as("toks")),
-          s"bpe_round_$r",
-          Seq(sum(size(col("toks")).cast("long")).as("n_tokens")),
-          releasePrev = Some(toks))
-        out += BpeMerge(a, b, cnt, m.getLong(0))
-        toks = ck
+        val (a, b, cnt) =
+          (rows(0).getString(0), rows(0).getString(1), rows(0).getLong(2))
+        pending :+= ((a, b))
+        out += BpeMerge(a, b, cnt, -1L) // count observed on the next scan
         r += 1
       }
     }
-    Iterative.release(toks) // the final corpus copy is not returned
+    // the last merge's post-merge count has no next scan to ride —
+    // one closing count job
+    if (out.nonEmpty && out.last.nTokensAfter < 0) {
+      val last = corpus.agg(sum(size(col("toks")).cast("long"))).head()
+      out(out.size - 1) = out.last.copy(nTokensAfter = countTokens(last))
+    }
+    ck.foreach(Iterative.release)
     out.toSeq
+  }
+
+  /** BYTE-LEVEL trainer FAST PATH — semantics identical to
+    * `bpeMerges(docs, textCol, rounds, byteTokens)` merge-for-merge
+    * (BpeSpec pins full equality), exploiting what makes byte-level
+    * training special: the alphabet is CLOSED, so tokens can be INT ids
+    * (0–255 = bytes, 256 = `</w>`, 257+r = the r-th merge) instead of
+    * strings. The per-round pair aggregation then keys ONE packed
+    * bigint (`l·2^21 + r` — exact: ids < 2^21) instead of a two-string
+    * struct, and the merge pass rewrites int arrays
+    * ([[graft.functions.BpeMergeIdsExpr]]) — the explode+hash-agg that
+    * dominates the trainer's wall clock (tens of millions of adjacent
+    * pairs per round at sf0.1) runs on primitive longs.
+    *
+    * Output parity: tie-breaks replay the generic path's
+    * RENDERED-string order — (cnt desc, l asc, r asc) on the decimal /
+    * `</w>` / space-joined renderings — via a (k+1)-branch projection
+    * applied AFTER the aggregation (distinct-pair rows, never
+    * occurrences), so the result is bit-identical to the string path.
+    * Word-level training cannot take this path: an open vocabulary
+    * would need a corpus-sized id dictionary.
+    *
+    * Identity boundary (documented, not silent): ids key tokens by
+    * DERIVATION, the string path keys them by RENDERING. The two
+    * coincide unless two distinct merge derivations render to the same
+    * string (e.g. merge("1","2 3") and merge("1 2","3") both rendering
+    * "1 2 3" — constructible only when both parent merges were
+    * themselves selected, i.e. an adversarial corpus at ≥3 rounds); on
+    * such a corpus the string path CONFLATES the colliding tokens from
+    * that point on while this path keeps them distinct. BpeSpec pins
+    * path equality on the real corpus family.
+    *
+    * Job shape per round matches [[bpeMerges]]: one pair-agg job
+    * carrying the previous round's token count as an observed metric,
+    * nested unmaterialized merges over the tokenized checkpoint,
+    * re-checkpoint every `checkpointEvery` rounds. */
+  def bpeMergesBytes(docs: DataFrame, textCol: String, rounds: Int,
+      checkpointEvery: Int = 16): Seq[BpeMerge] = {
+    require(rounds >= 1, "bpeTrain needs at least one merge round")
+    require(rounds < (1 << 21) - 258, "merge ids must stay below 2^21")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = docs.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    var base: DataFrame = docs.select(graft.functions.NativeFunctions
+      .graft_byte_token_ids(col(textCol)).as("toks")).localCheckpoint()
+    var ck: Option[DataFrame] = Some(base)
+    var pending = Vector.empty[(Int, Int, Int)] // (a, b, newId)
+    val mergeRender = scala.collection.mutable.ArrayBuffer.empty[String]
+    def corpus: DataFrame = base.select(
+      pending.foldLeft(col("toks")) { case (c, (a, b, nid)) =>
+        graft.functions.NativeFunctions.graft_bpe_merge_ids(c, a, b, nid)
+      }.as("toks"))
+    // decimal for byte ids, the marker for 256, the accumulated
+    // space-joined rendering for merge ids — evaluated only on
+    // distinct-pair rows after the aggregation
+    def renderCol(idc: Column): Column = {
+      val baseR = when(idc === 256, lit("</w>")).otherwise(idc.cast("string"))
+      mergeRender.zipWithIndex.foldLeft(baseR) { case (acc, (s, i)) =>
+        when(idc === lit(257 + i), lit(s)).otherwise(acc)
+      }
+    }
+    def countTokens(row: Row): Long = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      if (pending.size >= checkpointEvery) {
+        val fresh = corpus.localCheckpoint()
+        ck.foreach(Iterative.release)
+        ck = Some(fresh); base = fresh; pending = Vector.empty
+      }
+      val name = s"bpe_scan_$r"
+      val frame = corpus.observe(name,
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+      val top = frame.where(size(col("toks")) >= 2)
+        .select(explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (x, y) => x.cast("long") * lit(2097152L) + y.cast("long"))).as("pk"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          shiftright(col("pk"), 21).cast("int").as("l_id"),
+          pmod(col("pk"), lit(2097152L)).cast("int").as("r_id"),
+          col("cnt"))
+        .withColumn("l", renderCol(col("l_id")))
+        .withColumn("r", renderCol(col("r_id")))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1)
+      val rows = top.collect()
+      if (out.nonEmpty && out.last.nTokensAfter < 0) {
+        val m = top.queryExecution.observedMetrics(name)
+        out(out.size - 1) = out.last.copy(nTokensAfter = countTokens(m))
+      }
+      if (rows.isEmpty) exhausted = true
+      else {
+        val row = rows(0)
+        val (aId, rId) = (row.getAs[Int]("l_id"), row.getAs[Int]("r_id"))
+        val (aS, bS, cnt) = (row.getAs[String]("l"), row.getAs[String]("r"),
+          row.getAs[Long]("cnt"))
+        pending :+= ((aId, rId, 257 + mergeRender.size))
+        mergeRender += (aS + " " + bS)
+        out += BpeMerge(aS, bS, cnt, -1L)
+        r += 1
+      }
+    }
+    if (out.nonEmpty && out.last.nTokensAfter < 0) {
+      val last = corpus.agg(sum(size(col("toks")).cast("long"))).head()
+      out(out.size - 1) = out.last.copy(nTokensAfter = countTokens(last))
+    }
+    ck.foreach(Iterative.release)
+    out.toSeq
+  }
+
+  /** [[bpeTrain]]'s rendering over the byte-level fast path
+    * ([[bpeMergesBytes]]) — drop-in for
+    * `bpeTrain(docs, textCol, rounds, byteTokens)`. */
+  def byteBpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMergesBytes(docs, textCol, rounds).zipWithIndex
+      .map { case (m, i) => (i + 1, m.a + " " + m.b, m.cnt, m.nTokensAfter) }
+      .toDF("round", "pair", "cnt", "n_tokens_after")
   }
 
   /** BPE ENCODE — apply a trained merge list ([[bpeMerges]]) to a corpus:

@@ -166,4 +166,29 @@ class BpeSpec extends AnyFunSuite {
       tokenizer = CorpusStats.byteTokens)
     assert(encoded.select(sum(size(col("tokens"))).cast("long")).head().getLong(0) == 6L)
   }
+
+  test("byte-level INT-id fast path == string path, merge for merge") {
+    NativeFunctions.register(spark)
+    // the real corpus family (the oracle's input): every field of every
+    // round must agree between the id-space trainer and the string-space
+    // trainer — pair renderings, counts, and token-law accounting
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val slow = CorpusStats.bpeMerges(docs, "text", rounds = 5,
+      tokenizer = CorpusStats.byteTokens)
+    val fast = CorpusStats.bpeMergesBytes(docs, "text", rounds = 5)
+    assert(fast == slow, s"fast=$fast\nslow=$slow")
+    // id↔string tokenization correspondence on adversarial whitespace
+    val ws = Seq((1L, "  a\tb\n\nc  "), (2L, ""), (3L, " \t ")).toDF("doc_id", "text")
+    val both = ws.select(
+      NativeFunctions.graft_byte_tokens(col("text")).as("s"),
+      NativeFunctions.graft_byte_token_ids(col("text")).as("i")).collect()
+    both.foreach { r =>
+      val s = r.getSeq[String](0)
+      val i = r.getSeq[Int](1)
+      assert(s.length == i.length)
+      s.zip(i).foreach { case (ts, ti) =>
+        assert(if (ti == 256) ts == "</w>" else ts == ti.toString)
+      }
+    }
+  }
 }
