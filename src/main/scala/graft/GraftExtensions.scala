@@ -16,10 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    graft.functions.NativeFunctions.builders.foreach { case (name, builder) =>
+    graft.functions.NativeFunctions.builders.foreach { case (name, cls, builder) =>
+      // the concrete Expression class per function, so DESCRIBE FUNCTION
+      // EXTENDED names the real implementation (not a shared registry label)
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.NativeExpressions", name),
+        new ExpressionInfo(cls, name),
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)

@@ -107,6 +107,28 @@ class FunctionsSpec extends AnyFunSuite {
     new graft.GraftExtensions().apply(ext)
     assert(builderNames.subsetOf(injected),
       s"builders not injected: ${builderNames -- injected}")
+    // the per-entry class name (what DESCRIBE FUNCTION EXTENDED shows)
+    // must be a real, loadable Expression subclass — a typo'd or stale
+    // class name would silently degrade the catalog metadata
+    NativeFunctions.builders.foreach { case (name, cls, _) =>
+      val c = Class.forName(cls)
+      assert(classOf[org.apache.spark.sql.catalyst.expressions.Expression]
+          .isAssignableFrom(c),
+        s"$name: $cls is not an Expression subclass")
+    }
+  }
+
+  test("bench warm-up exercises every registered native function") {
+    // NativeWarmup pushes the shared static helpers through the JIT
+    // tiers before Bench times anything; a builder it misses would put
+    // that function's first-touching query back on the warm-up curve
+    val exercised = graft.tools.NativeWarmup.exercised.toSet
+    val builderNames = NativeFunctions.builders.map(_._1).toSet
+    assert(exercised == builderNames,
+      s"missing: ${builderNames -- exercised}; stale: ${exercised -- builderNames}")
+    // and the frame actually runs (types line up for every function)
+    val ran = graft.tools.NativeWarmup.warmup(spark, rows = 64L, passes = 1)
+    assert(ran.toSet == builderNames)
   }
 
   test("native hyperplane signature equals the HOF composition (corpus + edges)") {
