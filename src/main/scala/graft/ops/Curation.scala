@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The domain-keyed mixture ops collect `(domain: String, n)` rows and
+    * replay thresholds keyed by the string value; a non-string domain
+    * column would ClassCastException deep in the collect (or worse,
+    * coerce differently than the external SQL replay) — fail at entry
+    * with the fix instead. */
+  private def requireStringDomain(docs: DataFrame, domainCol: String,
+      caller: String): Unit =
+    require(docs.schema(domainCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$caller: domain column '$domainCol' must be StringType " +
+        s"(got ${docs.schema(domainCol).dataType.simpleString}) — cast it " +
+        "upstream so threshold keys match an external SQL replay")
+
   /** Surviving documents after the curation recipe. Keeps the input
     * columns. `nearDup = true` additionally removes LSH near-duplicates,
     * keeping ONE document (the minimum id) per connected component of the
@@ -80,9 +93,21 @@ object Curation {
     * ([[Similarity.cosineNearDupPairs]], auto-width signatures + bucket
     * cap) → connected components ([[Dedup.connectedComponents]], eager —
     * see its execution note) → keep-min-id anti-join. Returns the
-    * surviving rows of `docs`. */
+    * surviving rows of `docs`.
+    *
+    * Failure mode (explicit, not silent): a bucket of size s can emit
+    * up to s·(s−1)/2 near-dup pairs; the per-bucket union-find is
+    * bounded by `maxEdgesPerGroup` and fails LOUDLY with the bucket id
+    * when a dense bucket exceeds it (a fully-dense bucket needs
+    * s ≲ √(2·maxEdgesPerGroup) ≈ 4.5k rows at the defaults — the
+    * default `maxBucket` 4096 stays under that even fully dense, so
+    * out-of-box the cap cannot fire; callers raising `maxBucket` past
+    * ~4.5k accept the possibility on pathological inputs and should
+    * either lower it back or raise `maxEdgesPerGroup` with the executor
+    * memory to match, ~16 B/edge). */
   def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.99, maxBucket: Int = 4096): DataFrame = {
+      dim: Int, threshold: Double = 0.99, maxBucket: Int = 4096,
+      maxEdgesPerGroup: Long = 10000000L): DataFrame = {
     // every candidate pair is intra-bucket (equi-join on the single LSH
     // signature), so components never span buckets: ONE shuffle + local
     // union-find per bucket replaces the eager multi-round CC whose
@@ -95,7 +120,8 @@ object Curation {
       dim = dim, threshold = threshold, maxBucket = maxBucket)
     val losers = OpCaches.persist(
       Dedup.connectedComponentsWithinGroups(
-          pairs.select("bucket", "id_a", "id_b"), "bucket")
+          pairs.select("bucket", "id_a", "id_b"), "bucket",
+          maxEdgesPerGroup = maxEdgesPerGroup)
         .filter(col("id") =!= col("component"))
         .select(col("id").as(idCol)))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -122,6 +148,7 @@ object Curation {
     * spec pins tolerance). */
   def mixtureBalance(docs: DataFrame, idCol: String, domainCol: String,
       targetBp: Map[String, Int], seed: Int = 0): DataFrame = {
+    requireStringDomain(docs, domainCol, "mixtureBalance")
     val counts = docs.groupBy(domainCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     applyMixtureThresholds(docs, idCol, domainCol,
@@ -182,18 +209,30 @@ object Curation {
     * seeded-Knuth membership at ⌊t_d·10000/n_d⌋ basis points — counts
     * binomial around t_d, membership deterministic per (id, seed).
     *
-    * Scale shape: ONE aggregation collects #domains rows (model-sized);
+    * Scale shape: ONE aggregation collects #domains rows (model-sized,
+    * `maxDomains`-guarded — the [[Splits.globalRank]] maxDistinct
+    * pattern: a driver-side collect must fail loudly, never OOM);
     * selection is a broadcast join on the domain key plus a map-only
     * integer filter — scoring 100 TB is one read. Output adds
-    * `keep_bp`. */
+    * `keep_bp`. The domain column must be StringType (the per-domain
+    * basis points are keyed and replayed as strings; cast upstream —
+    * an implicit numeric↔string join coercion here would silently
+    * diverge from the SQL replay). */
   def temperatureMixture(docs: DataFrame, idCol: String, domainCol: String,
-      budget: Long, sqrtSteps: Int = 1, seed: Int = 0): DataFrame = {
+      budget: Long, sqrtSteps: Int = 1, seed: Int = 0,
+      maxDomains: Int = 1000000): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
     require(sqrtSteps >= 1 && sqrtSteps <= 4,
       "sqrtSteps must be in [1, 4] (alpha = 2^-sqrtSteps)")
+    requireStringDomain(docs, domainCol, "temperatureMixture")
     Sampling.requireFreshColumns(docs, "temperatureMixture", "keep_bp")
     val counts = docs.groupBy(domainCol).count()
+      .limit(maxDomains + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.length <= maxDomains,
+      s"temperatureMixture: more than $maxDomains distinct domains — the " +
+        "per-domain weight table is collected to the driver; raise " +
+        "maxDomains only with driver memory to match, or pre-bucket domains")
     val spark = docs.sparkSession
     import spark.implicits._
     if (counts.isEmpty) // empty corpus: schema-stable empty result
@@ -237,6 +276,7 @@ object Curation {
       "every target share must be positive")
     require(targetBp.values.sum == 10000, "target shares must sum to 10000 bp")
     require(totalBudget >= 0 && maxEpochs >= 1)
+    requireStringDomain(docs, domainCol, "epochMix")
     val masses = docs.groupBy(domainCol)
       .agg(sum(tokensCol.cast("long")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -39,11 +39,25 @@ object SemDedup {
   /** Surviving rows of `vectors` after IVF-partitioned ε-cosine semantic
     * dedup. `model` comes from [[Ivf.train]]/[[Ivf.trainCached]] (train
     * once per corpus; assignments must use the same model that defined
-    * the cells). */
+    * the cells).
+    *
+    * Failure mode (explicit, not silent): a cell of size s can emit up
+    * to s·(s−1)/2 ε-pairs, and the per-cell union-find state is bounded
+    * by `maxEdgesPerGroup` — a DENSE near-dup cell (everything within ε
+    * of everything) larger than ~√(2·maxEdgesPerGroup) rows can exceed
+    * it and the job fails loudly with the cell id. The fixes, in
+    * preference order: retrain the IVF model with more cells (dense
+    * regions mean the model under-fits there), lower `maxCell`
+    * (over-full cells are kept undeduped instead of joined), or raise
+    * `maxEdgesPerGroup` if the executors have the memory. The default
+    * cap holds ~10M edges ≈ a fully-dense 4.5k-row cell at ~16 B/edge
+    * of union-find state. */
   def semanticDedupIvf(vectors: DataFrame, idCol: String, vecCol: String,
       model: Ivf.IvfModel, eps: Double = 0.99,
-      maxCell: Int = 1 << 20): DataFrame = {
+      maxCell: Int = 1 << 20,
+      maxEdgesPerGroup: Long = 10000000L): DataFrame = {
     require(eps > 0 && eps <= 1, "eps must be in (0, 1]")
+    require(maxEdgesPerGroup >= 1, "maxEdgesPerGroup must be >= 1")
     graft.functions.NativeFunctions.register(vectors.sparkSession)
     val dists = model.centroids.zipWithIndex.map { case (c, i) =>
       struct(graft.functions.NativeFunctions.graft_l2sq(col("v"), c).as("d"),
@@ -82,7 +96,8 @@ object SemDedup {
     // construction (the equi-join above), so components NEVER span cells
     // — one shuffle + local union-find per cell replaces the eager
     // multi-round distributed CC (the q104 cost floor).
-    val comp = Dedup.connectedComponentsWithinGroups(pairs, "cell")
+    val comp = Dedup.connectedComponentsWithinGroups(pairs, "cell",
+      maxEdgesPerGroup = maxEdgesPerGroup)
     val labeled = comp.join(assigned.select(col("id"), col("cdist")), Seq("id"))
     // persisted: the loser set is component-sized (tiny) but its plan is
     // the WHOLE pair join + union-find — the old distributed CC was

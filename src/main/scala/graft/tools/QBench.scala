@@ -22,7 +22,14 @@ object QBench {
     // SPARK_GRAFT_QBENCH_RUNS > 2 prints every run — the variance probe
     // (per-JVM bimodality shows up as a whole JVM being fast or slow;
     // min-of-2 inside one JVM cannot filter that)
-    val runs = sys.env.get("SPARK_GRAFT_QBENCH_RUNS").map(_.toInt).getOrElse(2)
+    val runs = sys.env.get("SPARK_GRAFT_QBENCH_RUNS") match {
+      case None => 2
+      case Some(s) => s.toIntOption match {
+        case Some(n) if n >= 1 => n
+        case _ => sys.error(
+          s"SPARK_GRAFT_QBENCH_RUNS must be a positive integer, got '$s'")
+      }
+    }
     args.foreach { n =>
       val ts = (1 to runs).map(_ => force(n))
       println(f"[qbench] $n min ${ts.min}%.2fs " +
