@@ -381,6 +381,13 @@ object Streams {
     * ([[quantileSketchStream]]), so "p90 inter-event gap per window"
     * runs end-to-end on a stream with bounded state everywhere.
     *
+    * Ordering contract (executable — StreamingSpec pins both halves):
+    * WITHIN a micro-batch arrival order is irrelevant (the slice is
+    * sorted); ACROSS batches a late arrival emits a NEGATIVE gap
+    * (`ts − lastTs`), deliberately loud rather than silently wrong —
+    * a downstream `gap_ns < 0` filter is the detector, a watermarked
+    * re-order upstream is the fix.
+    *
     * The batch twin is the lag window inside
     * `EventQueries.q117GapQuantiles`; StreamingSpec pins stream == batch
     * on an in-order replay split across micro-batches (the state

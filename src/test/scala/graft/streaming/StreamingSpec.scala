@@ -491,6 +491,89 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("funnel/gap streams: arrival order WITHIN a micro-batch is irrelevant") {
+    // Out-of-order replay drill (r9 verdict item 7), half 1: both
+    // stateful twins sort each in-batch slice by ts_ns before the state
+    // scan, so ANY arrival order inside a micro-batch must land on the
+    // batch answer. Each half is deterministically shuffled before
+    // feeding; the batch comparisons are the same as the ordered tests.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val frows = normalizedEvents
+      .select(col("user_id"), col("ts_ns"), col("event_type"))
+      .as[Streams.FunnelEvent].collect().toSeq.sortBy(_.ts_ns)
+    val (f1, f2) = frows.splitAt(frows.size / 2)
+    val fmem = MemoryStream[Streams.FunnelEvent]
+    val fq = Streams.funnelStream(fmem.toDS()).writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_shuffled").start()
+    fmem.addData(rnd.shuffle(f1)); fq.processAllAvailable()
+    fmem.addData(rnd.shuffle(f2)); fq.processAllAvailable()
+    fq.stop()
+    val fStreamed = spark.table("funnel_shuffled")
+      .groupBy("user_id", "session_id").agg(max("depth").as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+    val fBatch = EventQueries.q116Funnel(spark, sfDir)
+    assert(fStreamed.exceptAll(fBatch).count() == 0 &&
+      fBatch.exceptAll(fStreamed).count() == 0)
+
+    val grows = normalizedEvents
+      .select(col("user_id"), col("ts_ns"))
+      .as[Streams.SessionEvent].collect().toSeq.sortBy(_.ts_ns)
+    val (g1, g2) = grows.splitAt(grows.size / 2)
+    val gmem = MemoryStream[Streams.SessionEvent]
+    val gq = Streams.gapStream(gmem.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("gaps_shuffled").start()
+    gmem.addData(rnd.shuffle(g1)); gq.processAllAvailable()
+    gmem.addData(rnd.shuffle(g2)); gq.processAllAvailable()
+    gq.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns")
+    val gBatch = normalizedEvents.select(col("user_id"), col("ts_ns"))
+      .withColumn("gap_ns", col("ts_ns") - lag("ts_ns", 1).over(w))
+      .filter(col("gap_ns").isNotNull)
+      .select("user_id", "ts_ns", "gap_ns")
+    val gStreamed = spark.table("gaps_shuffled")
+    assert(gStreamed.exceptAll(gBatch).count() == 0 &&
+      gBatch.exceptAll(gStreamed).count() == 0)
+  }
+
+  test("gap stream: a late CROSS-batch arrival surfaces as a negative gap") {
+    // Out-of-order replay drill, half 2 — the ordering-contract
+    // boundary made executable: ACROSS micro-batches only the
+    // GroupState carries order, so an event arriving after state has
+    // advanced past its timestamp emits a NEGATIVE gap (ts - lastTs).
+    // That is the documented, detectable signature the upstream
+    // watermarked re-order exists to prevent (Streams.scala header +
+    // gapStream scaladoc) — pinned here so the contract can't silently
+    // drift into wrong-but-plausible positive gaps.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1000000000000L
+    val onTime = Seq(
+      Streams.SessionEvent(1L, t0),
+      Streams.SessionEvent(1L, t0 + 2000L))
+    val late = Seq(Streams.SessionEvent(1L, t0 + 1000L)) // belongs between
+    val mem = MemoryStream[Streams.SessionEvent]
+    val q = Streams.gapStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("gaps_late").start()
+    mem.addData(onTime); q.processAllAvailable()
+    mem.addData(late); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gaps_late")
+      .orderBy("ts_ns").select("ts_ns", "gap_ns")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch semantics would give gaps (+1000, +1000); the stream gives
+    // the in-order +2000 then the late event's -1000 — loud, not wrong
+    assert(got == Seq((t0 + 1000L, -1000L), (t0 + 2000L, 2000L)),
+      s"late-arrival contract drifted: $got")
+  }
+
   test("sessionization state survives a micro-batch split (µs-era events)") {
     // The cross-batch law: feeding the same events as TWO time-ordered
     // micro-batches must land on the same final per-user state as one —
