@@ -18,6 +18,7 @@ object QBench {
       graft.ops.OpCaches.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
+    NativeWarmup.warmup(spark) // JIT the shared native helpers (Bench parity)
     args.headOption.foreach(force) // warm-up
     // SPARK_GRAFT_QBENCH_RUNS > 2 prints every run — the variance probe
     // (per-JVM bimodality shows up as a whole JVM being fast or slow;
