@@ -25,6 +25,39 @@ object Dedup {
     df.groupBy(col(key))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup under [[TextOps.normalizeText]] — catches duplicates that
+    * differ only in case/punctuation/whitespace (the standard pre-hash
+    * normalization in CCNet-style pipelines). Returns the input rows plus
+    * `keep` (is this row the group's canonical representative, smallest id
+    * per normalized key) and `n_copies` (normalized-group size). Same
+    * scale shape as [[exactDedup]] with the group result joined back:
+    * both shuffles are hash-partitioned on the normalized-key hash. */
+  def exactDedupNormalized(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val norm = df.withColumn("__norm_key", TextOps.normalizeText(col(textCol)))
+    val groups = norm.groupBy(col("__norm_key"))
+      .agg(min(col(idCol)).as("__keep_id"), count(lit(1)).as("n_copies"))
+    norm.join(groups, "__norm_key")
+      .withColumn("keep", col(idCol) === col("__keep_id"))
+      .drop("__norm_key", "__keep_id")
+  }
+
+  /** Duplicate-aware soft dedup: instead of DROPPING near-identical rows,
+    * weight each row by the reciprocal of its duplicate-group size, so a
+    * doc duplicated n times contributes total weight 1 — the "soft"
+    * alternative published as SoftDeDup (duplicates carry signal; deleting
+    * them discards it, down-weighting keeps it calibrated). Weights are
+    * integer parts-per-million (`ppm / n_copies`, exact integer division)
+    * so downstream sums are deterministic across engines and partition
+    * orders — no float accumulation. Group key = normalized text. */
+  def duplicateWeights(df: DataFrame, textCol: String, idCol: String,
+      ppm: Long = 1000000L): DataFrame =
+    exactDedupNormalized(df, textCol, idCol)
+      // double division then truncate == integer division here: the
+      // quotient's distance from the next integer is ≥ 1/n_copies, far
+      // above double rounding error at ppm ≤ 2^52 scales
+      .withColumn("weight_ppm", (lit(ppm) / col("n_copies")).cast("long"))
+
   /** MinHash signature from a pre-hashed shingle array
     * ([[TextOps.hashedShingles]]): `numHashes` affine permutations
     * h_i(x) = (a_i·x + b_i) mod 2^31-1, minimized in a SINGLE pass with an

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-class PII detection and redaction — the scrub step of a
+  * web-scale training-data pipeline. The class set (email addresses,
+  * phone numbers, IP addresses) mirrors the published Dolma/CCNet
+  * pipelines' PII taxonomy; [[TextOps.redactEmails]] is the single-class
+  * special case and shares [[TextOps.EmailPattern]].
+  *
+  * Scale design (100 TB): every operator here is a pure per-row `Column`
+  * expression over codegen'd `regexp_count`/`regexp_replace` — no UDF, no
+  * shuffle, a single map stage fused into the scan. The audit is one
+  * hash-partitioned groupBy whose shuffle carries only per-group counter
+  * rows.
+  *
+  * Patterns are deliberately restricted to constructs with identical
+  * semantics in Java regex and RE2 (character classes, bounded repetition,
+  * ASCII `\b`) so a DuckDB oracle replays them exactly.
+  */
+object Pii {
+
+  /** One PII class: (name, pattern, replacement token). */
+  final case class PiiClass(name: String, pattern: String, replacement: String)
+
+  /** Email addresses — shared with [[TextOps.redactEmails]]. */
+  val Email: PiiClass = PiiClass("email", TextOps.EmailPattern, "[EMAIL]")
+
+  /** NANP-style phone numbers: `ddd-ddd-dddd` with `-` or space
+    * separators, word-bounded so order ids / long numbers don't match. */
+  val Phone: PiiClass = PiiClass("phone", "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "[PHONE]")
+
+  /** Dotted-quad IPv4 literals. Permissive (no 0-255 range check): the
+    * scrub's failure mode should be over-redaction, never a leak. */
+  val Ipv4: PiiClass = PiiClass("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
+
+  /** Default scrub chain, applied IN ORDER. Order matters when classes
+    * overlap textually (an IPv4-shaped local-part inside an email): each
+    * class counts and redacts on the text as the previous classes left
+    * it, so no span is ever attributed to two classes. */
+  val Classes: Seq[PiiClass] = Seq(Email, Phone, Ipv4)
+
+  /** Non-overlapping match count of one class on `text`. */
+  def countMatches(text: Column, cls: PiiClass): Column =
+    regexp_count(text, lit(cls.pattern)).cast("long")
+
+  /** Fully scrubbed text (all classes, chain order). */
+  def scrubText(text: Column, classes: Seq[PiiClass] = Classes): Column =
+    classes.foldLeft(text)((t, c) => regexp_replace(t, c.pattern, c.replacement))
+
+  /** Per-row scrub: adds `n_<class>` count columns (counted on the text
+    * each class actually sees in the chain) and `<textCol>_scrubbed`.
+    * The original text column is kept — dropping it is the caller's call
+    * (an audit pipeline keeps both; a release pipeline drops the raw). */
+  def scrub(df: DataFrame, textCol: String,
+      classes: Seq[PiiClass] = Classes): DataFrame = {
+    // one chained expression per output column; Catalyst CSEs the shared
+    // prefixes so each redaction stage is evaluated once per row
+    val stages: Seq[Column] = classes.scanLeft(col(textCol)) {
+      (t, c) => regexp_replace(t, c.pattern, c.replacement)
+    }
+    val withCounts = classes.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"n_${c.name}", countMatches(stages(i), c))
+    }
+    withCounts.withColumn(s"${textCol}_scrubbed", stages.last)
+  }
+
+  /** Per-group PII audit: document counts, per-class match totals, how
+    * many documents carried any PII, and total characters removed by the
+    * scrub — the release-gate report a pipeline publishes next to the
+    * data card. One map stage + one counter-row groupBy at any scale. */
+  def audit(df: DataFrame, groupCol: String, textCol: String,
+      classes: Seq[PiiClass] = Classes): DataFrame = {
+    val scrubbed = scrub(df, textCol, classes)
+    val anyPii = classes.map(c => col(s"n_${c.name}")).reduce(_ + _) > 0
+    scrubbed.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      classes.map(c => sum(col(s"n_${c.name}")).as(s"${c.name}s")) ++ Seq(
+        sum(when(anyPii, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum((length(col(textCol)) - length(col(s"${textCol}_scrubbed")))
+          .cast("long")).as("chars_redacted")): _*)
+  }
+}

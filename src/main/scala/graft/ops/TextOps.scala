@@ -208,6 +208,15 @@ object TextOps {
   def redactEmails(text: Column, replacement: String = "[EMAIL]"): Column =
     regexp_replace(text, EmailPattern, replacement)
 
+  /** Dedup-key normalization (the CCNet/Gopher pre-hash step): lowercase,
+    * punctuation → space, whitespace collapsed, trimmed. Two documents
+    * differing only in case, punctuation or spacing normalize to the same
+    * key, so exact dedup on the normalized key catches the trivial-mutation
+    * duplicates raw-text hashing misses. Pure codegen'd per-row expression;
+    * restricted to ASCII classes so a SQL oracle replays it exactly. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Polynomial rolling-hash fingerprint of a document (mod 2^31-1, so all
     * intermediate products stay < 2^62 and never overflow even under ANSI
     * arithmetic). Same recurrence as Rabin-Karp: h = h*31 + code(c) mod p. */

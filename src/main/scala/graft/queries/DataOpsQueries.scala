@@ -1182,6 +1182,67 @@ object DataOpsQueries {
         |CAST(FLOOR(list_max([abs(qv[i] * scale / 127.0 - v[i])
         |  FOR i IN range(1, len(v) + 1)]) * 1e9) AS BIGINT) AS max_err_x1e9
         |FROM q ORDER BY vec_id""".stripMargin,
+    // multi-class PII scrub: each class counts/redacts on the text the
+    // previous classes left (the q122 chain order: email → phone → ip)
+    "q122_pii_scrub" ->
+      """WITH planted AS (SELECT source, text
+        |  || CASE WHEN doc_id % 7 = 0
+        |       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 3
+        |       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 5
+        |       THEN ' from ' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+        |         || '.' || ((doc_id * 13) % 256) || '.' || (doc_id % 250 + 1) ELSE '' END
+        |  AS t0 FROM documents),
+        |s1 AS (SELECT source, t0,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM planted),
+        |s2 AS (SELECT source, t0, ne,
+        |  len(regexp_extract_all(t1, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS np,
+        |  regexp_replace(t1, '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT source, t0, ne, np,
+        |  len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t3
+        |  FROM s2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(ne) AS BIGINT) AS emails,
+        |CAST(SUM(np) AS BIGINT) AS phones,
+        |CAST(SUM(ni) AS BIGINT) AS ips,
+        |CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |CAST(SUM(LENGTH(t0) - LENGTH(t3)) AS BIGINT) AS chars_redacted
+        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q123_norm_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, source, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |n AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS nt FROM a),
+        |g AS (SELECT nt, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM n GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |MAX(n_copies) AS max_copies
+        |FROM n JOIN g USING (nt) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_soft_dedup" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS nt,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT nt, COUNT(*) AS n_copies FROM n GROUP BY 1),
+        |w AS (SELECT source, n_tokens, 1000000 // n_copies AS weight_ppm
+        |  FROM n JOIN g USING (nt))
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(weight_ppm) AS BIGINT) AS effective_docs_ppm,
+        |CAST(SUM(weight_ppm * n_tokens) AS BIGINT) AS weighted_tokens_ppm
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** One DuckDB round of [[graft.ops.CorpusStats.bpeTrain]] as CTEs over
@@ -2716,6 +2777,73 @@ object DataOpsQueries {
       .orderBy("lang")
   }
 
+  /** Multi-class PII scrub + release-gate audit ([[graft.ops.Pii]] — the
+    * Dolma scrub taxonomy: email, phone, IPv4). PII is PLANTED in-query
+    * with engine-replayable arithmetic (deterministic addresses/numbers
+    * derived from doc_id) so every class provably fires and the per-class
+    * counts, docs-with-pii and redacted-character totals are exact
+    * oracle-checked values, not rows>0 smoke. Chain order is part of the
+    * contract: each class counts on the text the previous classes left. */
+  val q122PiiScrub: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val planted = docs.withColumn("text2", concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 3,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 5,
+        concat(lit(" from "),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 7, lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 13, lit(256)).cast("string"), lit("."),
+          (pmod(col("doc_id"), lit(250)) + 1).cast("string")))
+        .otherwise(lit(""))))
+    graft.ops.Pii.audit(planted, "source", "text2").orderBy("source")
+  }
+
+  /** Exact dedup under text normalization ([[Dedup.exactDedupNormalized]]
+    * — the CCNet-style case/punctuation/whitespace-insensitive key).
+    * Mutated twins (UPPERCASED + trailing punctuation) of every 10th doc
+    * are planted in-query; they MUST collapse onto their originals, which
+    * raw-text exact dedup (q21) provably cannot do. Per-source kept/dropped
+    * totals and the largest normalized group are oracle-checked. */
+  val q123NormDedup: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id", "source", "text")
+    val mutants = docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+      .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("source"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+    val marked = Dedup.exactDedupNormalized(docs.unionByName(mutants),
+      "text", "doc_id")
+    marked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+      max(col("n_copies")).as("max_copies"))
+      .orderBy("source")
+  }
+
+  /** Duplicate-aware soft dedup ([[Dedup.duplicateWeights]]): rows are
+    * WEIGHTED 1/n_copies instead of dropped, in exact integer ppm so the
+    * per-source effective corpus size and the soft-deduped token budget
+    * (the numbers a mixture/epoch planner consumes) are deterministic
+    * across engines — no float accumulation order anywhere. */
+  val q124SoftDedup: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id", "source", "text")
+    val w = Dedup.duplicateWeights(docs, "text", "doc_id")
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+    w.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("weight_ppm")).as("effective_docs_ppm"),
+      sum(col("weight_ppm") * col("n_tokens")).as("weighted_tokens_ppm"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2798,5 +2926,8 @@ object DataOpsQueries {
     "q118_temperature_mix" -> q118TemperatureMix,
     "q120_rrf_fusion" -> q120RrfFusion,
     "q121_corpus_profile" -> q121CorpusProfile,
+    "q122_pii_scrub" -> q122PiiScrub,
+    "q123_norm_dedup" -> q123NormDedup,
+    "q124_soft_dedup" -> q124SoftDedup,
   )
 }

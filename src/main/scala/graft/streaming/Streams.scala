@@ -117,6 +117,17 @@ object Streams {
       .dropDuplicatesWithinWatermark(textCol)
   }
 
+  /** Stateless streaming multi-class PII scrub — the continuous-ingest
+    * twin of [[graft.ops.Pii.scrub]]: the identical per-row
+    * count-and-redact chain (same `Column` expressions, same class order),
+    * so batch and stream produce byte-identical scrubbed text and counts
+    * for the same rows. Pure map pass: no state store, no watermark, any
+    * output mode — the scrub composes with every other stream stage.
+    * [[curateStream]] keeps its narrower email-only redact (spec-pinned
+    * batch parity); this is the full-taxonomy release scrub. */
+  def piiScrubStream(docs: DataFrame, textCol: String): DataFrame =
+    graft.ops.Pii.scrub(docs, textCol)
+
   /** Stateless streaming decontamination: drop stream rows whose text
     * might be in the eval bloom filter ([[graft.ops.Bloom]] — bits built
     * ONCE in batch from the eval suite, baked into the plan as a codegen

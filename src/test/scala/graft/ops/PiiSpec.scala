@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-class PII scrub and normalized-dedup contracts:
+  *  - the scrub chain attributes every span to exactly ONE class (an
+  *    IPv4-shaped email local-part is an email, not an IP);
+  *  - counts are counted on the text each class actually sees;
+  *  - word boundaries keep long ids / version strings unredacted;
+  *  - normalizeText is idempotent and case/punct/space-insensitive;
+  *  - exactDedupNormalized keeps exactly the min-id row per normalized
+  *    group; duplicateWeights gives each group total weight ≈ 1 (ppm).
+  */
+class PiiSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  test("scrub chain: one class per span, chain-order counts") {
+    val df = Seq(
+      (1L, "ping 1.2.3.4@example.com and 10.0.0.1"),
+      (2L, "call 555-123-4567 or 555 123 4567"),
+      (3L, "order 123456789012 version 1.2.3 ok"),
+      (4L, "clean text with no pii at all")).toDF("id", "text")
+    val out = Pii.scrub(df, "text").orderBy("id")
+      .select("id", "n_email", "n_phone", "n_ip", "text_scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // row 1: the dotted-quad local part belongs to the EMAIL match — a
+    // naive independent per-class count would call it an IP too
+    assert(out(0) == ((1L, 1L, 0L, 1L, "ping [EMAIL] and [IP]")))
+    assert(out(1) == ((2L, 0L, 2L, 0L, "call [PHONE] or [PHONE]")))
+    // long digit runs and 3-part versions match nothing
+    assert(out(2) == ((3L, 0L, 0L, 0L, "order 123456789012 version 1.2.3 ok")))
+    assert(out(3) == ((4L, 0L, 0L, 0L, "clean text with no pii at all")))
+  }
+
+  test("audit: per-group totals and redacted-char accounting") {
+    val df = Seq(
+      ("a", "mail me at bob@site.org"),
+      ("a", "no pii here"),
+      ("b", "two mails x@y.io and z@w.co plus 9.9.9.9")).toDF("src", "text")
+    val row = Pii.audit(df, "src", "text").orderBy("src").collect()
+    assert(row(0).getAs[Long]("n_docs") == 2)
+    assert(row(0).getAs[Long]("emails") == 1)
+    assert(row(0).getAs[Long]("docs_with_pii") == 1)
+    // "bob@site.org" (12 chars) -> "[EMAIL]" (7): 5 chars removed
+    assert(row(0).getAs[Long]("chars_redacted") == 5)
+    assert(row(1).getAs[Long]("emails") == 2)
+    assert(row(1).getAs[Long]("ips") == 1)
+    assert(row(1).getAs[Long]("docs_with_pii") == 1)
+  }
+
+  test("streaming twin is the same expression chain (column parity)") {
+    val df = Seq((1L, "x@y.io")).toDF("id", "text")
+    val batch = Pii.scrub(df, "text")
+    val stream = graft.streaming.Streams.piiScrubStream(df, "text")
+    assert(batch.columns.sameElements(stream.columns))
+    assert(batch.collect().sameElements(stream.collect()))
+  }
+
+  test("normalizeText: idempotent, case/punct/space-insensitive") {
+    val df = Seq(
+      ("Hello,  World!!", "hello world"),
+      ("  spaced   out  ", "spaced out"),
+      ("MiXeD-case_and.punct", "mixed case and punct"),
+      ("", "")).toDF("raw", "expected")
+    val got = df.select(TextOps.normalizeText(col("raw")).as("n"),
+      col("expected"),
+      TextOps.normalizeText(TextOps.normalizeText(col("raw"))).as("nn"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"normalize mismatch: $r")
+      assert(r.getString(0) == r.getString(2), s"not idempotent: $r")
+    }
+  }
+
+  test("exactDedupNormalized keeps exactly the min-id row per norm group") {
+    val df = Seq(
+      (10L, "The quick fox"),
+      (11L, "the QUICK fox!!"),   // mutant of 10
+      (12L, "the quick  fox"),    // mutant of 10
+      (20L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exactDedupNormalized(df, "text", "doc_id")
+    assert(out.count() == 4) // all rows survive, marked
+    val kept = out.filter(col("keep")).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.sameElements(Array(10L, 20L)))
+    assert(out.filter(col("doc_id") === 11L).head().getAs[Long]("n_copies") == 3)
+  }
+
+  test("duplicateWeights: each group's total weight ≈ 1 in exact ppm") {
+    val df = Seq(
+      (1L, "dup text"), (2L, "DUP text"), (3L, "dup  text!"),
+      (4L, "unique")).toDF("doc_id", "text")
+    val w = Dedup.duplicateWeights(df, "text", "doc_id")
+    val dupW = w.filter(col("n_copies") === 3).select("weight_ppm")
+      .as[Long].collect()
+    assert(dupW.length == 3 && dupW.forall(_ == 333333L))
+    assert(w.filter(col("doc_id") === 4L).head()
+      .getAs[Long]("weight_ppm") == 1000000L)
+    // group totals never exceed the budget (integer division floors)
+    val sums = w.groupBy("n_copies").agg(sum("weight_ppm").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.forall(_ <= 1000000L))
+  }
+}

@@ -136,6 +136,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.join(evalSet, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("streaming PII scrub matches the batch scrub, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // plant every PII class on top of the corpus text (the q122 shape)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 3,
+          lit(" 555-123-4567")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 5,
+          lit(" 10.1.2.3")).otherwise(lit(""))).as("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    // two micro-batches: the scrub is stateless, so the split must be
+    // invisible in the result
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    mem.addData(b1); mem.addData(b2)
+    val scrubbed = Streams.piiScrubStream(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    val q = scrubbed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pii_stream").start()
+    q.processAllAvailable(); q.stop()
+    val batch = graft.ops.Pii.scrub(docs, "text")
+    val got = spark.table("pii_stream")
+    assert(got.count() == batch.count())
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+    // the planted classes actually fired through the stream
+    assert(got.agg(sum("n_email")).head().getLong(0) > 0)
+    assert(got.agg(sum("n_phone")).head().getLong(0) > 0)
+    assert(got.agg(sum("n_ip")).head().getLong(0) > 0)
+  }
+
   test("streaming dedup against persisted state matches the batch bloom-state path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
