@@ -29,17 +29,24 @@ object Dedup {
     * differ only in case/punctuation/whitespace (the standard pre-hash
     * normalization in CCNet-style pipelines). Returns the input rows plus
     * `keep` (is this row the group's canonical representative, smallest id
-    * per normalized key) and `n_copies` (normalized-group size). Same
-    * scale shape as [[exactDedup]] with the group result joined back:
-    * both shuffles are hash-partitioned on the normalized-key hash. */
+    * per normalized key) and `n_copies` (normalized-group size).
+    *
+    * Shape: unbounded-frame window over the normalized key — ONE corpus
+    * scan and ONE hash-partitioned shuffle. The groupBy-then-join-back
+    * alternative reads the corpus twice and shuffles the distinct
+    * normalized strings a second time (the group key IS the text), ~2×
+    * the IO at any scale. Both window aggregates share the one exchange
+    * (no ORDER BY ⇒ no sort-per-frame), and WindowExec's per-group
+    * buffer is spillable, so a boilerplate mega-group degrades to disk
+    * instead of OOM — the same skew lands on a single reducer under the
+    * join formulation too, with more bytes in flight. */
   def exactDedupNormalized(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val norm = df.withColumn("__norm_key", TextOps.normalizeText(col(textCol)))
-    val groups = norm.groupBy(col("__norm_key"))
-      .agg(min(col(idCol)).as("__keep_id"), count(lit(1)).as("n_copies"))
-    norm.join(groups, "__norm_key")
-      .withColumn("keep", col(idCol) === col("__keep_id"))
-      .drop("__norm_key", "__keep_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__norm_key"))
+    df.withColumn("__norm_key", TextOps.normalizeText(col(textCol)))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .drop("__norm_key")
   }
 
   /** Duplicate-aware soft dedup: instead of DROPPING near-identical rows,
