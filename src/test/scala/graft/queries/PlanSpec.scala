@@ -153,6 +153,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Project (2)"), s"assignment is not a scan-adjacent project:\n$p")
   }
 
+  test("q122: PII scrub is one map pass — only the audit agg exchanges") {
+    val p = plan("q122_pii_scrub")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    // scrub adds NO exchange: partial+final audit agg own the only two
+    assert(exchanges <= 2, s"scrub must stay a scan-adjacent map pass:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q123: normalized dedup is ONE data shuffle (window), no join-back") {
+    val p = plan("q123_norm_dedup")
+    // window exchange + report partial/final agg — the join-back shape
+    // (2 scans + extra string-key shuffle) must not come back
+    assert(!p.contains("Join"), s"join-back shape returned:\n$p")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 2, s"corpus must not be re-scanned per consumer:\n$p")
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(windows == 1, s"both aggregates must share one Window exec:\n$p")
+  }
+
   test("q107: curriculum rank windows shard by difficulty, never one partition") {
     val p = plan("q107_curriculum")
     val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
