@@ -1243,6 +1243,32 @@ object DataOpsQueries {
         |CAST(SUM(weight_ppm) AS BIGINT) AS effective_docs_ppm,
         |CAST(SUM(weight_ppm * n_tokens) AS BIGINT) AS weighted_tokens_ppm
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Naive-Bayes quality classifier: the q83 ln convention (round to 8
+    // decimals, carry integer 1e-8 units) keeps log-odds engine-exact
+    "q125_nb_quality" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  source IN ('src0','src1','src2','src3','src4') AS pos,
+        |  UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |  SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+        |  SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg FROM t GROUP BY 1),
+        |tot AS (SELECT SUM(c_pos) AS tot_pos, SUM(c_neg) AS tot_neg,
+        |  COUNT(*) AS v FROM c),
+        |m AS (SELECT tok,
+        |  CAST(ROUND(ROUND(LN(CAST(c_pos + 1 AS DOUBLE) / CAST(tot_pos + v AS DOUBLE)), 8) * 1e8, 0) AS BIGINT)
+        |  - CAST(ROUND(ROUND(LN(CAST(c_neg + 1 AS DOUBLE) / CAST(tot_neg + v AS DOUBLE)), 8) * 1e8, 0) AS BIGINT) AS lo
+        |  FROM c, tot),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_id, SUM(cnt) AS n_tokens,
+        |  SUM(cnt * COALESCE(lo, 0)) AS s
+        |  FROM dt LEFT JOIN m USING (tok) GROUP BY 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_like,
+        |CAST(SUM(s) AS BIGINT) AS total_lo_x1e8,
+        |CAST(MIN(s) AS BIGINT) AS min_lo_x1e8,
+        |CAST(MAX(s) AS BIGINT) AS max_lo_x1e8
+        |FROM (SELECT DISTINCT doc_id, lang FROM t) d JOIN sc USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** One DuckDB round of [[graft.ops.CorpusStats.bpeTrain]] as CTEs over
@@ -2844,6 +2870,28 @@ object DataOpsQueries {
       .orderBy("source")
   }
 
+  /** Model-based quality filter ([[graft.ops.QualityClassifier]] — the
+    * CCNet/fastText pattern with a closed-form Naive-Bayes model):
+    * positive class = a trusted source slice, background = the rest;
+    * per-token integer-1e-8 log-odds (the q83 ln convention), per-doc
+    * summed scores, per-language calibration report. Train + score =
+    * two corpus reads, model side vocabulary-sized. */
+  val q125NbQuality: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val pos = col("source").isInCollection(
+      Seq("src0", "src1", "src2", "src3", "src4"))
+    val model = graft.ops.QualityClassifier.fit(docs, "text", pos)
+    val scored = graft.ops.QualityClassifier.score(docs, "doc_id", "text", model)
+    docs.select("doc_id", "lang").join(scored, "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sum_lo_x1e8") > 0, 1L).otherwise(0L)).as("n_ref_like"),
+        sum(col("sum_lo_x1e8")).as("total_lo_x1e8"),
+        min(col("sum_lo_x1e8")).as("min_lo_x1e8"),
+        max(col("sum_lo_x1e8")).as("max_lo_x1e8"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_dedup_exact" -> q21DedupExact,
     "q22_token_stats" -> q22TokenStats,
@@ -2929,5 +2977,6 @@ object DataOpsQueries {
     "q122_pii_scrub" -> q122PiiScrub,
     "q123_norm_dedup" -> q123NormDedup,
     "q124_soft_dedup" -> q124SoftDedup,
+    "q125_nb_quality" -> q125NbQuality,
   )
 }
