@@ -38,8 +38,13 @@ class PipelineRecipeSpec extends AnyFunSuite {
       // 1. intra-doc span dedup (map-only text rewrite)
       val despanned = docs.withColumn("text",
         graft.functions.NativeFunctions.graft_despan(col("text"), 16))
+      // 1.5 full-taxonomy PII scrub (release contract: raw text never
+      //     ships) — stateless map chain, fuses with the stages around it
+      val scrubbed = Pii.scrub(despanned, "text")
+        .drop("text", "n_email", "n_phone", "n_ip")
+        .withColumnRenamed("text_scrubbed", "text")
       // 2. curation: language allow-list + quality floor
-      val curated = despanned
+      val curated = scrubbed
         .filter(TextOps.langGuess(col("text"))
           .isInCollection(Seq("en", "de", "fr", "es")))
         .filter(TextOps.qualityScore(col("text")) >= 40)
@@ -87,6 +92,12 @@ class PipelineRecipeSpec extends AnyFunSuite {
     assert(shippedHits == 0, s"$shippedHits contaminated docs shipped")
     // split hygiene: every shipped row is train-side
     assert(out.filter(col("split") =!= "train").count() == 0)
+    // PII release contract survives the chain: nothing shipped matches
+    // any scrub-class pattern
+    graft.ops.Pii.Classes.foreach { c =>
+      assert(out.filter(col("text").rlike(c.pattern)).count() == 0,
+        s"shipped text still matches ${c.name}")
+    }
     // the temperature mixture kept the language tail alive through the
     // rest of the chain
     assert(out.select("lang").distinct().count() >= 2,
