@@ -658,7 +658,10 @@ class ScaleSpec extends AnyFunSuite {
     // cache/memory interactions — run the PipelineRecipeSpec production
     // chain over a synthetic corpus 5–10x those drills and record wall
     // time + peak execution memory (numbers land in BENCH_NOTES).
-    val n = 5000000L
+    // SPARK_GRAFT_DRILL_ROWS overrides for manual larger-scale probes
+    // (the 10M memory-flatness run in the round-10 notes).
+    val n = sys.env.get("SPARK_GRAFT_DRILL_ROWS")
+      .flatMap(_.toLongOption).getOrElse(5000000L)
     val dim = 16
     val sc = spark.sparkContext
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -732,7 +735,7 @@ class ScaleSpec extends AnyFunSuite {
       val sumDocs = card.map(_.getAs[Long]("n_docs")).sum
       assert(sumDocs > 0 && sumDocs <= nMixed)
       val secs = (System.nanoTime() - t0) / 1e9
-      info(f"recipe 5M: ${secs}%.1fs wall, curated=$nCurated " +
+      info(f"recipe ${n / 1000000}%dM: ${secs}%.1fs wall, curated=$nCurated " +
         f"deduped=$nDeduped mixed=$nMixed train=$sumDocs " +
         f"peakExecMem=${peak.get / (1 << 20)}%d MiB " +
         f"spilled=${spilled.get / (1 << 20)}%d MiB")
