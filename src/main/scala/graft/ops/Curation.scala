@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *      [[Dedup.connectedComponents]] — keep the smallest id of each
   *      transitive duplicate cluster).
   *
-  * Stages 1–3 fuse into ONE Catalyst plan (filters are per-row expressions,
-  * the dedup is a single groupBy shuffle carrying (text-key, id), and the
-  * semi-join back is broadcast-friendly); stage 4 adds the banded-LSH
-  * shuffle only when enabled. At 100 TB the expensive decision — whether to
-  * run near-dup removal — is an explicit flag, not a default.
+  * Stages 1–3 fuse into ONE Catalyst plan: the filters are per-row
+  * expressions over the scan, and the dedup is a keep-min-id WINDOW over
+  * the text key riding a single hash-partitioned shuffle (one corpus
+  * scan, one evaluation of the regex-heavy filters — see the note inside
+  * [[curate]]); stage 4 adds the banded-LSH shuffle only when enabled.
+  * At 100 TB the expensive decision — whether to run near-dup removal —
+  * is an explicit flag, not a default.
   */
 object Curation {
 
@@ -160,10 +162,16 @@ object Curation {
     * Binomial(n_d, rate_d) — proportions converge at corpus scale (the
     * spec pins tolerance). */
   def mixtureBalance(docs: DataFrame, idCol: String, domainCol: String,
-      targetBp: Map[String, Int], seed: Int = 0): DataFrame = {
+      targetBp: Map[String, Int], seed: Int = 0,
+      maxDomains: Int = 1000000): DataFrame = {
     requireStringDomain(docs, domainCol, "mixtureBalance")
     val counts = docs.groupBy(domainCol).count()
+      .limit(maxDomains + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= maxDomains,
+      s"mixtureBalance: more than $maxDomains distinct domains — the " +
+        "per-domain count table is collected to the driver; raise " +
+        "maxDomains only with driver memory to match, or pre-bucket domains")
     applyMixtureThresholds(docs, idCol, domainCol,
       mixtureThresholds(counts, targetBp), seed)
   }
@@ -284,7 +292,7 @@ object Curation {
     * exact in expectation). Fully replayable in external SQL. */
   def epochMix(docs: DataFrame, idCol: String, domainCol: String,
       tokensCol: Column, targetBp: Map[String, Int], totalBudget: Long,
-      maxEpochs: Int, seed: Int = 0): DataFrame = {
+      maxEpochs: Int, seed: Int = 0, maxDomains: Int = 1000000): DataFrame = {
     require(targetBp.nonEmpty && targetBp.values.forall(_ > 0),
       "every target share must be positive")
     require(targetBp.values.sum == 10000, "target shares must sum to 10000 bp")
@@ -292,7 +300,12 @@ object Curation {
     requireStringDomain(docs, domainCol, "epochMix")
     val masses = docs.groupBy(domainCol)
       .agg(sum(tokensCol.cast("long")).as("t"))
+      .limit(maxDomains + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(masses.size <= maxDomains,
+      s"epochMix: more than $maxDomains distinct domains — the per-domain " +
+        "mass table is collected to the driver; raise maxDomains only " +
+        "with driver memory to match, or pre-bucket domains")
     require(targetBp.keySet == masses.keySet,
       s"targets must cover exactly the domains present: ${masses.keySet}")
     val p2 = 2147483648L

@@ -42,6 +42,8 @@ object Dedup {
     * join formulation too, with more bytes in flight. */
   def exactDedupNormalized(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    Sampling.requireFreshColumns(df, "exactDedupNormalized",
+      "keep", "n_copies", "__norm_key")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__norm_key"))
     df.withColumn("__norm_key", TextOps.normalizeText(col(textCol)))
       .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
@@ -58,12 +60,14 @@ object Dedup {
     * so downstream sums are deterministic across engines and partition
     * orders — no float accumulation. Group key = normalized text. */
   def duplicateWeights(df: DataFrame, textCol: String, idCol: String,
-      ppm: Long = 1000000L): DataFrame =
+      ppm: Long = 1000000L): DataFrame = {
+    Sampling.requireFreshColumns(df, "duplicateWeights", "weight_ppm")
     exactDedupNormalized(df, textCol, idCol)
       // double division then truncate == integer division here: the
       // quotient's distance from the next integer is ≥ 1/n_copies, far
       // above double rounding error at ppm ≤ 2^52 scales
       .withColumn("weight_ppm", (lit(ppm) / col("n_copies")).cast("long"))
+  }
 
   /** MinHash signature from a pre-hashed shingle array
     * ([[TextOps.hashedShingles]]): `numHashes` affine permutations

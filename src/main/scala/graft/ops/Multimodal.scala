@@ -108,9 +108,14 @@ object Multimodal {
     /** Decode one payload; None when the bytes are not a JDK-readable
       * image (the caller falls back to the stub). */
     private[ops] def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+      // catch NonFatal, not just IOException: JDK ImageIO readers throw
+      // RuntimeExceptions (IllegalArgument, NegativeArraySize, CMM…) on
+      // fuzzed/corrupt payloads whose magic bytes a reader claims — a
+      // web-crawled table must degrade per-payload to the stub, never
+      // let one crafted blob kill the task (and with it the job)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null } // truncated/corrupt stream
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)

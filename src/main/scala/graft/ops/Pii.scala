@@ -55,6 +55,8 @@ object Pii {
     * (an audit pipeline keeps both; a release pipeline drops the raw). */
   def scrub(df: DataFrame, textCol: String,
       classes: Seq[PiiClass] = Classes): DataFrame = {
+    Sampling.requireFreshColumns(df, "Pii.scrub",
+      classes.map(c => s"n_${c.name}") :+ s"${textCol}_scrubbed": _*)
     // one chained expression per output column; Catalyst CSEs the shared
     // prefixes so each redaction stage is evaluated once per row
     val stages: Seq[Column] = classes.scanLeft(col(textCol)) {

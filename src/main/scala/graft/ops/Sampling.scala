@@ -38,7 +38,9 @@ object Sampling {
     * (odd-multiplier modular multiply; xor-shift-right is invertible),
     * so per-seed uniformity is exact, and the chain stays integer-only
     * and exactly replayable in external SQL (`xor` + `//` + `*` + `%`;
-    * every intermediate < 2^62, ANSI-overflow-safe). */
+    * every intermediate < 2^63 — the post-xor-shift multiply reaches
+    * ~(2^31−1)·2654435761 ≈ 5.7·10^18, which fits a signed 64-bit long
+    * under ANSI but NOT a DECIMAL(18) — replay with 64-bit integers). */
   def seededKnuth(idCol: org.apache.spark.sql.Column,
       seed: Int): org.apache.spark.sql.Column = {
     val p2 = 2147483648L
