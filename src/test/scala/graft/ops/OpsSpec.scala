@@ -228,6 +228,26 @@ class OpsSpec extends AnyFunSuite {
     assert(viaImage.except(viaStub).count() == 0)
   }
 
+  test("ImageIoCodec: corrupt payloads with real image magic degrade to the stub, never throw") {
+    // valid magic bytes make the matching JDK reader CLAIM the payload,
+    // then choke on the garbage body — the crafted-blob shape that must
+    // fall back per-payload (one bad crawled file must not kill the job)
+    val junk = Array.tabulate(64)(i => (i * 37 + 11).toByte)
+    val payloads: Array[Array[Byte]] = Array(
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte) ++ junk, // full 8-byte PNG magic
+      Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++ junk, // JPEG SOI
+      "GIF89a".getBytes("ISO-8859-1") ++ junk, // GIF header
+      "BM".getBytes("ISO-8859-1") ++ junk, // BMP header
+      Array[Byte]()) // empty payload
+    val out = Multimodal.ImageIoCodec.decodeBatch(payloads, dim = 16)
+    val stub = Multimodal.StubCodec.decodeBatch(payloads, dim = 16)
+    assert(out.length == payloads.length)
+    out.zip(stub).zipWithIndex.foreach { case ((o, s), i) =>
+      assert(o.sameElements(s), s"payload $i did not fall back to the stub")
+    }
+  }
+
   test("multimodal metadata queries prune the payload from the parquet scan") {
     val media = Multimodal.asMediaTable(docs.limit(50), "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
