@@ -88,6 +88,24 @@ object Streams {
     rows.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming NORMALIZED dedup — the incremental twin of
+    * [[graft.ops.Dedup.exactDedupNormalized]]: first-seen-wins on the
+    * case/punctuation/whitespace-insensitive key
+    * ([[graft.ops.TextOps.normalizeText]]), state bounded by the
+    * watermark like [[dedupStream]]. This is the key that actually
+    * matches the continuous-ingest duplicate model: replayed/retried
+    * documents routinely differ in trailing whitespace or punctuation,
+    * which a raw-text key waves through. The normalized key is carried
+    * out as `__norm_key` so a downstream audit can group on it; drop it
+    * for release output. */
+  def normalizedDedupStream(docs: DataFrame, textCol: String,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__norm_key", graft.ops.TextOps.normalizeText(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__norm_key")
+
   /** Streaming curation — the continuous-ingest sibling of
     * [[graft.ops.Curation.curate]]: the language allow-list and quality
     * floor are the batch recipe's per-row predicates applied unchanged

@@ -171,6 +171,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum("n_ip")).head().getLong(0) > 0)
   }
 
+  test("streaming normalized dedup collapses case/punct replays to one survivor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        timestamp_micros(col("doc_id") * 1000L + 1000000L).as("event_time"))
+      .as[(Long, String, java.sql.Timestamp)].collect().toSeq
+    // replay every row as an UPPERCASED + trailing-punct mutant (the q123
+    // mutation): a raw-text key keeps both, the normalized key must not
+    val mutants = base.map { case (id, t, ts) =>
+      (id + 5000000L, t.toUpperCase + " !!", ts)
+    }
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem.addData(base); mem.addData(mutants)
+    val out = Streams.normalizedDedupStream(
+      mem.toDF().toDF("doc_id", "text", "event_time"), "text")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("norm_dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("norm_dedup_stream")
+    // one survivor per distinct normalized key of the ORIGINAL corpus —
+    // every mutant hit an already-seen key (well inside the watermark)
+    val batchKeys = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.ops.TextOps.normalizeText(col("text")).as("k"))
+      .distinct().count()
+    assert(got.count() == batchKeys)
+    assert(got.filter(col("doc_id") >= 5000000L).count() == 0,
+      "a mutant survived past its original")
+  }
+
   test("streaming dedup against persisted state matches the batch bloom-state path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
