@@ -46,11 +46,12 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Int,
       nearDup: Boolean = false, nearDupMinSim: Double = 0.8): DataFrame = {
+    Sampling.requireFreshColumns(docs, "Curation.curate", "__keep")
     val filtered = docs
       .filter(TextOps.langGuess(col(textCol)).isInCollection(allowedLangs))
       .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
     // keep-min-id per text as a WINDOW over the filtered rows — ONE scan,
-    // ONE evaluation of the regex-heavy filters, ONE text-keyed shuffle.
+    // ONE evaluation of the regex-heavy filters, ONE hash-keyed shuffle.
     // The previous exactDedup + left-semi shape computed `filtered` twice
     // (both the dedup agg and the join probe side re-ran the filters over
     // a second corpus scan) and shuffled three times (text-keyed agg,
@@ -61,7 +62,16 @@ object Curation {
     // cluster scale. Same spill story as [[Dedup.exactDedupNormalized]]:
     // the per-text window group buffer is duplicate-count-sized and
     // spillable.
-    val keepWin = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
+    //
+    // The window key is xxhash64(text), NOT the text itself: the in-
+    // partition sort then compares 8-byte longs instead of full document
+    // strings (the exactDedupNormalizedByFingerprint pattern, raw-text
+    // flavor — this dedup is deliberately raw-exact, no normalization).
+    // A collision falsely merges two distinct documents and drops one;
+    // expected count ≈ n²/2^65 (see [[TextOps.dedupFingerprint]]) —
+    // the CCNet-convention bound, accepted here too.
+    val keepWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col(textCol)))
     val deduped = filtered
       .withColumn("__keep", col(idCol) === min(col(idCol)).over(keepWin))
       .filter(col("__keep")).drop("__keep")

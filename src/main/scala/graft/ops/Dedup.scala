@@ -25,11 +25,14 @@ object Dedup {
     df.groupBy(col(key))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup under [[TextOps.normalizeText]] — catches duplicates that
+  /** Exact dedup under [[TextOps.dedupKey]] — catches duplicates that
     * differ only in case/punctuation/whitespace (the standard pre-hash
-    * normalization in CCNet-style pipelines). Returns the input rows plus
-    * `keep` (is this row the group's canonical representative, smallest id
-    * per normalized key) and `n_copies` (normalized-group size).
+    * normalization in CCNet-style pipelines); documents whose normalized
+    * form is EMPTY (fully non-Latin/symbol text) group by their RAW text
+    * instead, so they are never falsely collapsed (see
+    * [[TextOps.dedupKey]] for the Latin-script scope contract). Returns
+    * the input rows plus `keep` (is this row the group's canonical
+    * representative, smallest id per key) and `n_copies` (group size).
     *
     * Shape: unbounded-frame window over the normalized key — ONE corpus
     * scan and ONE hash-partitioned shuffle. The groupBy-then-join-back
@@ -39,16 +42,42 @@ object Dedup {
     * (no ORDER BY ⇒ no sort-per-frame), and WindowExec's per-group
     * buffer is spillable, so a boilerplate mega-group degrades to disk
     * instead of OOM — the same skew lands on a single reducer under the
-    * join formulation too, with more bytes in flight. */
+    * join formulation too, with more bytes in flight.
+    *
+    * This exact-key form is the ORACLE twin (the key is replayable in
+    * external SQL). Production pipelines should prefer
+    * [[exactDedupNormalizedByFingerprint]], whose shuffle carries an
+    * 8-byte key instead of a second full copy of the text. */
   def exactDedupNormalized(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    dedupByKey(df, "exactDedupNormalized",
+      TextOps.dedupKey(col(textCol)), idCol)
+
+  /** The production variant of [[exactDedupNormalized]]: identical
+    * semantics up to xxhash64 collisions (expected false merges
+    * ≈ n²/2^65 — see [[TextOps.dedupFingerprint]] for the bound and the
+    * CCNet precedent), but the one hash-partitioned shuffle carries an
+    * 8-BYTE key where the exact form carries a second full copy of the
+    * text — roughly HALVING dedup shuffle bytes on the engine's most
+    * common operation. DedupSpec pins row-for-row equivalence with the
+    * exact form on the q123 fixtures (mutant twins, empty-key and
+    * non-Latin documents included). */
+  def exactDedupNormalizedByFingerprint(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    dedupByKey(df, "exactDedupNormalizedByFingerprint",
+      TextOps.dedupFingerprint(col(textCol)), idCol)
+
+  /** Shared keep-min-id + group-size window over an arbitrary key
+    * expression (the one-shuffle shape documented on
+    * [[exactDedupNormalized]]). */
+  private def dedupByKey(df: DataFrame, op: String, key: Column,
       idCol: String): DataFrame = {
-    Sampling.requireFreshColumns(df, "exactDedupNormalized",
-      "keep", "n_copies", "__norm_key")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__norm_key"))
-    df.withColumn("__norm_key", TextOps.normalizeText(col(textCol)))
+    Sampling.requireFreshColumns(df, op, "keep", "n_copies", "__dedup_key")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__dedup_key"))
+    df.withColumn("__dedup_key", key)
       .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
-      .drop("__norm_key")
+      .drop("__dedup_key")
   }
 
   /** Duplicate-aware soft dedup: instead of DROPPING near-identical rows,
@@ -58,15 +87,20 @@ object Dedup {
     * them discards it, down-weighting keeps it calibrated). Weights are
     * integer parts-per-million (`ppm / n_copies`, exact integer division)
     * so downstream sums are deterministic across engines and partition
-    * orders — no float accumulation. Group key = normalized text. */
+    * orders — no float accumulation. Group key = [[TextOps.dedupKey]]
+    * (normalized text, raw-text fallback for empty keys). Set
+    * `byFingerprint = true` for the production 8-byte-key shuffle
+    * ([[exactDedupNormalizedByFingerprint]] — same collision contract). */
   def duplicateWeights(df: DataFrame, textCol: String, idCol: String,
-      ppm: Long = 1000000L): DataFrame = {
+      ppm: Long = 1000000L, byFingerprint: Boolean = false): DataFrame = {
     Sampling.requireFreshColumns(df, "duplicateWeights", "weight_ppm")
-    exactDedupNormalized(df, textCol, idCol)
-      // double division then truncate == integer division here: the
-      // quotient's distance from the next integer is ≥ 1/n_copies, far
-      // above double rounding error at ppm ≤ 2^52 scales
-      .withColumn("weight_ppm", (lit(ppm) / col("n_copies")).cast("long"))
+    val marked =
+      if (byFingerprint) exactDedupNormalizedByFingerprint(df, textCol, idCol)
+      else exactDedupNormalized(df, textCol, idCol)
+    // double division then truncate == integer division here: the
+    // quotient's distance from the next integer is ≥ 1/n_copies, far
+    // above double rounding error at ppm ≤ 2^52 scales
+    marked.withColumn("weight_ppm", (lit(ppm) / col("n_copies")).cast("long"))
   }
 
   /** MinHash signature from a pre-hashed shingle array

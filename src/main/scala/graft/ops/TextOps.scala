@@ -217,6 +217,38 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Dedup GROUP key over [[normalizeText]] with the non-Latin guard:
+    * when the normalized form is EMPTY (a document written entirely in
+    * non-[a-z0-9] characters — CJK, Cyrillic, Arabic, symbols — erases
+    * to nothing under the ASCII normalization above), fall back to the
+    * RAW text, so unrelated non-Latin documents are never collapsed
+    * into one "duplicate" group and silently destroyed. Latin-script
+    * corpora are unaffected (their normalized keys are non-empty).
+    * The normalization itself remains deliberately Latin-script-only —
+    * multilingual pipelines should run language-split upstream
+    * ([[langGuess]]) and dedup per language; this key makes the failure
+    * mode of NOT doing so conservative (raw-exact dedup) instead of
+    * destructive. Pure codegen, replayable in external SQL
+    * (`CASE WHEN nt = '' THEN text ELSE nt END`). */
+  def dedupKey(text: Column): Column = {
+    val n = normalizeText(text)
+    when(n === "", text).otherwise(n)
+  }
+
+  /** 8-byte dedup key: `xxhash64` of [[dedupKey]] — the production
+    * shuffle key for normalized dedup (the CCNet convention: CCNet
+    * itself groups paragraphs by the first 8 bytes of a SHA1, accepting
+    * the same collision bound). A collision falsely MERGES two distinct
+    * documents (one of them is dropped/down-weighted): expected count
+    * ≈ n²/2^65 over n distinct keys — ~0.003 at 10^9 documents, ~27 at
+    * 10^11 (a 100 TB corpus of 1 KB docs), each costing one document.
+    * Use the exact-key ops when that bound is unacceptable; the
+    * fingerprint halves the dedup shuffle (the key is 8 bytes instead
+    * of a second full copy of the text). NOT replayable in external
+    * SQL (xxhash64 is engine-internal) — equivalence with the exact
+    * key is spec-pinned instead (DedupSpec). */
+  def dedupFingerprint(text: Column): Column = xxhash64(dedupKey(text))
+
   /** Polynomial rolling-hash fingerprint of a document (mod 2^31-1, so all
     * intermediate products stay < 2^62 and never overflow even under ANSI
     * arithmetic). Same recurrence as Rabin-Karp: h = h*31 + code(c) mod p. */

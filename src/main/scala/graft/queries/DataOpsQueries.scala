@@ -1214,6 +1214,9 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
         |CAST(SUM(LENGTH(t0) - LENGTH(t3)) AS BIGINT) AS chars_redacted
         |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the dedup key everywhere below is dedupKey: normalized text with the
+    // raw-text fallback when normalization erases the document to '' (the
+    // non-Latin guard — see TextOps.dedupKey)
     "q123_norm_dedup" ->
       """WITH a AS (
         |  SELECT doc_id, source, text FROM documents
@@ -1221,8 +1224,10 @@ object DataOpsQueries {
         |  SELECT doc_id + 100000000, source, upper(text) || ' !!'
         |  FROM documents WHERE doc_id % 10 = 1),
         |n AS (SELECT doc_id, source,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |    ' +', ' ', 'g')) AS nt FROM a),
+        |  CASE WHEN nt0 = '' THEN text ELSE nt0 END AS nt FROM (
+        |    SELECT doc_id, source, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS nt0 FROM a)),
         |g AS (SELECT nt, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |  FROM n GROUP BY 1)
         |SELECT source, COUNT(*) AS n_docs,
@@ -1232,10 +1237,12 @@ object DataOpsQueries {
         |FROM n JOIN g USING (nt) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q124_soft_dedup" ->
       """WITH n AS (SELECT doc_id, source,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |    ' +', ' ', 'g')) AS nt,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
+        |  CASE WHEN nt0 = '' THEN text ELSE nt0 END AS nt, n_tokens FROM (
+        |    SELECT doc_id, source, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS nt0,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents)),
         |g AS (SELECT nt, COUNT(*) AS n_copies FROM n GROUP BY 1),
         |w AS (SELECT source, n_tokens, 1000000 // n_copies AS weight_ppm
         |  FROM n JOIN g USING (nt))
@@ -1243,6 +1250,36 @@ object DataOpsQueries {
         |CAST(SUM(weight_ppm) AS BIGINT) AS effective_docs_ppm,
         |CAST(SUM(weight_ppm * n_tokens) AS BIGINT) AS weighted_tokens_ppm
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q126 runs the FINGERPRINT-keyed production variant
+    // (exactDedupNormalizedByFingerprint — 8-byte xxhash64 shuffle key);
+    // the oracle replays the EXACT dedup key: identical groups unless
+    // xxhash64 collides (P ≈ n²/2^65 — zero at test scale), so a green
+    // hash here IS the fingerprint≡exact equivalence check on real data.
+    // The planted '!'-run twins (empty normalized form) pin the non-Latin
+    // guard: they must group by RAW text (5 distinct runs), never collapse
+    // into one empty-key mega-group.
+    "q126_fp_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, source, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200000000, source,
+        |    repeat('!', CAST(doc_id % 5 AS INT) + 1)
+        |  FROM documents WHERE doc_id % 17 = 2),
+        |n AS (SELECT doc_id, source,
+        |  CASE WHEN nt0 = '' THEN text ELSE nt0 END AS nt FROM (
+        |    SELECT doc_id, source, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS nt0 FROM a)),
+        |g AS (SELECT nt, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM n GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |MAX(n_copies) AS max_copies
+        |FROM n JOIN g USING (nt) GROUP BY 1 ORDER BY 1""".stripMargin,
     // Naive-Bayes quality classifier: the q83 ln convention (round to 8
     // decimals, carry integer 1e-8 units) keeps log-odds engine-exact
     "q125_nb_quality" ->
@@ -2854,6 +2891,34 @@ object DataOpsQueries {
       .orderBy("source")
   }
 
+  /** FINGERPRINT-keyed normalized dedup
+    * ([[Dedup.exactDedupNormalizedByFingerprint]] — the production
+    * variant whose one shuffle carries an 8-byte xxhash64 key instead of
+    * a second copy of the text). Fixtures: the q123 mutant twins PLUS
+    * '!'-run documents whose normalized form is EMPTY — the
+    * [[TextOps.dedupKey]] non-Latin guard must group them by RAW text
+    * (five distinct runs), not collapse them into one empty-key group.
+    * The oracle replays the EXACT key, so a hash match here IS the
+    * fingerprint≡exact equivalence proof on real data (collision
+    * probability ≈ n²/2^65 — zero at any test SF). */
+  val q126FpDedup: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id", "source", "text")
+    val mutants = docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+      .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("source"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+    val bangs = docs.filter(pmod(col("doc_id"), lit(17)) === 2)
+      .select((col("doc_id") + lit(200000000L)).as("doc_id"), col("source"),
+        repeat(lit("!"), (pmod(col("doc_id"), lit(5)) + 1).cast("int")).as("text"))
+    val marked = Dedup.exactDedupNormalizedByFingerprint(
+      docs.unionByName(mutants).unionByName(bangs), "text", "doc_id")
+    marked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+      max(col("n_copies")).as("max_copies"))
+      .orderBy("source")
+  }
+
   /** Duplicate-aware soft dedup ([[Dedup.duplicateWeights]]): rows are
     * WEIGHTED 1/n_copies instead of dropped, in exact integer ppm so the
     * per-source effective corpus size and the soft-deduped token budget
@@ -2978,5 +3043,6 @@ object DataOpsQueries {
     "q123_norm_dedup" -> q123NormDedup,
     "q124_soft_dedup" -> q124SoftDedup,
     "q125_nb_quality" -> q125NbQuality,
+    "q126_fp_dedup" -> q126FpDedup,
   )
 }

@@ -91,20 +91,31 @@ object Streams {
   /** Streaming NORMALIZED dedup — the incremental twin of
     * [[graft.ops.Dedup.exactDedupNormalized]]: first-seen-wins on the
     * case/punctuation/whitespace-insensitive key
-    * ([[graft.ops.TextOps.normalizeText]]), state bounded by the
-    * watermark like [[dedupStream]]. This is the key that actually
-    * matches the continuous-ingest duplicate model: replayed/retried
-    * documents routinely differ in trailing whitespace or punctuation,
-    * which a raw-text key waves through. The normalized key is carried
-    * out as `__norm_key` so a downstream audit can group on it; drop it
-    * for release output. */
+    * ([[graft.ops.TextOps.dedupKey]] — with the same non-Latin guard as
+    * the batch op: a document whose normalized form is EMPTY keys on its
+    * RAW text, so unrelated CJK/Cyrillic/symbol documents are never
+    * silently dropped as "duplicates"; Latin-script-only scope documented
+    * there), state bounded by the watermark like [[dedupStream]]. This is
+    * the key that actually matches the continuous-ingest duplicate model:
+    * replayed/retried documents routinely differ in trailing whitespace
+    * or punctuation, which a raw-text key waves through. The normalized
+    * key is carried out as `__norm_key` so a downstream audit can group
+    * on it; drop it for release output.
+    *
+    * The STATE key is `xxhash64(__norm_key)` (`__fp`), not the text —
+    * the state store holds 8 bytes per in-flight document instead of a
+    * full normalized copy, the streaming analogue of
+    * [[graft.ops.Dedup.exactDedupNormalizedByFingerprint]] (same
+    * collision bound, see [[graft.ops.TextOps.dedupFingerprint]]). */
   def normalizedDedupStream(docs: DataFrame, textCol: String,
       eventTimeCol: String = "event_time",
       watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("__norm_key", graft.ops.TextOps.normalizeText(col(textCol)))
+      .withColumn("__norm_key", graft.ops.TextOps.dedupKey(col(textCol)))
+      .withColumn("__fp", xxhash64(col("__norm_key")))
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark("__norm_key")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 
   /** Streaming curation — the continuous-ingest sibling of
     * [[graft.ops.Curation.curate]]: the language allow-list and quality

@@ -90,6 +90,63 @@ class PiiSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") === 11L).head().getAs[Long]("n_copies") == 3)
   }
 
+  test("dedupKey: empty normalized form falls back to RAW text (non-Latin guard)") {
+    // three unrelated non-Latin/symbol documents all normalize to '' —
+    // they must NOT share a dedup key (the silent-destruction bug class)
+    val df = Seq(
+      (1L, "火车站在哪里"),      // CJK
+      (2L, "Привет, мир!"),      // Cyrillic
+      (3L, "!!! ***"),           // symbols
+      (4L, "!!! ***"),           // raw-exact duplicate of 3 — SAME key
+      (5L, "plain latin text")).toDF("doc_id", "text")
+    val keys = df.select(col("doc_id"), TextOps.dedupKey(col("text")).as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(1) != keys(2) && keys(2) != keys(3) && keys(1) != keys(3),
+      "unrelated non-Latin docs collapsed onto one dedup key")
+    assert(keys(3) == keys(4), "raw-exact duplicates must still share a key")
+    assert(keys(5) == "plain latin text")
+    val marked = Dedup.exactDedupNormalized(df, "text", "doc_id")
+    assert(marked.filter(col("keep")).count() == 4) // only 4 drops to 3
+  }
+
+  test("fingerprint variant ≡ exact variant on mutant + non-Latin fixtures") {
+    // the q123/q126 fixture family: originals, case/punct mutant twins,
+    // empty-normalizing '!'-runs, CJK — group structure must be identical
+    val df = Seq(
+      (10L, "The quick fox"), (11L, "the QUICK fox!!"), (12L, "the quick  fox"),
+      (20L, "something else"),
+      (30L, "!"), (31L, "!!"), (32L, "!"),
+      (40L, "火车站在哪里"), (41L, "火车站在哪里"), (42L, "东京天气很好"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.exactDedupNormalized(df, "text", "doc_id")
+      .select("doc_id", "keep", "n_copies")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    val fp = Dedup.exactDedupNormalizedByFingerprint(df, "text", "doc_id")
+      .select("doc_id", "keep", "n_copies")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(exact.sameElements(fp),
+      s"fingerprint/exact divergence:\n${exact.mkString("\n")}\nvs\n${fp.mkString("\n")}")
+    // sanity on the structure itself: 30/32 pair, 40/41 pair, rest singles
+    val m = exact.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(30L) == ((true, 2L)) && m(32L) == ((false, 2L)))
+    assert(m(31L) == ((true, 1L)))
+    assert(m(40L) == ((true, 2L)) && m(41L) == ((false, 2L)) && m(42L) == ((true, 1L)))
+  }
+
+  test("duplicateWeights byFingerprint ≡ exact weights") {
+    val df = Seq(
+      (1L, "dup text"), (2L, "DUP text"), (3L, "dup  text!"),
+      (4L, "unique"), (5L, "火车站在哪里"), (6L, "东京天气很好"))
+      .toDF("doc_id", "text")
+    val a = Dedup.duplicateWeights(df, "text", "doc_id")
+      .select("doc_id", "weight_ppm").as[(Long, Long)].collect().sortBy(_._1)
+    val b = Dedup.duplicateWeights(df, "text", "doc_id", byFingerprint = true)
+      .select("doc_id", "weight_ppm").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.toMap.apply(5L) == 1000000L && a.toMap.apply(6L) == 1000000L,
+      "non-Latin docs must be full-weight singletons, not a merged group")
+  }
+
   test("duplicateWeights: each group's total weight ≈ 1 in exact ppm") {
     val df = Seq(
       (1L, "dup text"), (2L, "DUP text"), (3L, "dup  text!"),

@@ -195,7 +195,7 @@ class StreamingSpec extends AnyFunSuite {
     // one survivor per distinct normalized key of the ORIGINAL corpus —
     // every mutant hit an already-seen key (well inside the watermark)
     val batchKeys = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(graft.ops.TextOps.normalizeText(col("text")).as("k"))
+      .select(graft.ops.TextOps.dedupKey(col("text")).as("k"))
       .distinct().count()
     assert(got.count() == batchKeys)
     assert(got.filter(col("doc_id") >= 5000000L).count() == 0,
