@@ -27,9 +27,19 @@ object Pii {
   /** Email addresses — shared with [[TextOps.redactEmails]]. */
   val Email: PiiClass = PiiClass("email", TextOps.EmailPattern, "[EMAIL]")
 
-  /** NANP-style phone numbers: `ddd-ddd-dddd` with `-` or space
-    * separators, word-bounded so order ids / long numbers don't match. */
-  val Phone: PiiClass = PiiClass("phone", "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "[PHONE]")
+  /** NANP-style phone numbers across the common renderings:
+    * `555-123-4567`, `555 123 4567`, `555.123.4567`, `(555) 123-4567`
+    * (separator after the parens optional), each with an optional
+    * `+1<sep>` country prefix. Word-bounded on digit edges so order ids
+    * / long digit runs / 3-part version strings never match; the
+    * paren/`+1` alternatives start on literal `(`/`+` (a `\b` there can
+    * never match — both sides non-word), which errs toward matching,
+    * the module's stated over-redaction bias. RE2-safe construct set
+    * (alternation, classes, bounded repetition, ASCII `\b`) so the
+    * DuckDB oracle replays it exactly. */
+  val Phone: PiiClass = PiiClass("phone",
+    "(\\+1[- .])?(\\(\\d{3}\\)[- .]?|\\b\\d{3}[- .])\\d{3}[- .]\\d{4}\\b",
+    "[PHONE]")
 
   /** Dotted-quad IPv4 literals. Permissive (no 0-255 range check): the
     * scrub's failure mode should be over-redaction, never a leak. */
@@ -69,9 +79,15 @@ object Pii {
   }
 
   /** Per-group PII audit: document counts, per-class match totals, how
-    * many documents carried any PII, and total characters removed by the
-    * scrub — the release-gate report a pipeline publishes next to the
-    * data card. One map stage + one counter-row groupBy at any scale. */
+    * many documents carried any PII, and `chars_delta` — the SIGNED
+    * per-group length change `Σ (len(text) − len(scrubbed))`. Positive
+    * when redaction shrank the text; NEGATIVE when replacement tokens
+    * outgrow their matches (`x@y.io` → `[EMAIL]` is −1), so it is a raw
+    * length delta, deliberately NOT clamped: the raw delta is what an
+    * external engine can replay exactly (the q122 oracle), and a
+    * release gate that needs "characters matched" should gate on the
+    * per-class counts, not this column. One map stage + one counter-row
+    * groupBy at any scale. */
   def audit(df: DataFrame, groupCol: String, textCol: String,
       classes: Seq[PiiClass] = Classes): DataFrame = {
     val scrubbed = scrub(df, textCol, classes)
@@ -81,6 +97,6 @@ object Pii {
       classes.map(c => sum(col(s"n_${c.name}")).as(s"${c.name}s")) ++ Seq(
         sum(when(anyPii, 1L).otherwise(0L)).as("docs_with_pii"),
         sum((length(col(textCol)) - length(col(s"${textCol}_scrubbed")))
-          .cast("long")).as("chars_redacted")): _*)
+          .cast("long")).as("chars_delta")): _*)
   }
 }

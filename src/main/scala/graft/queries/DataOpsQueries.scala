@@ -1191,6 +1191,15 @@ object DataOpsQueries {
         |  || CASE WHEN doc_id % 11 = 3
         |       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
         |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 19 = 4
+        |       THEN ' ring (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 23 = 7
+        |       THEN ' cell +1 555 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |         || ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 29 = 8
+        |       THEN ' fax 555.' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |         || '.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
         |  || CASE WHEN doc_id % 13 = 5
         |       THEN ' from ' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
         |         || '.' || ((doc_id * 13) % 256) || '.' || (doc_id % 250 + 1) ELSE '' END
@@ -1200,8 +1209,8 @@ object DataOpsQueries {
         |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
         |  FROM planted),
         |s2 AS (SELECT source, t0, ne,
-        |  len(regexp_extract_all(t1, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS np,
-        |  regexp_replace(t1, '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS t2
+        |  len(regexp_extract_all(t1, '(\+1[- .])?(\(\d{3}\)[- .]?|\b\d{3}[- .])\d{3}[- .]\d{4}\b')) AS np,
+        |  regexp_replace(t1, '(\+1[- .])?(\(\d{3}\)[- .]?|\b\d{3}[- .])\d{3}[- .]\d{4}\b', '[PHONE]', 'g') AS t2
         |  FROM s1),
         |s3 AS (SELECT source, t0, ne, np,
         |  len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
@@ -1212,7 +1221,7 @@ object DataOpsQueries {
         |CAST(SUM(np) AS BIGINT) AS phones,
         |CAST(SUM(ni) AS BIGINT) AS ips,
         |CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
-        |CAST(SUM(LENGTH(t0) - LENGTH(t3)) AS BIGINT) AS chars_redacted
+        |CAST(SUM(LENGTH(t0) - LENGTH(t3)) AS BIGINT) AS chars_delta
         |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the dedup key everywhere below is dedupKey: normalized text with the
     // raw-text fallback when normalization erases the document to '' (the
@@ -2844,9 +2853,12 @@ object DataOpsQueries {
     * Dolma scrub taxonomy: email, phone, IPv4). PII is PLANTED in-query
     * with engine-replayable arithmetic (deterministic addresses/numbers
     * derived from doc_id) so every class provably fires and the per-class
-    * counts, docs-with-pii and redacted-character totals are exact
-    * oracle-checked values, not rows>0 smoke. Chain order is part of the
-    * contract: each class counts on the text the previous classes left. */
+    * counts, docs-with-pii and the signed `chars_delta` totals are exact
+    * oracle-checked values, not rows>0 smoke. All four NANP phone
+    * renderings the broadened [[graft.ops.Pii.Phone]] pattern covers are
+    * planted (dashed, parenthesized, `+1`-spaced, dotted), so each
+    * alternative provably fires. Chain order is part of the contract:
+    * each class counts on the text the previous classes left. */
   val q122PiiScrub: Q = (s, dir) => {
     val docs = load(s, dir, "documents")
     val planted = docs.withColumn("text2", concat(
@@ -2858,6 +2870,24 @@ object DataOpsQueries {
         concat(lit(" call 555-"),
           lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
           lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(19)) === 4,
+        concat(lit(" ring (555) "),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(23)) === 7,
+        concat(lit(" cell +1 555 "),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit(" "),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(29)) === 8,
+        concat(lit(" fax 555."),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("."),
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(13)) === 5,

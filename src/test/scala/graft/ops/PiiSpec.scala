@@ -46,10 +46,45 @@ class PiiSpec extends AnyFunSuite {
     assert(row(0).getAs[Long]("emails") == 1)
     assert(row(0).getAs[Long]("docs_with_pii") == 1)
     // "bob@site.org" (12 chars) -> "[EMAIL]" (7): 5 chars removed
-    assert(row(0).getAs[Long]("chars_redacted") == 5)
+    assert(row(0).getAs[Long]("chars_delta") == 5)
     assert(row(1).getAs[Long]("emails") == 2)
     assert(row(1).getAs[Long]("ips") == 1)
     assert(row(1).getAs[Long]("docs_with_pii") == 1)
+  }
+
+  test("chars_delta is a SIGNED length delta: negative when tokens outgrow matches") {
+    // "x@y.io" (6) -> "[EMAIL]" (7) and "9.9.9.9" (7) -> "[IP]" (4):
+    // per-group delta = (6-7) + (7-4) on one doc each — the raw-delta
+    // contract (no clamp) pinned per the r10 verdict's naming fix
+    val df = Seq(("a", "x@y.io"), ("b", "9.9.9.9")).toDF("src", "text")
+    val rows = Pii.audit(df, "src", "text").orderBy("src").collect()
+    assert(rows(0).getAs[Long]("chars_delta") == -1L,
+      "replacement longer than match must yield a NEGATIVE delta")
+    assert(rows(1).getAs[Long]("chars_delta") == 3L)
+  }
+
+  test("broadened phone pattern: all NANP renderings, boundaries hold") {
+    val df = Seq(
+      (1L, "call 555-123-4567 now"),
+      (2L, "call 555 123 4567 now"),
+      (3L, "call 555.123.4567 now"),
+      (4L, "call (555) 123-4567 now"),
+      (5L, "call (555)123-4567 now"),
+      (6L, "call +1 555 123 4567 now"),
+      (7L, "call +1-555-123-4567 now"),
+      (8L, "call +1 (555) 123-4567 now"),
+      // non-matches: long digit runs, versions, IPv4s, 3-3-5 shapes
+      (9L, "order 1234-567-8901 v1.2.3 ip 10.20.30.40 x 555-123-45678"))
+      .toDF("id", "text")
+    val out = Pii.scrub(df, "text").orderBy("id")
+      .select("id", "n_phone", "text_scrubbed")
+      .as[(Long, Long, String)].collect()
+    out.take(8).foreach { case (id, n, t) =>
+      assert(n == 1L && t == "call [PHONE] now", s"row $id: n=$n t=$t")
+    }
+    assert(out(8)._2 == 0L, s"false positive: ${out(8)._3}")
+    // the IPv4 stays for the ip class (chain order), long runs untouched
+    assert(out(8)._3 == "order 1234-567-8901 v1.2.3 ip [IP] x 555-123-45678")
   }
 
   test("streaming twin is the same expression chain (column parity)") {
