@@ -11,12 +11,17 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[ImageIoCodec]] runs the JDK's built-in
   * `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with every stock JDK,
   * headless — no external dependency) and emits genuinely decoded
-  * dimensions and per-channel pixel sums. Audio/video codecs are NOT in
-  * the JDK, so payloads `ImageIO` cannot read fall back per-payload to
-  * [[StubCodec]]'s deterministic byte histogram — the documented
-  * fallback, not the primary path. Everything around the codec — schema,
-  * batch shape, partition-parallel execution, feature schema — is the
-  * seam a JNI/FFI or vectorized-batch production decoder plugs into.
+  * dimensions and per-channel pixel sums. AUDIO decode is REAL too:
+  * [[WavCodec]] runs the JDK's built-in `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM readers, equally stock and headless) and emits the
+  * genuinely decoded sample rate, channel count, frame count and
+  * per-channel PCM sample sums. Only VIDEO has no JDK codec; payloads
+  * neither reader accepts fall back per-payload to [[StubCodec]]'s
+  * deterministic byte histogram — the documented video-only fallback,
+  * not a primary path ([[JdkCodec]] is the mixed-media dispatch).
+  * Everything around the codecs — schema, batch shape,
+  * partition-parallel execution, feature schema — is the seam a JNI/FFI
+  * or vectorized-batch production decoder plugs into.
   *
   * Scale notes: decode is the classic CPU-heavy map stage — no shuffle,
   * scales with cores. Partition sizing should target the media payload
@@ -78,8 +83,9 @@ object Multimodal {
   }
 
   /** The deterministic stand-in codec — the documented FALLBACK for
-    * media the JDK cannot decode (audio/video): per-payload byte-value
-    * histogram, L1-normalized. For images use [[ImageIoCodec]]. */
+    * media the JDK cannot decode (video only: images decode through
+    * [[ImageIoCodec]], PCM audio through [[WavCodec]]): per-payload
+    * byte-value histogram, L1-normalized. */
   object StubCodec extends BatchCodec {
     override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
       payloads.map(b => decodeStub(b, dim).toArray)
@@ -141,6 +147,148 @@ object Multimodal {
         Some(out)
       }
     }
+  }
+
+  /** REAL audio codec over the JDK's built-in `javax.sound.sampled`
+    * readers (WAV/AIFF/AU with PCM payloads — present in every stock
+    * JDK, headless, zero added dependencies; the r10 premise that
+    * "audio codecs are not in the JDK" was wrong and is corrected
+    * here). Per decoded clip the feature vector is `[sample_rate,
+    * channels, n_frames, ch0_sum, ch1_sum, amplitude histogram over
+    * the remaining dim-5 buckets]` — every emitted value is an
+    * integer-valued float (rates, counts, 16-bit sample sums), so
+    * decode results are exact and replayable by integer arithmetic in
+    * an external oracle (the q127 contract; exactness holds while
+    * |channel sum| stays under 2^24 — ~512 frames of full-scale
+    * 16-bit audio, far above the fixture sizes; production features
+    * would carry sums as long columns, the declared float32 width is
+    * the q45-parity choice). Channel sums beyond stereo fold into
+    * `ch1_sum` so the layout is channel-count-independent.
+    *
+    * Scope: PCM_SIGNED 16-bit frames — the dominant WAV encoding and
+    * the one whose byte↔sample mapping is exact. Other encodings
+    * (float PCM, μ-law, 8/24-bit) and non-audio payloads return None
+    * and fall back per-payload to [[StubCodec]], same contract as
+    * [[ImageIoCodec]] for non-image bytes. */
+  object WavCodec extends BatchCodec {
+    override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] = {
+      require(dim >= 5,
+        "WavCodec needs dim >= 5 (rate, channels, frames, ch0_sum, ch1_sum)")
+      payloads.map(b => decodeWav(b, dim).getOrElse(decodeStub(b, dim).toArray))
+    }
+
+    /** Decode one payload; None when the bytes are not JDK-readable
+      * 16-bit signed PCM audio (the caller falls back to the stub).
+      * NonFatal-guarded like the image path: a crafted header must
+      * degrade per-payload, never kill the task. */
+    private[ops] def decodeWav(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val pcm16 =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && in.getFrameLength >= 0
+          if (!pcm16) None
+          else {
+            val channels = fmt.getChannels
+            val nFrames = in.getFrameLength
+            val data = in.readAllBytes()
+            val out = new Array[Float](dim)
+            out(0) = fmt.getSampleRate
+            out(1) = channels.toFloat
+            out(2) = nFrames.toFloat
+            val sums = new Array[Long](2)
+            val big = fmt.isBigEndian
+            var i = 0
+            val nSamples = data.length / 2
+            while (i < nSamples) {
+              val lo = data(2 * i + (if (big) 1 else 0)) & 0xff
+              val hi = data(2 * i + (if (big) 0 else 1)).toInt
+              val s = (hi << 8) | lo // hi keeps its sign: 16-bit signed sample
+              sums(math.min(i % channels, 1)) += s
+              if (dim > 5) out(5 + ((s + 32768) * (dim - 5)) / 65536) += 1f
+              i += 1
+            }
+            out(3) = sums(0).toFloat
+            out(4) = sums(1).toFloat
+            Some(out)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mixed-media dispatch: image bytes through [[ImageIoCodec]], PCM
+    * audio through [[WavCodec]], anything else (video, unknown) through
+    * [[StubCodec]] — one pass over a heterogeneous media table with the
+    * stub demoted to the video-only fallback it is documented as. */
+  object JdkCodec extends BatchCodec {
+    override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] = {
+      require(dim >= 5, "JdkCodec needs dim >= 5")
+      payloads.map { b =>
+        ImageIoCodec.decodeImage(b, dim)
+          .orElse(WavCodec.decodeWav(b, dim))
+          .getOrElse(decodeStub(b, dim).toArray)
+      }
+    }
+  }
+
+  /** Deterministic tiny REAL WAV keyed by `id` — the oracle-checkable
+    * audio-decode fixture, the [[synthPng]] playbook applied to sound:
+    * channels `(id mod 2)+1`, sample rate `{8000, 11025, 16000, 22050}
+    * [id mod 4]`, frames `(id mod 50)+20`, and 16-bit PCM sample
+    * `(7m + 13i + 31ch) mod 201 − 100` at frame i / channel ch with
+    * `m = id mod 256`. Every decoded rate/count/sum is plain integer
+    * arithmetic on the id — replayable in any SQL engine — while the
+    * payload itself is a genuine RIFF/WAVE file that only a real PCM
+    * reader can parse back (the header/interleave/endianness handling
+    * is what a stub cannot fake). */
+  private[graft] def synthWav(id: Long): Array[Byte] = {
+    val channels = (Math.floorMod(id, 2L) + 1L).toInt
+    val rates = Array(8000f, 11025f, 16000f, 22050f)
+    val rate = rates(Math.floorMod(id, 4L).toInt)
+    val nFrames = (Math.floorMod(id, 50L) + 20L).toInt
+    val m = Math.floorMod(id, 256L).toInt
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      var ch = 0
+      while (ch < channels) {
+        val s = (7 * m + 13 * i + 31 * ch) % 201 - 100
+        val off = (i * channels + ch) * 2
+        data(off) = (s & 0xff).toByte         // little-endian 16-bit
+        data(off + 1) = ((s >> 8) & 0xff).toByte
+        ch += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[synthWav]] fixtures, one real WAV per input row —
+    * partition-parallel encode, metadata deliberately left null so the
+    * DECODE stage is the only source of rates/durations (the
+    * [[synthImages]] contract for audio). */
+  def synthAudio(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, synthWav(id), Row("audio", "wav", null, null, null))
+        }
+      }(enc)
   }
 
   /** Deterministic tiny REAL PNG keyed by `id` — the oracle-checkable

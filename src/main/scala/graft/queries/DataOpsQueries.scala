@@ -1289,6 +1289,27 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |MAX(n_copies) AS max_copies
         |FROM n JOIN g USING (nt) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The audio decode is REAL (JDK javax.sound.sampled): the engine
+    // synthesizes a genuine RIFF/WAVE file per doc_id (Multimodal.synthWav
+    // — deterministic rate/channel/sample formulas), and the query reports
+    // only what the PCM reader gives back. The oracle replays the FORMULAS
+    // with integer arithmetic — it never sees the WAV bytes, so a hash
+    // match proves the engine actually parsed headers and decoded
+    // interleaved little-endian 16-bit samples (the q45 contract, applied
+    // to audio).
+    "q127_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |  WHEN 2 THEN 16000 ELSE 22050 END AS BIGINT) AS sample_rate,
+        |(doc_id % 2) + 1 AS channels,
+        |(doc_id % 50) + 20 AS n_frames,
+        |CAST(list_sum(list_transform(range(0, (doc_id % 50) + 20),
+        |  i -> (7*(doc_id % 256) + 13*i) % 201 - 100)) AS BIGINT) AS ch0_sum,
+        |CAST(CASE WHEN doc_id % 2 = 1 THEN
+        |  list_sum(list_transform(range(0, (doc_id % 50) + 20),
+        |    i -> (7*(doc_id % 256) + 13*i + 31) % 201 - 100))
+        |  ELSE 0 END AS BIGINT) AS ch1_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
     // Naive-Bayes quality classifier: the q83 ln convention (round to 8
     // decimals, carry integer 1e-8 units) keeps log-odds engine-exact
     "q125_nb_quality" ->
@@ -1511,6 +1532,32 @@ object DataOpsQueries {
         try_element_at(col("features"), lit(3)).cast("long").as("r_sum"),
         try_element_at(col("features"), lit(4)).cast("long").as("g_sum"),
         try_element_at(col("features"), lit(5)).cast("long").as("b_sum"))
+      .orderBy("media_id")
+  }
+
+  /** Multimodal AUDIO decode stage — REAL PCM decode through the JDK's
+    * `javax.sound.sampled` ([[Multimodal.WavCodec]]), no external
+    * dependency. One genuine RIFF/WAVE file is synthesized per document
+    * id ([[Multimodal.synthWav]]: rate, channel count, frame count and
+    * 16-bit samples are integer formulas of the id), then the SAME
+    * [[Multimodal.decodeFeatures]] batch seam every codec uses decodes
+    * it back. Output is only what the PCM reader parsed out of the
+    * container — sample rate, channels, frames, per-channel sample sums
+    * — which the oracle reproduces from the formulas by pure integer
+    * arithmetic. A byte-histogram stub cannot pass: the header fields
+    * and the interleaved little-endian sample stream have no byte-level
+    * correspondence a stub could exploit. */
+  val q127AudioDecode: Q = (s, dir) => {
+    val media = Multimodal.synthAudio(
+      load(s, dir, "documents").select("doc_id"), "doc_id")
+    Multimodal.decodeFeatures(media, featureDim = 5,
+        codec = Multimodal.WavCodec)
+      .select(col("media_id"),
+        try_element_at(col("features"), lit(1)).cast("long").as("sample_rate"),
+        try_element_at(col("features"), lit(2)).cast("long").as("channels"),
+        try_element_at(col("features"), lit(3)).cast("long").as("n_frames"),
+        try_element_at(col("features"), lit(4)).cast("long").as("ch0_sum"),
+        try_element_at(col("features"), lit(5)).cast("long").as("ch1_sum"))
       .orderBy("media_id")
   }
 
@@ -3074,5 +3121,6 @@ object DataOpsQueries {
     "q124_soft_dedup" -> q124SoftDedup,
     "q125_nb_quality" -> q125NbQuality,
     "q126_fp_dedup" -> q126FpDedup,
+    "q127_audio_decode" -> q127AudioDecode,
   )
 }

@@ -248,6 +248,81 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec: real WAV decode recovers exact rate/channels/frames/sums") {
+    val media = Multimodal.synthAudio(docs.limit(25).select("doc_id"), "doc_id")
+    // payloads are genuine RIFF/WAVE containers, not raw sample dumps
+    media.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]](1)
+      assert(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
+        "not a RIFF/WAVE container")
+    }
+    val rates = Array(8000L, 11025L, 16000L, 22050L)
+    val out = Multimodal.decodeFeatures(media, featureDim = 5,
+      codec = Multimodal.WavCodec).collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](3)
+      val channels = (id % 2 + 1).toInt
+      val n = (id % 50 + 20).toInt
+      val m = (id % 256).toInt
+      def sum(ch: Int): Long =
+        (0 until n).map(i => ((7 * m + 13 * i + 31 * ch) % 201 - 100).toLong).sum
+      assert(f(0) == rates((id % 4).toInt).toFloat, s"id=$id rate ${f(0)}")
+      assert(f(1) == channels.toFloat && f(2) == n.toFloat,
+        s"id=$id shape ${f(1)}x${f(2)}")
+      assert(f(3) == sum(0).toFloat, s"id=$id ch0_sum ${f(3)}")
+      assert(f(4) == (if (channels == 2) sum(1).toFloat else 0f),
+        s"id=$id ch1_sum ${f(4)}")
+    }
+    // amplitude histogram (dim > 5): counts over the remaining buckets
+    // total exactly frames*channels samples
+    val hist = Multimodal.decodeFeatures(media, featureDim = 13,
+      codec = Multimodal.WavCodec).collect()
+    hist.foreach { r =>
+      val f = r.getSeq[Float](3)
+      assert(f.drop(5).sum == f(1) * f(2), s"histogram mass ${f.drop(5).sum}")
+    }
+  }
+
+  test("WavCodec: non-audio and corrupt-RIFF payloads degrade to the stub, never throw") {
+    val junk = Array.tabulate(64)(i => (i * 37 + 11).toByte)
+    val payloads: Array[Array[Byte]] = Array(
+      // full RIFF/WAVE magic with a garbage body — the reader claims it,
+      // then must choke per-payload, not kill the task
+      ("RIFF    WAVE".getBytes("ISO-8859-1") ++ junk),
+      "plain text, no container".getBytes("UTF-8"),
+      Array[Byte]())
+    val out = Multimodal.WavCodec.decodeBatch(payloads, dim = 16)
+    val stub = Multimodal.StubCodec.decodeBatch(payloads, dim = 16)
+    out.zip(stub).zipWithIndex.foreach { case ((o, s), i) =>
+      assert(o.sameElements(s), s"payload $i did not fall back to the stub")
+    }
+  }
+
+  test("JdkCodec: mixed media table dispatches per payload (stub = video-only fallback)") {
+    val ids = docs.limit(10).select("doc_id")
+    val images = Multimodal.synthImages(ids, "doc_id")
+    val audio = Multimodal.synthAudio(
+      ids.select((col("doc_id") + 1000000L).as("doc_id")), "doc_id")
+    val other = Multimodal.asMediaTable(
+      docs.limit(10).select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+      "doc_id", "text", mediaType = "video")
+    val mixed = images.unionByName(audio).unionByName(other)
+    val viaJdk = Multimodal.decodeFeatures(mixed, featureDim = 8,
+      codec = Multimodal.JdkCodec).select("media_id", "features")
+    val expected = Multimodal.decodeFeatures(images, featureDim = 8,
+        codec = Multimodal.ImageIoCodec)
+      .unionByName(Multimodal.decodeFeatures(audio, featureDim = 8,
+        codec = Multimodal.WavCodec))
+      .unionByName(Multimodal.decodeFeatures(other, featureDim = 8,
+        codec = Multimodal.StubCodec))
+      .select("media_id", "features")
+    assert(viaJdk.except(expected).count() == 0 &&
+      expected.except(viaJdk).count() == 0)
+  }
+
   test("multimodal metadata queries prune the payload from the parquet scan") {
     val media = Multimodal.asMediaTable(docs.limit(50), "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
