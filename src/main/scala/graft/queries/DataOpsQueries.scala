@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Bloom, Curation, Dedup, Hll, Kmv, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Bloom, Curation, Dedup, Hll, Html, Kmv, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1310,6 +1310,34 @@ object DataOpsQueries {
         |    i -> (7*(doc_id % 256) + 13*i + 31) % 201 - 100))
         |  ELSE 0 END AS BIGINT) AS ch1_sum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // HTML main-content extraction: the page is CONSTRUCTED in-query
+    // around each document's text (nav + two <p> paragraphs + link list
+    // + footer — known block structure), the engine runs the real
+    // jusText-style segmentation/stripping/density pipeline over the
+    // HTML, and the oracle replays the expected per-block outcomes by
+    // pure arithmetic on the raw text (block counts, kept counts,
+    // content/boilerplate character mass, exact-recovery count). A
+    // stub that doesn't really parse blocks/anchors cannot reproduce
+    // the planted boilerplate masses (18+7+7+22 chars) or recover the
+    // text exactly.
+    "q128_html_extract" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt FROM documents),
+        |c AS (SELECT source,
+        |  CASE WHEN length(nt) >= 10 THEN 1 ELSE 0 END AS p1_kept,
+        |  length(nt) AS p1_len,
+        |  length('Article body continues with further detail for doc '
+        |    || doc_id || '.') AS p2_len
+        |  FROM n)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(5 + CASE WHEN p1_len > 0 THEN 1 ELSE 0 END) AS BIGINT) AS blocks,
+        |CAST(SUM(1 + p1_kept) AS BIGINT) AS kept,
+        |CAST(SUM(CASE WHEN p1_kept = 1 THEN p1_len + 1 + p2_len
+        |  ELSE p2_len END) AS BIGINT) AS content_chars,
+        |CAST(SUM(54 + CASE WHEN p1_kept = 0 THEN p1_len ELSE 0 END) AS BIGINT)
+        |  AS boiler_chars,
+        |CAST(SUM(p1_kept) AS BIGINT) AS n_exact_recovery
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Naive-Bayes quality classifier: the q83 ln convention (round to 8
     // decimals, carry integer 1e-8 units) keeps log-odds engine-exact
     "q125_nb_quality" ->
@@ -1559,6 +1587,44 @@ object DataOpsQueries {
         try_element_at(col("features"), lit(4)).cast("long").as("ch0_sum"),
         try_element_at(col("features"), lit(5)).cast("long").as("ch1_sum"))
       .orderBy("media_id")
+  }
+
+  /** HTML/boilerplate main-content extraction ([[Html.extract]] — the
+    * jusText-style block-segmentation + link-density stage every
+    * pre-C4 web pipeline runs first). Pages are CONSTRUCTED per
+    * document with a known block skeleton: link-dense nav (text 18,
+    * anchors 16), the document text as `<p>` #1, a fixed-format `<p>`
+    * #2, two pure-link list items (7 chars each), and a footer (text
+    * 22, anchors 12). The engine segments/strips/scores the real HTML;
+    * the oracle replays the expected outcome by arithmetic on the raw
+    * text. `n_exact_recovery` counts documents whose extracted content
+    * is CHARACTER-EXACT equal to the whitespace-normalized original
+    * text + paragraph 2 — the strongest possible recovery pin. */
+  val q128HtmlExtract: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id", "source", "text")
+    val p2 = concat(lit("Article body continues with further detail for doc "),
+      col("doc_id").cast("string"), lit("."))
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav><p>"),
+      col("text"),
+      lit("</p><p>"), p2, lit("</p>" +
+        "<ul><li><a href=\"/t1\">tag one</a></li>" +
+        "<li><a href=\"/t2\">tag two</a></li></ul>" +
+        "<footer>(c) 2026 <a href=\"/tos\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+    val nt = trim(regexp_replace(col("text"), "\\s+", " "))
+    val expected = concat(nt, lit(" "), p2)
+    Html.extract(docs.withColumn("html", html), "html")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_blocks").cast("long")).as("blocks"),
+        sum(col("n_kept").cast("long")).as("kept"),
+        sum(col("content_len").cast("long")).as("content_chars"),
+        sum(col("boiler_len").cast("long")).as("boiler_chars"),
+        sum(when(col("content") === expected, 1L).otherwise(0L))
+          .as("n_exact_recovery"))
+      .orderBy("source")
   }
 
   /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1) via the
@@ -3122,5 +3188,6 @@ object DataOpsQueries {
     "q125_nb_quality" -> q125NbQuality,
     "q126_fp_dedup" -> q126FpDedup,
     "q127_audio_decode" -> q127AudioDecode,
+    "q128_html_extract" -> q128HtmlExtract,
   )
 }
