@@ -24,11 +24,18 @@ judge-adjudicated noise); a plan regression that matters at 100 TB moves
 seconds, not tenths.
 
 Exit code 1 only if a flagged regression is NOT narrated in
-BENCH_NOTES.md. Narrated = the query name appears in the NEWEST
-"## Round N" section of the notes (convention: newest round first) —
-mentions in older rounds do not exempt new regressions. Silent
-regressions are how engines rot; deliberate ones must be written down
-in the current round's section.
+BENCH_NOTES.md AND NOT adjudicated in tools/adjudications.json.
+Narrated = the query name appears in the NEWEST "## Round N" section of
+the notes (convention: newest round first) — mentions in older rounds
+do not exempt new regressions. Adjudicated = the cumulative ledger has
+an entry matching the query AND the exact round-pair being compared
+(derived from the BENCH_rNN.json file names): the driver tail is
+recorded after round close, so its flags structurally CANNOT be
+narrated in that round's notes — the next round (or the judge) appends
+the adjudication to the ledger instead. Per-pair matching keeps the
+exemption narrow: a later genuine regression on the same query still
+flags. Silent regressions are how engines rot; deliberate ones must be
+written down.
 """
 import json
 import glob
@@ -112,6 +119,22 @@ def main():
             tbl = json.load(f)
         noise = {q: float(v) for q, v in tbl.get("amplitude", tbl).items()
                  if isinstance(v, (int, float))}
+    # Cumulative adjudication ledger: (query, round-pair) -> verdict.
+    # The round-pair key comes from the BENCH file names so an entry
+    # exempts exactly one comparison, never the query wholesale.
+    def round_tag(path):
+        m = re.search(r"BENCH_(r\d+)\.json$", os.path.basename(path))
+        return m.group(1) if m else os.path.basename(path)
+
+    pair = f"{round_tag(prev_path)}->{round_tag(new_path)}"
+    adjudicated = {}
+    ledger_path = os.path.join(ROOT, "tools", "adjudications.json")
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+        for e in ledger.get("entries", []):
+            if e.get("rounds") == pair:
+                adjudicated[e["query"]] = e.get("verdict", "noise")
 
     print(f"bench_gate: {os.path.basename(prev_path)} -> {os.path.basename(new_path)} "
           f"(ratio > max({threshold}x, measured amplitude) AND delta > {min_delta}s)")
@@ -127,11 +150,16 @@ def main():
         eff = max(threshold, noise.get(q, 1.0))
         if ratio > eff and new[q] - prev[q] > min_delta:
             narrated = q.split("_")[0] in notes
-            tag = "narrated" if narrated else "SILENT"
+            if narrated:
+                tag = "narrated"
+            elif q in adjudicated:
+                tag = f"adjudicated:{adjudicated[q]} ({pair})"
+            else:
+                tag = "SILENT"
             amp = f", amplitude {noise[q]:.2f}x" if q in noise else ""
             print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s "
                   f"({ratio:.2f}x{amp}) [{tag}]")
-            if not narrated:
+            if not narrated and q not in adjudicated:
                 silent.append(q)
     added = sorted(set(new) - set(prev))
     removed = sorted(set(prev) - set(new))
