@@ -653,15 +653,145 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("fingerprint-keyed dedup drill: the one shuffle carries 8-byte keys, not a second text copy") {
+    // r10 verdict item 1's measurement leg: exactDedupNormalized windows
+    // on the full normalized STRING, so its one hash-partitioned shuffle
+    // carries the text twice (raw + normalized key);
+    // exactDedupNormalizedByFingerprint windows on xxhash64 of the same
+    // key — 8 bytes. Same rows, same groups, ~half the shuffle bytes on
+    // the engine's most common operation. SPARK_GRAFT_DRILL_ROWS scales
+    // to the 5M headline run recorded in BENCH_NOTES.
+    val n = sys.env.get("SPARK_GRAFT_DRILL_ROWS")
+      .flatMap(_.toLongOption).getOrElse(1000000L)
+    val base = spark.read.format("graft-synth")
+      .option("rows", n).option("partitions", 64)
+      .option("dupfraction", 0.1).load()
+      .select("doc_id", "text")
+    // plant q123-style case/punct mutants (every 10th doc) so the window
+    // has real multi-row groups to collapse, not just singletons
+    val docs = base.unionByName(
+      base.filter(pmod(col("doc_id"), lit(10L)) === 1L)
+        .select((col("doc_id") + lit(10L) * n).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+    val sc = spark.sparkContext
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    sc.addSparkListener(listener)
+    // listener events are async; drain before reading the counters
+    // (listenerBus/waitUntilEmpty are private[spark] = JVM-public)
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    val drain = bus.getClass.getMethod("waitUntilEmpty")
+    try {
+      // two consumer shapes, both real:
+      //  - "pruned": a count-like consumer (dedup stats, audits) lets
+      //    Catalyst prune the text BELOW the exchange for the fp variant
+      //    (the key is computed pre-shuffle), while the exact variant's
+      //    key IS the normalized text and cannot be pruned — the gap is
+      //    the whole text mass;
+      //  - "full-row": the production recipe materializes the marked
+      //    rows (text rides through BOTH shuffles) — the gap is the
+      //    second (normalized-key) copy only.
+      def measure(marked: org.apache.spark.sql.DataFrame,
+          fullRow: Boolean): (Long, Long, Double) = {
+        drain.invoke(bus)
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val kept =
+          if (fullRow) {
+            marked.write.format("noop").mode("overwrite").save()
+            -1L
+          } else marked.filter(col("keep")).count()
+        drain.invoke(bus)
+        (kept, shuffleBytes.get, (System.nanoTime() - t0) / 1e9)
+      }
+      def exact = Dedup.exactDedupNormalized(docs, "text", "doc_id")
+      def fp = Dedup.exactDedupNormalizedByFingerprint(docs, "text", "doc_id")
+      val (keptExact, prunedExact, _) = measure(exact, fullRow = false)
+      val (keptFp, prunedFp, _) = measure(fp, fullRow = false)
+      val (_, fullExact, wallExact) = measure(exact, fullRow = true)
+      val (_, fullFp, wallFp) = measure(fp, fullRow = true)
+      val line = f"${n / 1000000}%dM docs: pruned-consumer " +
+        f"${prunedExact / (1 << 20)}%d->${prunedFp / (1 << 20)}%d MiB " +
+        f"(${prunedFp.toDouble / prunedExact}%.2fx), full-row " +
+        f"${fullExact / (1 << 20)}%d->${fullFp / (1 << 20)}%d MiB " +
+        f"(${fullFp.toDouble / fullExact}%.2fx) wall " +
+        f"$wallExact%.1f->$wallFp%.1fs, kept=$keptExact"
+      info(line)
+      println(s"[fp-dedup-drill] $line")
+      assert(keptExact == keptFp, s"result divergence: $keptExact vs $keptFp")
+      // every mutant collapses onto its original: survivors == originals
+      assert(keptExact == n, s"mutants did not collapse: kept=$keptExact")
+      // Both shapes must shed bytes; how much is shape-dependent (both
+      // measured, recorded in BENCH_NOTES):
+      //  - pruned consumer: the whole text mass leaves the shuffle
+      //    (~25x measured — the key is 8 bytes vs the full string);
+      //  - full row: the raw text rides through both, and lz4 compresses
+      //    the normalized copy well against its neighboring raw text, so
+      //    the POST-COMPRESSION saving is the ~15%-of-stream the copy
+      //    still costs (pre-compression it is ~2x); the second win is
+      //    CPU — the window sort compares 8-byte longs, not strings.
+      assert(prunedFp < prunedExact * 0.5,
+        s"pruned-consumer shuffle not smaller: $prunedFp vs $prunedExact")
+      assert(fullFp < fullExact * 0.95,
+        s"full-row shuffle not smaller: $fullFp vs $fullExact")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("image decode throughput drill: 100k mixed-size PNGs across all cores") {
+    // r10 verdict item 7: q45 measures 500 images at sf0.1 — this drill
+    // encodes+decodes 100k PNGs of mixed dimensions (synthPng: 2x2 to
+    // 8x6, id-keyed) partition-parallel and records rows/sec/core so the
+    // Multimodal partition-sizing guidance carries a measured number.
+    val n = sys.env.get("SPARK_GRAFT_DRILL_ROWS")
+      .flatMap(_.toLongOption).getOrElse(100000L)
+    val cores = Runtime.getRuntime.availableProcessors()
+    val ids = spark.range(0, n, 1, 64).select(col("id").as("doc_id"))
+    val media = Multimodal.synthImages(ids, "doc_id")
+    val t0 = System.nanoTime()
+    val out = Multimodal.decodeFeatures(media, featureDim = 5,
+      codec = Multimodal.ImageIoCodec)
+    // correctness rides along: every decoded width/height must obey the
+    // id formulas (a wrong decode would silently pass a bare count)
+    val bad = out.filter(
+      try_element_at(col("features"), lit(1)) =!=
+        (pmod(col("media_id"), lit(7L)) + 2L).cast("float") ||
+      try_element_at(col("features"), lit(2)) =!=
+        (pmod(col("media_id"), lit(5L)) + 2L).cast("float")).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val perCore = n / secs / cores
+    info(f"$n%d images in $secs%.1fs on $cores cores: " +
+      f"${n / secs}%.0f rows/s (${perCore}%.0f rows/s/core, encode+decode)")
+    println(f"[decode-drill] $n%d imgs ${secs}%.1fs ${n / secs}%.0f rows/s " +
+      f"${perCore}%.0f rows/s/core")
+    assert(bad == 0, s"$bad rows decoded wrong dimensions")
+    // loose sanity floor only — the narrated number is the deliverable
+    assert(perCore > 50, f"decode throughput collapsed: $perCore%.0f rows/s/core")
+  }
+
   test("recipe scale drill: 5M docs end-to-end (curate→semdedup→mixture→split→profile)") {
     // r9 verdict item 3: the per-op 1M drills can't catch CROSS-operator
     // cache/memory interactions — run the PipelineRecipeSpec production
     // chain over a synthetic corpus 5–10x those drills and record wall
     // time + peak execution memory (numbers land in BENCH_NOTES).
     // SPARK_GRAFT_DRILL_ROWS overrides for manual larger-scale probes
-    // (the 10M memory-flatness run in the round-10 notes).
+    // (the 10M memory-flatness run in the round-10 notes);
+    // SPARK_GRAFT_DRILL_PARTITIONS overrides spark.sql.shuffle.partitions
+    // for the drill (restored after) — the r10 verdict item 4 knob: on a
+    // cluster the partition count scales with data, and the 10M run at
+    // 32-vs-scaled partitions turns that claim into a measured fact.
     val n = sys.env.get("SPARK_GRAFT_DRILL_ROWS")
       .flatMap(_.toLongOption).getOrElse(5000000L)
+    val partsOverride = sys.env.get("SPARK_GRAFT_DRILL_PARTITIONS")
+      .flatMap(_.toIntOption)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    partsOverride.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
     val dim = 16
     val sc = spark.sparkContext
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -738,7 +868,11 @@ class ScaleSpec extends AnyFunSuite {
       info(f"recipe ${n / 1000000}%dM: ${secs}%.1fs wall, curated=$nCurated " +
         f"deduped=$nDeduped mixed=$nMixed train=$sumDocs " +
         f"peakExecMem=${peak.get / (1 << 20)}%d MiB " +
-        f"spilled=${spilled.get / (1 << 20)}%d MiB")
+        f"spilled=${spilled.get / (1 << 20)}%d MiB " +
+        f"shufflePartitions=${spark.conf.get("spark.sql.shuffle.partitions")}")
+      println(f"[recipe-drill] ${n / 1000000}%dM total ${secs}%.1fs " +
+        f"peak=${peak.get / (1 << 20)}%d MiB spill=${spilled.get / (1 << 20)}%d MiB " +
+        f"parts=${spark.conf.get("spark.sql.shuffle.partitions")}")
       // the bounded-state claim with a number attached: per-task
       // execution memory must stay far under the executor share even
       // with 5M docs — catches a q32-class corpus-proportional reducer
@@ -747,6 +881,7 @@ class ScaleSpec extends AnyFunSuite {
     } finally {
       sc.removeSparkListener(listener)
       OpCaches.releaseAll()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
