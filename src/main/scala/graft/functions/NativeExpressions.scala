@@ -604,6 +604,40 @@ object Hashing {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** One DEFLATE compressor per thread, reset per row: `Deflater`
+    * allocation is a native zlib malloc — per-row construction would
+    * dominate the compression itself. Never `end()`ed; the retained
+    * native window is ~256 KB × cores, bounded and amortized across the
+    * executor's lifetime (the same trade Spark's own lz4 codecs make). */
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true) // zlib default level, raw stream
+  }
+
+  /** DEFLATE compression ratio of the UTF-8 bytes, in integer permille
+    * (`compressed_len * 1000 / raw_len`; 0 for null/empty). The cheap
+    * entropy proxy web-curation pipelines use to flag degenerate text:
+    * boilerplate/template/repetitive spam compresses far below natural
+    * prose, random-ish machine noise far above it (the one-pass
+    * generalization of Gopher's repetition counters). Deterministic for
+    * a fixed zlib level on a fixed runtime — treat thresholds as
+    * CALIBRATED per runtime, not portable constants; the q130 oracle
+    * therefore checks planted-class separations with wide margins, never
+    * exact byte counts. */
+  def deflateRatioPermille(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 0L
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total * 1000L / bytes.length
+  }
 }
 
 /** Bloom-filter bit math shared by the build aggregator ([[graft.ops.Bloom]])
@@ -1265,6 +1299,29 @@ case class KmvInterExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): KmvInterExpr = copy(left = l, right = r)
 }
 
+/** `graft_deflate_ratio(text)`: DEFLATE compression ratio in integer
+  * permille ([[Hashing.deflateRatioPermille]]) — the one-pass entropy
+  * proxy for degenerate-text filtering. A pure map-stage signal (no
+  * shuffle ever), codegen'd like the other natives; the compressor is
+  * thread-local so the per-row cost is the deflate itself. */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_deflate_ratio requires STRING input, got ${child.dataType.simpleString}")
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.deflateRatioPermille(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.deflateRatioPermille($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateRatioExpr =
+    copy(c)
+}
+
 /** Column-API + SQL registration for the native expressions. The Column
   * constructors go through the function registry + `call_function` (the
   * public route to a custom Expression since Spark 4 hid Column(expr)),
@@ -1339,6 +1396,8 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_kmv_union", a, b)
   def graft_kmv_inter(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_kmv_inter", a, b)
+  def graft_deflate_ratio(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_deflate_ratio", c)
 
   /** Evaluate a registration-time scalar argument (shingle width, merge
     * pair, sketch geometry…). These parameterize the EXPRESSION — they
@@ -1420,6 +1479,8 @@ object NativeFunctions {
         constArg("graft_bpe_merge_ids", "b", exprs, 2).asInstanceOf[Int],
         constArg("graft_bpe_merge_ids", "newId", exprs, 3).asInstanceOf[Int])),
     ("graft_kmv_est", "graft.functions.KmvEstExpr", exprs => KmvEstExpr(exprs.head)),
+    ("graft_deflate_ratio", "graft.functions.DeflateRatioExpr",
+      exprs => DeflateRatioExpr(exprs.head)),
     ("graft_kmv_union", "graft.functions.KmvUnionExpr", exprs => KmvUnionExpr(exprs(0), exprs(1))),
     ("graft_kmv_inter", "graft.functions.KmvInterExpr", exprs => KmvInterExpr(exprs(0), exprs(1))),
     ("graft_dd_quantile", "graft.functions.DdQuantileExpr", exprs => DdQuantileExpr(exprs.head,

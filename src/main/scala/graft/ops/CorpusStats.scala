@@ -514,4 +514,39 @@ object CorpusStats {
           .graft_fingerprint(col(textCol))).as("fp_hll"),
         DdSketch.sketch(col(lenCol).cast("double")).as("len_dd"))
   }
+
+  /** Misra–Gries heavy-hitters summary as an aggregate Column —
+    * `df.groupBy(...).agg(CorpusStats.heavyHittersAgg(col("tok"), k))`
+    * (the [[Hll.sketch]] shape). Map-side partials apply, so each partial
+    * aggregate carries at most k counters — shuffle ∝ k × partitions,
+    * never the vocabulary. */
+  def heavyHittersAgg(tokenCol: Column, k: Int): Column =
+    org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING).apply(tokenCol)
+
+  /** Roll-up merge of heavy-hitters summaries (the [[Hll.merge]] twin):
+    * per-shard/per-window summaries combine into coarser ones with the
+    * same capacity and the same error bound over the combined stream —
+    * the mergeable-summary property exact counts don't have. */
+  def heavyHittersMerge(summaryCol: Column, k: Int): Column =
+    org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGriesMergeAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]()).apply(summaryCol)
+
+  /** Corpus heavy hitters: the most frequent tokens via a Misra–Gries
+    * summary ([[graft.functions.MisraGriesAggregator]]) — bounded state,
+    * shuffle `≤ k × partitions` entries instead of one row per DISTINCT
+    * token (the exact `groupBy(token)` alternative shuffles the whole
+    * 10^9-entry web vocabulary to answer a top-20 question). Returns one
+    * row per surviving token: `(token, est)` with the MG guarantees
+    * (never over-counts; undercount ≤ N/(k+1); exact when k ≥ distinct
+    * tokens). Deterministic only in the exact regime — in the
+    * approximate regime the low-count tail of the summary depends on
+    * merge order (the guarantee does not). */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .agg(heavyHittersAgg(col("tok"), k).as("summary"))
+      .select(explode(col("summary")).as(Seq("token", "est")))
 }

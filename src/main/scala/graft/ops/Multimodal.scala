@@ -29,8 +29,8 @@ import org.apache.spark.sql.types._
   * blobs fits in memory), and the binary column should be pruned out of
   * any plan that only needs metadata (columnar parquet does this for free).
   * Measured (ScaleSpec decode-throughput drill, 100k mixed-size PNGs,
-  * local[32]): ~180 rows/s/core for encode+ImageIO-decode of small PNGs —
-  * so size partitions to O(10k) small images (or ~128 MiB of blob bytes)
+  * local[4]): ~2.3k rows/s/core for encode+ImageIO-decode of small PNGs —
+  * so size partitions to O(100k) small images (or ~128 MiB of blob bytes)
   * each, and expect throughput to be decode-bound, not I/O-bound.
   */
 object Multimodal {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Bloom, Curation, Dedup, Hll, Html, Kmv, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Bloom, Curation, Dedup, Hll, Html, Kmv, Multimodal, Sampling, Similarity, TextOps, Url}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1364,6 +1364,90 @@ object DataOpsQueries {
         |CAST(MAX(s) AS BIGINT) AS max_lo_x1e8
         |FROM (SELECT DISTINCT doc_id, lang FROM t) d JOIN sc USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // URL canonicalization: the oracle rebuilds the SAME messy URLs from
+    // doc_id and replays the ENTIRE canonicalization (fragment/port/www
+    // stripping, tracking-param filter + sort, trailing-slash rule,
+    // registered-domain heuristic, keep predicate) in SQL — the
+    // canonical strings themselves are pinned via total chars + MAX.
+    "q129_url_canon" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id%2=0 THEN 'HTTP' ELSE 'https' END || '://' ||
+        |  CASE WHEN doc_id%5=0 THEN 'WWW.' ELSE '' END ||
+        |  CASE WHEN doc_id%13=0 THEN 'Spam.Tracker.NET'
+        |    WHEN doc_id%3=0 THEN 'Example.COM'
+        |    WHEN doc_id%3=1 THEN 'news.example.co.uk'
+        |    ELSE 'cdn.assets.org' END ||
+        |  CASE WHEN doc_id%7=0 THEN
+        |    CASE WHEN doc_id%2=0 THEN ':80' ELSE ':443' END ELSE '' END ||
+        |  CASE WHEN doc_id%11=0 THEN
+        |      '/static/app.' || CAST(doc_id%50 AS VARCHAR) || '.js'
+        |    ELSE '/Article/' || CAST(doc_id%50 AS VARCHAR) ||
+        |      CASE WHEN doc_id%4=0 THEN '/' ELSE '' END END ||
+        |  CASE WHEN doc_id%2=0 THEN
+        |      '?utm_source=feed&b=' || CAST(doc_id%10 AS VARCHAR) || '&a=1'
+        |    ELSE '?a=1&utm_campaign=x&b=' || CAST(doc_id%10 AS VARCHAR) END ||
+        |  CASE WHEN doc_id%6=0 THEN '#sec' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (SELECT source, url,
+        |  lower(regexp_extract(regexp_replace(url, '#.*', ''),
+        |    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(url, '#.*', ''),
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u),
+        |h AS (SELECT source, url, scheme,
+        |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+        |    '^www\.', '') AS h0,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM p),
+        |h2 AS (SELECT source, scheme,
+        |  CASE WHEN scheme='http' THEN regexp_replace(h0, ':80$', '')
+        |    WHEN scheme='https' THEN regexp_replace(h0, ':443$', '')
+        |    ELSE h0 END AS host,
+        |  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS pth,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(regexp_replace(url, '#.*', ''),
+        |      '\?(.*)$', 1), '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x,
+        |      '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)='))),
+        |    '&') AS q FROM h),
+        |c AS (SELECT source, scheme, pth, q,
+        |  scheme || '://' || host || pth ||
+        |    CASE WHEN q='' THEN '' ELSE '?' || q END AS canon,
+        |  string_split(host, '.') AS ls FROM h2),
+        |d AS (SELECT source, scheme, pth, canon,
+        |  CASE WHEN len(ls) >= 3 AND ls[len(ls)-1] IN
+        |      ('co','com','net','org','gov','ac','edu')
+        |    THEN array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |    ELSE array_to_string(ls[greatest(len(ls)-1,1):len(ls)], '.')
+        |  END AS dom FROM c),
+        |k AS (SELECT source, canon, dom,
+        |  (scheme IN ('http','https') AND NOT regexp_matches(lower(pth),
+        |    '\.(css|js|mjs|png|jpe?g|gif|ico|svg|webp|woff2?|ttf|mp4|mp3|zip|gz|exe)$')
+        |   AND dom NOT IN ('tracker.net')) AS keep FROM d)
+        |SELECT source, COUNT(*) AS n_urls,
+        |CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |CAST(SUM(length(canon)) AS BIGINT) AS canon_chars,
+        |MAX(canon) AS max_canon,
+        |COUNT(DISTINCT canon) AS n_canon,
+        |COUNT(DISTINCT dom) AS n_domains
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Compression-ratio verdicts: every boolean is guaranteed by the
+    // planted-class construction (margins measured in the q130 scaladoc),
+    // so the oracle asserts them as certainties — the engine side still
+    // computes them from genuinely deflated bytes.
+    "q130_compression_ratio" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |COUNT(*) AS n_rep_low, COUNT(*) AS n_noise_mid,
+        |COUNT(*) AS n_order, COUNT(*) AS n_long_text_low
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Heavy hitters: k=64 >= vocabulary, so the MG summary is provably
+    // the exact count map (hash-compared against GROUP BY); the k=8
+    // verdicts are algorithmic guarantees, TRUE for any merge order.
+    "q131_heavy_hitters" ->
+      """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM t),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
+        |SELECT token, cnt, cnt*9 > n AS is_heavy, TRUE AS k8_ok
+        |FROM c, tot ORDER BY cnt DESC, token""".stripMargin,
   )
 
   /** One DuckDB round of [[graft.ops.CorpusStats.bpeTrain]] as CTEs over
@@ -1625,6 +1709,115 @@ object DataOpsQueries {
         sum(when(col("content") === expected, 1L).otherwise(0L))
           .as("n_exact_recovery"))
       .orderBy("source")
+  }
+
+  /** URL canonicalization + filtering ([[Url]]) — the front stage of a
+    * web-crawl pipeline. One deliberately-messy URL is CONSTRUCTED per
+    * document (scheme/host case variants, `www.`, default ports,
+    * trailing slashes, tracking params in shuffled positions, fragments,
+    * asset extensions, a blocklisted domain — all integer formulas of
+    * `doc_id`), the engine canonicalizes/marks it, and the oracle
+    * replays the ENTIRE canonicalization in SQL on the same constructed
+    * strings: keep counts, distinct canonical URLs, distinct registered
+    * domains, total canonical characters and the max canonical string.
+    * Distinct counts are two-phase (distinct → count), never a
+    * multi-distinct Expand (the q47 shape rule). */
+  val q129UrlCanon: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id", "source")
+    val d = col("doc_id")
+    def m(k: Long) = pmod(d, lit(k))
+    val url = concat(
+      when(m(2) === 0L, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      when(m(5) === 0L, lit("WWW.")).otherwise(lit("")),
+      when(m(13) === 0L, lit("Spam.Tracker.NET"))
+        .when(m(3) === 0L, lit("Example.COM"))
+        .when(m(3) === 1L, lit("news.example.co.uk"))
+        .otherwise(lit("cdn.assets.org")),
+      when(m(7) === 0L, when(m(2) === 0L, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
+      when(m(11) === 0L,
+          concat(lit("/static/app."), m(50).cast("string"), lit(".js")))
+        .otherwise(concat(lit("/Article/"), m(50).cast("string"),
+          when(m(4) === 0L, lit("/")).otherwise(lit("")))),
+      when(m(2) === 0L,
+          concat(lit("?utm_source=feed&b="), m(10).cast("string"), lit("&a=1")))
+        .otherwise(concat(lit("?a=1&utm_campaign=x&b="), m(10).cast("string"))),
+      when(m(6) === 0L, lit("#sec")).otherwise(lit("")))
+    val marked = Url.mark(docs.withColumn("url", url), "url",
+      blockedDomains = Seq("tracker.net"))
+    val base = marked.groupBy("source").agg(
+      count(lit(1)).as("n_urls"),
+      sum(when(col("url_keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum(length(col("canonical_url")).cast("long")).as("canon_chars"),
+      max(col("canonical_url")).as("max_canon"))
+    val canon = marked.select("source", "canonical_url").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_canon"))
+    val doms = marked.select("source", "url_domain").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_domains"))
+    base.join(canon, Seq("source")).join(doms, Seq("source"))
+      .orderBy("source")
+  }
+
+  /** DEFLATE compression-ratio quality signal (`graft_deflate_ratio` —
+    * the one-pass entropy proxy for degenerate text). Compressed byte
+    * counts are zlib-implementation facts, not portable SQL, so the
+    * oracle contract is planted-class SEPARATION with wide margins
+    * (measured: repeated boilerplate ~61‰, 512 hex chars of md5 noise
+    * ~556‰, ≥200-char corpus text ≤ 605‰): boilerplate < 300, noise in
+    * (400, 950), noise strictly above boilerplate, long natural text
+    * < 800. Every verdict is engine-evaluated on genuinely compressed
+    * bytes; the oracle asserts the booleans. */
+  val q130CompressionRatio: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    import graft.functions.NativeFunctions.graft_deflate_ratio
+    val docs = load(s, dir, "documents")
+    val noise = array_join(transform(sequence(lit(0), lit(15)),
+      i => md5(concat(lit("n"), col("doc_id").cast("string"), lit("-"),
+        i.cast("string")))), "")
+    docs.select(col("source"), length(col("text")).as("len"),
+        graft_deflate_ratio(
+          repeat(lit("the quick brown fox jumps over the lazy dog "), 20))
+          .as("r_rep"),
+        graft_deflate_ratio(noise).as("r_noise"),
+        graft_deflate_ratio(col("text")).as("r_text"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("r_rep") < 300, 1L).otherwise(0L)).as("n_rep_low"),
+        sum(when(col("r_noise") > 400 && col("r_noise") < 950, 1L)
+          .otherwise(0L)).as("n_noise_mid"),
+        sum(when(col("r_noise") > col("r_rep"), 1L).otherwise(0L)).as("n_order"),
+        sum(when(col("len") < 200 || col("r_text") < 800, 1L).otherwise(0L))
+          .as("n_long_text_low"))
+      .orderBy("source")
+  }
+
+  /** Misra–Gries heavy hitters ([[graft.ops.CorpusStats.heavyHitters]]).
+    * Two summaries run: k=64 ≥ the corpus vocabulary, where MG is
+    * provably EXACT and merge-order independent — those counts are
+    * hash-compared against the oracle's true GROUP BY counts — and k=8,
+    * deep in the approximate regime, whose algorithmic guarantees
+    * (never over-counts; every token with cnt·9 > N tracked with
+    * undercount ≤ N/9) hold for ANY merge order and are emitted as
+    * verdict booleans the oracle asserts TRUE. MisraGriesSpec pins the
+    * same laws across adversarial repartitionings. */
+  val q131HeavyHitters: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val exact = graft.ops.CorpusStats.heavyHitters(docs, "text", 64)
+      .withColumnRenamed("est", "cnt")
+    val approx = graft.ops.CorpusStats.heavyHitters(docs, "text", 8)
+      .withColumnRenamed("est", "est8")
+    val total = docs.select(
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_total"))
+    exact.join(approx, Seq("token"), "left")
+      .crossJoin(total)
+      .select(col("token"), col("cnt"),
+        (col("cnt") * 9 > col("n_total")).as("is_heavy"),
+        when(col("cnt") * 9 > col("n_total"),
+          col("est8").isNotNull && col("est8") <= col("cnt") &&
+            (col("cnt") - col("est8")) * 9 <= col("n_total"))
+          .otherwise(col("est8").isNull || col("est8") <= col("cnt"))
+          .as("k8_ok"))
+      .orderBy(col("cnt").desc, col("token"))
   }
 
   /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1) via the
@@ -3189,5 +3382,8 @@ object DataOpsQueries {
     "q126_fp_dedup" -> q126FpDedup,
     "q127_audio_decode" -> q127AudioDecode,
     "q128_html_extract" -> q128HtmlExtract,
+    "q129_url_canon" -> q129UrlCanon,
+    "q130_compression_ratio" -> q130CompressionRatio,
+    "q131_heavy_hitters" -> q131HeavyHitters,
   )
 }

@@ -245,6 +245,31 @@ object Streams {
         col("sketch"))
   }
 
+  /** Streaming heavy hitters — the continuous-ingest twin of
+    * [[graft.ops.CorpusStats.heavyHitters]] (q131): per event-time
+    * window, a Misra–Gries summary builds as a streaming aggregate.
+    * MG is a MERGEABLE summary (Agarwal et al., PODS 2012), which is
+    * precisely the streaming-state requirement: each micro-batch folds
+    * its tokens into at most k counters, state per window is one
+    * k-entry map bounded by the watermark — NEVER the vocabulary — and
+    * emitted window summaries roll up into days/weeks via
+    * [[graft.ops.CorpusStats.heavyHittersMerge]] with the composed
+    * N/(k+1) bound intact. In the exact regime (k ≥ distinct tokens in
+    * the window) per-token counts are monotone across updates and the
+    * final emission equals the batch counts (StreamingSpec pins this);
+    * in the approximate regime the algorithmic guarantees hold per
+    * emission. Counts are NOT idempotent under source replay (the
+    * quantile-sketch caveat, not the HLL one): put
+    * [[dedupAgainstStateStream]] in front of at-least-once sources. */
+  def heavyHittersStream(docs: DataFrame, textCol: String,
+      eventTimeCol: String = "event_time", window_ : String = "1 hour",
+      watermark: String = "10 minutes", k: Int = 64): DataFrame =
+    docs.withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol),
+        explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(window(col(eventTimeCol), window_))
+      .agg(graft.ops.CorpusStats.heavyHittersAgg(col("tok"), k).as("summary"))
+
   /** Stateless streaming weighted sampling — the continuous-ingest twin
     * of [[graft.ops.Sampling.weightedSample]] (q68): keep a stream row
     * iff its id's Knuth hash lands below the per-row weight percentage

@@ -62,6 +62,7 @@ object NativeWarmup {
       "graft_byte_token_ids" -> NF.graft_byte_token_ids(text),
       "graft_bpe_merge_ids" -> NF.graft_bpe_merge_ids(
         NF.graft_byte_token_ids(text), 116, 104, 257),
+      "graft_deflate_ratio" -> NF.graft_deflate_ratio(text),
     )
   }
 

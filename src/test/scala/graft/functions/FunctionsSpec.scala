@@ -306,4 +306,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("Hashing.rollingHash"), "generated code should call the static helper")
     assert(plan.contains("Hashing.minhashSig"), "minhash should codegen via the static helper")
   }
+
+  test("deflate ratio: determinism, planted-class separation, edge inputs, codegen") {
+    import spark.implicits._
+    val rep = "the quick brown fox jumps over the lazy dog " * 20
+    val noise = (0 until 16).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n7-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    val df = Seq((rep, noise)).toDF("rep", "noise").select(
+      NativeFunctions.graft_deflate_ratio(col("rep")).as("r_rep"),
+      NativeFunctions.graft_deflate_ratio(col("noise")).as("r_noise"))
+    val row = df.head()
+    val (rRep, rNoise) = (row.getLong(0), row.getLong(1))
+    // boilerplate compresses to almost nothing; hex noise stays heavy
+    assert(rRep > 0 && rRep < 300, s"r_rep=$rRep")
+    assert(rNoise > 400 && rNoise < 950, s"r_noise=$rNoise")
+    assert(rNoise > rRep)
+    // deterministic across evaluations and across rows (thread-local reuse)
+    val many = Seq.fill(64)(noise).toDF("t")
+      .repartition(8)
+      .select(NativeFunctions.graft_deflate_ratio(col("t")).as("r"))
+      .distinct().collect()
+    assert(many.length == 1 && many.head.getLong(0) == rNoise)
+    // edges: empty -> 0, null -> null (UnaryExpression null contract)
+    val edge = spark.sql(
+      "SELECT graft_deflate_ratio(''), graft_deflate_ratio(CAST(NULL AS STRING))").head()
+    assert(edge.getLong(0) == 0L)
+    assert(edge.isNullAt(1))
+    // stays inside whole-stage codegen via the static helper
+    val plan = spark.read.parquet(docs)
+      .select(NativeFunctions.graft_deflate_ratio(col("text")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("Hashing.deflateRatioPermille"), plan.take(500))
+    // type discipline: non-string input fails analysis loudly
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_deflate_ratio(42)").collect()
+    }
+    assert(e.getMessage.contains("graft_deflate_ratio"), e.getMessage)
+  }
 }

@@ -750,7 +750,10 @@ class ScaleSpec extends AnyFunSuite {
     // Multimodal partition-sizing guidance carries a measured number.
     val n = sys.env.get("SPARK_GRAFT_DRILL_ROWS")
       .flatMap(_.toLongOption).getOrElse(100000L)
-    val cores = Runtime.getRuntime.availableProcessors()
+    // the SESSION's worker count, not the machine's — the test session
+    // is local[4], and dividing by host cores would overstate nothing
+    // but understate per-core throughput 8x
+    val cores = spark.sparkContext.defaultParallelism
     val ids = spark.range(0, n, 1, 64).select(col("id").as("doc_id"))
     val media = Multimodal.synthImages(ids, "doc_id")
     val t0 = System.nanoTime()

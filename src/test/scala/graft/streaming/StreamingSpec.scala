@@ -670,4 +670,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == streamed.count())
     assert(mismatch.count() == 0)
   }
+
+  test("streaming heavy hitters: per-window exact-regime counts equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two hour-windows, skewed token text, arrivals split mid-window so
+    // the MG summary must merge across micro-batches
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val rows = (0 until 200).map { i =>
+      val h = 10 + (i % 2)
+      val text = if (i % 4 == 0) "alpha alpha beta" else s"alpha tail${i % 20}"
+      (ts(h, i % 60), text)
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val (first, second) = rows.splitAt(rows.size / 3)
+    // wide watermark: the fixture interleaves both windows across both
+    // micro-batches, so neither window may close between batches
+    val agg = Streams.heavyHittersStream(
+      mem.toDF().toDF("event_time", "text"), "text",
+      watermark = "3 hours", k = 64)
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hh_stream").start()
+    mem.addData(first); q.processAllAvailable()
+    mem.addData(second); q.processAllAvailable()
+    q.stop()
+    // exact regime (k=64 >= 21 distinct tokens): per-token counts are
+    // monotone across Update emissions, so the per-window MAX over all
+    // emitted summaries IS the final state
+    val streamed = spark.table("hh_stream")
+      .select(col("window").cast("string").as("w"), explode(col("summary")).as(Seq("token", "est")))
+      .groupBy("w", "token").agg(max("est").as("est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = rows.toDF("event_time", "text")
+      .select(window(col("event_time"), "1 hour").cast("string").as("w"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("w", "token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // and the emitted summaries ROLL UP: merging the two windows' final
+    // summaries (reconstructed from the monotone per-token maxes) gives
+    // a valid summary of the whole stream — exact here, so it equals
+    // the global counts
+    val finals = streamed.toSeq.groupBy(_._1._1).values.toSeq
+      .map(kvs => kvs.map { case ((_, t), c) => t -> c }.toMap)
+    val rolled = finals.toDF("summary")
+      .agg(graft.ops.CorpusStats.heavyHittersMerge(col("summary"), 64).as("m"))
+      .select(explode(col("m")).as(Seq("token", "est")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val global = rows.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    assert(rolled == global)
+  }
 }
