@@ -67,13 +67,35 @@ object Dedup {
     dedupByKey(df, "exactDedupNormalizedByFingerprint",
       TextOps.dedupFingerprint(col(textCol)), idCol)
 
+  /** Per-group normalized dedup — the multilingual composition the
+    * [[TextOps.dedupKey]] scope contract prescribes: the ASCII
+    * normalization is Latin-script-only, so a multilingual corpus
+    * language-splits upstream ([[TextOps.langGuess]] or a provided
+    * label) and dedups WITHIN language. The window partitions on
+    * `(group, key)`, so identical texts in DIFFERENT groups never
+    * collapse (a translation-pair corpus keeps both sides) while
+    * within-group mutants still do. Same one-scan/one-shuffle shape as
+    * [[exactDedupNormalized]]; `byFingerprint = true` swaps in the
+    * 8-byte production key ([[exactDedupNormalizedByFingerprint]]'s
+    * collision contract, which the composite group key further
+    * tightens: collisions only matter within one group). */
+  def exactDedupNormalizedPerGroup(df: DataFrame, textCol: String,
+      idCol: String, groupCol: String,
+      byFingerprint: Boolean = false): DataFrame =
+    dedupByKey(df, "exactDedupNormalizedPerGroup",
+      if (byFingerprint) TextOps.dedupFingerprint(col(textCol))
+      else TextOps.dedupKey(col(textCol)),
+      idCol, partitionCols = Seq(col(groupCol)))
+
   /** Shared keep-min-id + group-size window over an arbitrary key
     * expression (the one-shuffle shape documented on
-    * [[exactDedupNormalized]]). */
+    * [[exactDedupNormalized]]); `partitionCols` prepend extra window
+    * keys (per-language/per-domain dedup). */
   private def dedupByKey(df: DataFrame, op: String, key: Column,
-      idCol: String): DataFrame = {
+      idCol: String, partitionCols: Seq[Column] = Nil): DataFrame = {
     Sampling.requireFreshColumns(df, op, "keep", "n_copies", "__dedup_key")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__dedup_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols :+ col("__dedup_key"): _*)
     df.withColumn("__dedup_key", key)
       .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))

@@ -1448,6 +1448,29 @@ object DataOpsQueries {
         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
         |SELECT token, cnt, cnt*9 > n AS is_heavy, TRUE AS k8_ok
         |FROM c, tot ORDER BY cnt DESC, token""".stripMargin,
+    // Per-language dedup: grouping key is (lang, normalized key) — the
+    // cross-language 'zz' clones survive, within-language mutants drop.
+    "q132_perlang_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000000, 'zz', text
+        |  FROM documents WHERE doc_id % 9 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 400000000, lang, upper(text) || ' ??'
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |n AS (SELECT doc_id, lang,
+        |  CASE WHEN nt0 = '' THEN text ELSE nt0 END AS nt FROM (
+        |    SELECT doc_id, lang, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS nt0 FROM a)),
+        |g AS (SELECT lang, nt, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM n GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |MAX(n_copies) AS max_copies
+        |FROM n JOIN g USING (lang, nt) GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** One DuckDB round of [[graft.ops.CorpusStats.bpeTrain]] as CTEs over
@@ -1818,6 +1841,32 @@ object DataOpsQueries {
           .otherwise(col("est8").isNull || col("est8") <= col("cnt"))
           .as("k8_ok"))
       .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Per-language normalized dedup ([[Dedup.exactDedupNormalizedPerGroup]]
+    * — the multilingual composition the dedup scope contract prescribes:
+    * language-split upstream, dedup WITHIN language). Planted evidence
+    * both ways: cross-language clones (same text, lang `zz`) must ALL
+    * survive — the per-group window never merges across languages — while
+    * within-language case/punct mutants still collapse onto their
+    * originals. The oracle replays the (lang, normalized-key) grouping
+    * end-to-end. */
+  val q132PerLangDedup: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id", "lang", "text")
+    val xlang = docs.filter(pmod(col("doc_id"), lit(9L)) === 3L)
+      .select((col("doc_id") + 300000000L).as("doc_id"),
+        lit("zz").as("lang"), col("text"))
+    val mutant = docs.filter(pmod(col("doc_id"), lit(7L)) === 2L)
+      .select((col("doc_id") + 400000000L).as("doc_id"), col("lang"),
+        concat(upper(col("text")), lit(" ??")).as("text"))
+    val all = docs.unionByName(xlang).unionByName(mutant)
+    Dedup.exactDedupNormalizedPerGroup(all, "text", "doc_id", "lang")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        max(col("n_copies")).as("max_copies"))
+      .orderBy("lang")
   }
 
   /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1) via the
@@ -3385,5 +3434,6 @@ object DataOpsQueries {
     "q129_url_canon" -> q129UrlCanon,
     "q130_compression_ratio" -> q130CompressionRatio,
     "q131_heavy_hitters" -> q131HeavyHitters,
+    "q132_perlang_dedup" -> q132PerLangDedup,
   )
 }

@@ -168,6 +168,30 @@ class PiiSpec extends AnyFunSuite {
     assert(m(40L) == ((true, 2L)) && m(41L) == ((false, 2L)) && m(42L) == ((true, 1L)))
   }
 
+  test("per-group dedup: cross-language twins survive, within-language mutants drop") {
+    val df = Seq(
+      (1L, "en", "the quick fox"),
+      (2L, "en", "The QUICK fox!!"),   // en mutant of 1 — drops
+      (3L, "de", "the quick fox"),     // same text, OTHER language — keeps
+      (4L, "de", "etwas anderes"),
+      (5L, "en", "火车站在哪里"),       // empty-normalizing, en
+      (6L, "de", "火车站在哪里"))       // same raw text, de — keeps (group differs)
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.exactDedupNormalizedPerGroup(df, "text", "doc_id", "lang")
+    val m = out.select("doc_id", "keep", "n_copies")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((true, 2L)) && m(2L) == ((false, 2L)))
+    assert(m(3L) == ((true, 1L)), "cross-language twin must survive")
+    assert(m(5L) == ((true, 1L)) && m(6L) == ((true, 1L)),
+      "non-Latin raw-key docs must not merge across languages")
+    // fingerprint variant: identical group structure on the same fixtures
+    val fp = Dedup.exactDedupNormalizedPerGroup(df, "text", "doc_id", "lang",
+        byFingerprint = true)
+      .select("doc_id", "keep", "n_copies")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fp == m, s"fingerprint/exact divergence: $fp vs $m")
+  }
+
   test("duplicateWeights byFingerprint ≡ exact weights") {
     val df = Seq(
       (1L, "dup text"), (2L, "DUP text"), (3L, "dup  text!"),
