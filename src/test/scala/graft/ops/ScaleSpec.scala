@@ -653,6 +653,68 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("heavy-hitters drill: MG shuffle carries k-entry summaries, never the vocabulary") {
+    // the q131 scale claim, measured: exact `groupBy(token).count()` on a
+    // high-cardinality stream shuffles ~one row per (partition-local)
+    // distinct token — at web scale, the vocabulary; the Misra-Gries
+    // aggregation shuffles one <= k-entry map per partition regardless
+    // of vocabulary. Stream: 2M tokens, ~1M-entry tail vocabulary, 7
+    // planted heavy tokens carrying a third of the mass.
+    val n = 2000000L
+    val v = 1000000L
+    val toks = spark.range(0, n, 1, 32).select(
+      when(pmod(col("id"), lit(3L)) === 0L,
+          concat(lit("h"), pmod(col("id"), lit(7L)).cast("string")))
+        .otherwise(concat(lit("t"), pmod(col("id"), lit(v)).cast("string")))
+        .as("tok"))
+    val sc = spark.sparkContext
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    sc.addSparkListener(listener)
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    val drain = bus.getClass.getMethod("waitUntilEmpty")
+    try {
+      def measure(f: => Unit): (Long, Double) = {
+        drain.invoke(bus); bytes.set(0L)
+        val t0 = System.nanoTime()
+        f
+        drain.invoke(bus)
+        (bytes.get, (System.nanoTime() - t0) / 1e9)
+      }
+      val (exactBytes, exactWall) = measure(
+        toks.groupBy("tok").count()
+          .write.format("noop").mode("overwrite").save())
+      var summary: Map[String, Long] = Map.empty
+      val (mgBytes, mgWall) = measure {
+        summary = toks.agg(
+            CorpusStats.heavyHittersAgg(col("tok"), 64).as("s"))
+          .head().getMap[String, Long](0).toMap
+      }
+      val line = f"2M tokens / ~1M vocab: exact-groupBy shuffle " +
+        f"${exactBytes / (1 << 20)}%d MiB ($exactWall%.1fs) vs MG-64 " +
+        f"${mgBytes / 1024}%d KiB ($mgWall%.1fs) — " +
+        f"${exactBytes / math.max(mgBytes, 1)}%dx"
+      info(line); println(s"[hh-drill] $line")
+      // the vocabulary-sized shuffle vs the k-sized one
+      assert(mgBytes < exactBytes / 100,
+        s"MG shuffle not bounded: $mgBytes vs $exactBytes")
+      // every planted heavy token (mass ~95k each > N/65 ~ 31k) must be
+      // tracked, with the guaranteed undercount bound
+      (0 until 7).foreach { i =>
+        val t = s"h$i"
+        assert(summary.contains(t), s"heavy token $t missing")
+        assert(summary(t) <= n && summary(t) >= n / 3 / 7 - n / 65,
+          s"$t estimate ${summary(t)} outside the MG bound")
+      }
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("fingerprint-keyed dedup drill: the one shuffle carries 8-byte keys, not a second text copy") {
     // r10 verdict item 1's measurement leg: exactDedupNormalized windows
     // on the full normalized STRING, so its one hash-partitioned shuffle
