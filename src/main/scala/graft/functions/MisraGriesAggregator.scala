@@ -60,10 +60,45 @@ class MisraGriesAggregator(k: Int)
     else {
       // subtract the (k+1)-st largest count from all, keep positives:
       // at most k survive, and every counter lost exactly what the
-      // decrement bound already accounts for
-      val kth = sum.values.toArray.sortBy(-_).apply(k)
+      // decrement bound already accounts for. Selection, not a sort:
+      // n ≤ 2k here (both inputs are k-summaries), but at a
+      // k=10^5-tracking configuration an O(n log n) sort per merge
+      // would BE the merge cost — quickselect keeps it O(n) expected.
+      val kth = selectKthLargest(sum.values.toArray, k)
       sum.flatMap { case (t, c) => if (c > kth) Some(t -> (c - kth)) else None }
     }
+  }
+
+  /** The (k0+1)-st largest value of `vals` (0-indexed rank `k0` in
+    * descending order) by in-place quickselect — O(n) expected, O(n²)
+    * only on adversarial pivot runs, which counter values (data-derived
+    * longs, median-of-three pivot) don't produce in practice. */
+  private def selectKthLargest(vals: Array[Long], k0: Int): Long = {
+    var lo = 0
+    var hi = vals.length - 1
+    val target = k0 // rank in DESCENDING order
+    while (lo < hi) {
+      // median-of-three pivot (descending comparisons)
+      val mid = lo + (hi - lo) / 2
+      if (vals(mid) > vals(lo)) { val t = vals(lo); vals(lo) = vals(mid); vals(mid) = t }
+      if (vals(hi) > vals(lo)) { val t = vals(lo); vals(lo) = vals(hi); vals(hi) = t }
+      if (vals(hi) > vals(mid)) { val t = vals(mid); vals(mid) = vals(hi); vals(hi) = t }
+      val pivot = vals(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (vals(i) > pivot) i += 1
+        while (vals(j) < pivot) j -= 1
+        if (i <= j) {
+          val t = vals(i); vals(i) = vals(j); vals(j) = t
+          i += 1; j -= 1
+        }
+      }
+      if (target <= j) hi = j
+      else if (target >= i) lo = i
+      else return vals(target)
+    }
+    vals(target)
   }
 
   override def finish(buf: Map[String, Long]): Map[String, Long] = buf

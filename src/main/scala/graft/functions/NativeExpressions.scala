@@ -616,7 +616,9 @@ object Hashing {
   }
 
   /** DEFLATE compression ratio of the UTF-8 bytes, in integer permille
-    * (`compressed_len * 1000 / raw_len`; 0 for null/empty). The cheap
+    * (`compressed_len * 1000 / raw_len`; 0 for empty — null never reaches
+    * here: [[DeflateRatioExpr]] is a null-intolerant `UnaryExpression`,
+    * so SQL null in → null out, as FunctionsSpec pins). The cheap
     * entropy proxy web-curation pipelines use to flag degenerate text:
     * boilerplate/template/repetitive spam compresses far below natural
     * prose, random-ish machine noise far above it (the one-pass
@@ -626,7 +628,6 @@ object Hashing {
     * therefore checks planted-class separations with wide margins, never
     * exact byte counts. */
   def deflateRatioPermille(s: UTF8String): Long = {
-    if (s == null) return 0L
     val bytes = s.getBytes
     if (bytes.length == 0) return 0L
     val d = deflaters.get()

@@ -46,11 +46,17 @@ object Html {
   private def blockText(b: Column): Column =
     trim(regexp_replace(regexp_replace(b, TagPattern, " "), "\\s+", " "))
 
-  /** Characters of anchor text inside one block chunk (inner tags
-    * stripped, whitespace kept — a link's visible length). */
+  /** Characters of anchor text inside one block chunk, under the SAME
+    * normalization as [[blockText]] (inner tags to spaces, whitespace
+    * collapsed, trimmed): the link-density test compares anchor mass to
+    * block mass, so the two signals must count characters identically —
+    * a pretty-printed multi-line anchor would otherwise inflate
+    * `anchor_chars` past the collapsed block length and over-drop
+    * genuine content blocks. */
   private def anchorChars(b: Column): Column =
     aggregate(regexp_extract_all(b, lit(AnchorPattern), lit(1)), lit(0),
-      (acc, a) => acc + length(regexp_replace(a, TagPattern, "")))
+      (acc, a) => acc + length(trim(regexp_replace(
+        regexp_replace(a, TagPattern, " "), "\\s+", " "))))
 
   /** Array of (text, anchor_chars) structs for every NON-EMPTY block of
     * `html` — the segmentation + per-block signals, one expression. */

@@ -34,9 +34,16 @@ object Pii {
     * / long digit runs / 3-part version strings never match; the
     * paren/`+1` alternatives start on literal `(`/`+` (a `\b` there can
     * never match — both sides non-word), which errs toward matching,
-    * the module's stated over-redaction bias. RE2-safe construct set
-    * (alternation, classes, bounded repetition, ASCII `\b`) so the
-    * DuckDB oracle replays it exactly. */
+    * the module's stated over-redaction bias. That bias has a concrete
+    * accepted false-positive class, pinned in PiiSpec: any numeric
+    * shaped `ddd.ddd.dddd` or with MIXED separators (`555.123 4567`) is
+    * redacted — the dotted triple IS a real NANP rendering, and the
+    * separator classes are independent (no backreference: RE2 has
+    * none), so a dotted metric/ID that happens to hit 3-3-4 digit
+    * grouping is scrubbed. A pipeline for which that class is precious
+    * should pass a custom [[PiiClass]] chain with per-separator
+    * branches. RE2-safe construct set (alternation, classes, bounded
+    * repetition, ASCII `\b`) so the DuckDB oracle replays it exactly. */
   val Phone: PiiClass = PiiClass("phone",
     "(\\+1[- .])?(\\(\\d{3}\\)[- .]?|\\b\\d{3}[- .])\\d{3}[- .]\\d{4}\\b",
     "[PHONE]")

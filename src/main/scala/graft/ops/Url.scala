@@ -29,9 +29,26 @@ import org.apache.spark.sql.functions._
 object Url {
 
   /** Query parameters that never identify content (click/campaign
-    * trackers) — dropped by [[canonicalize]]. Anchored, RE2-safe. */
+    * trackers) — dropped by [[canonicalize]]. Anchored, RE2-safe.
+    *
+    * Case-INSENSITIVE on the key (`(?i)` — RE2 and java.util.regex agree):
+    * trackers are appended by third-party snippets whose casing varies
+    * (`UTM_SOURCE=` appears in the wild), and a surviving case-variant
+    * tracker would split one page into several canonical URLs — the
+    * failure mode canonicalization exists to prevent. Param VALUES are
+    * untouched (the pattern stops at `=`).
+    *
+    * `ref` trade-off (documented choice, same spirit as the userinfo
+    * scope contract above): `ref`/`ref_src` style referral tags are the
+    * most common non-`utm_` tracker, so it is stripped — accepting that
+    * on the minority of sites where `ref` SELECTS content (some forums,
+    * some storefront filters) distinct pages canonicalize identically
+    * and downstream URL-level dedup keeps only one. A crawl that targets
+    * such a site should canonicalize with a site-specific pattern; the
+    * default optimizes for the common case where keeping `ref` splits
+    * duplicate groups by referrer. UrlSpec pins both behaviors. */
   val TrackingParamPattern: String =
-    "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+    "(?i)^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
 
   /** Resource extensions that are not documents (the C4-style asset
     * drop). Case-insensitive via lowercased path. */
@@ -90,8 +107,10 @@ object Url {
   /** Registered-domain ("site") extraction from [[host]] with the
     * standard two-level-suffix heuristic: `a.b.co.uk` → `b.co.uk`,
     * `a.b.org` → `b.org`. The full public-suffix list is a data file,
-    * not an algorithm — production swaps [[SecondLevelSuffixes]] for a
-    * broadcast lookup of the PSL; the grouping shape is identical. */
+    * not an algorithm — [[registeredDomainWithSuffixes]] /
+    * [[markWithPsl]] are the table-driven production variants; this
+    * heuristic is the NO-DATA fallback (and the two agree wherever the
+    * heuristic is right — UrlSpec pins the divergence cases). */
   val SecondLevelSuffixes: Seq[String] =
     Seq("co", "com", "net", "org", "gov", "ac", "edu")
 
@@ -101,6 +120,78 @@ object Url {
     when(n >= 3 && element_at(l, n - 1).isInCollection(SecondLevelSuffixes),
         concat_ws(".", slice(l, n - 2, lit(3))))
       .otherwise(concat_ws(".", slice(l, greatest(n - 1, lit(1)), lit(2))))
+  }
+
+  /** PSL rules never exceed a handful of labels (the longest entries in
+    * the real list are 4-label, e.g. `s3.dualstack.ap-south-1.amazonaws
+    * .com`-class private rules); candidate generation is capped here so
+    * the per-row cost is a CONSTANT number of set probes. */
+  val MaxSuffixLabels: Int = 4
+
+  /** Registered-domain extraction against a REAL public-suffix list —
+    * the production variant [[registeredDomain]]'s scaladoc promises.
+    * Longest-match-wins over the host's trailing label runs, exactly the
+    * PSL algorithm for plain (non-wildcard, non-exception) rules: try
+    * the longest candidate suffix first ([[MaxSuffixLabels]] labels down
+    * to 1); on the first hit the registered domain is the suffix plus
+    * ONE more label. A host that IS a public suffix, or that matches
+    * nothing, falls back to the last-two-labels default — the PSL's own
+    * prevailing `*` rule, and [[registeredDomain]]'s `.otherwise` branch,
+    * so the two variants agree everywhere the heuristic is right and
+    * differ only where the heuristic mis-groups (UrlSpec pins the
+    * documented divergence cases: `foo.go.jp`, `user.github.io`,
+    * `school.k12.ma.us`).
+    *
+    * Scale shape — why a compiled set, not a join: a join-based
+    * longest-match needs candidate explode + a per-row re-group, putting
+    * a shuffle on the CRAWL side for a lookup table of ~10^4 rows. The
+    * PSL is model-sized (the real list is ~9k active rules), so it rides
+    * the plan as Catalyst `InSet` predicates — hash-set probes, O(1) per
+    * candidate, zero shuffle, same one-map-stage plan as the heuristic.
+    * [[markWithPsl]] is the table-driven seam that feeds this from a
+    * DataFrame (the [[filterByBlocklist]]-style entry point). */
+  def registeredDomainWithSuffixes(url: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "public-suffix list must be non-empty")
+    val l = split(host(url), "\\.")
+    val n = size(l)
+    val fallback = concat_ws(".", slice(l, greatest(n - 1, lit(1)), lit(2)))
+    (MaxSuffixLabels to 1 by -1).foldRight(fallback) { (i, elseCol) =>
+      // candidate suffix = last i labels; a hit needs one label in front
+      when(n > i && concat_ws(".", slice(l, n - i + 1, lit(i)))
+          .isInCollection(suffixes),
+        concat_ws(".", slice(l, n - i, lit(i + 1))))
+        .otherwise(elseCol)
+    }
+  }
+
+  /** [[mark]] with PSL-backed registered domains: `psl` is a DataFrame
+    * with a `suffix` column (one public-suffix rule per row, lowercase,
+    * no leading dot). The list is collected ONCE (model-sized, guarded —
+    * the [[Curation.mixtureBalance]] driver-table pattern: fail loudly,
+    * never OOM) and compiled into the plan; the crawl side stays a
+    * single map stage with zero shuffle. */
+  def markWithPsl(df: DataFrame, urlCol: String, psl: DataFrame,
+      blockedDomains: Seq[String] = Nil,
+      maxSuffixes: Int = 1000000): DataFrame = {
+    require(psl.columns.contains("suffix"),
+      "public-suffix list must have a 'suffix' column")
+    Sampling.requireFreshColumns(df, "Url.markWithPsl",
+      "canonical_url", "url_domain", "url_keep")
+    val suffixes = psl.select(col("suffix").cast("string")).distinct()
+      .limit(maxSuffixes + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(suffixes.size <= maxSuffixes,
+      s"markWithPsl: more than $maxSuffixes suffix rules — the list is " +
+        "compiled into the plan; raise maxSuffixes only with driver/plan " +
+        "memory to match")
+    val dom = registeredDomainWithSuffixes(col(urlCol), suffixes)
+    val keepBase = scheme(col(urlCol)).isInCollection(Seq("http", "https")) &&
+      !lower(path(col(urlCol))).rlike(BlockedExtensionPattern)
+    val keep = if (blockedDomains.isEmpty) keepBase
+      else keepBase && !dom.isInCollection(blockedDomains)
+    df.withColumn("canonical_url", canonicalize(col(urlCol)))
+      .withColumn("url_domain", dom)
+      .withColumn("url_keep", keep)
   }
 
   /** The C4/RefinedWeb keep predicate: absolute http(s), not an asset

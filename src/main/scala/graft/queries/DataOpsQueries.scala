@@ -1406,7 +1406,7 @@ object DataOpsQueries {
         |    string_split(regexp_extract(regexp_replace(url, '#.*', ''),
         |      '\?(.*)$', 1), '&'),
         |    x -> x <> '' AND NOT regexp_matches(x,
-        |      '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)='))),
+        |      '(?i)^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)='))),
         |    '&') AS q FROM h),
         |c AS (SELECT source, scheme, pth, q,
         |  scheme || '://' || host || pth ||
@@ -1471,6 +1471,66 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |MAX(n_copies) AS max_copies
         |FROM n JOIN g USING (lang, nt) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PSL registered domains: the oracle replays BOTH algorithms — the
+    // longest-match CASE chain over the same fixture suffix list
+    // (mirroring Url.registeredDomainWithSuffixes' when-chain, 4 labels
+    // down to 1, one extra label in front on a hit, last-two fallback)
+    // and the 7-entry heuristic — so n_diverge pins exactly where the
+    // table corrects the heuristic. Canonical strings are replayed by
+    // construction arithmetic (https, www/case fold, trailing slash,
+    // UPPERCASE tracker dropped); keep = not blocklisted (scheme/
+    // extension are clean by construction).
+    "q134_url_psl" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  CASE CAST(doc_id%5 AS INTEGER)
+        |    WHEN 0 THEN 'www.Agency' || CAST(doc_id%7 AS VARCHAR) || '.GO.JP'
+        |    WHEN 1 THEN 'User' || CAST(doc_id%11 AS VARCHAR) || '.GitHub.IO'
+        |    WHEN 2 THEN 'school' || CAST(doc_id%13 AS VARCHAR) || '.k12.MA.US'
+        |    WHEN 3 THEN 'shop.example' || CAST(doc_id%3 AS VARCHAR) || '.com.au'
+        |    ELSE 'x.site' || CAST(doc_id%17 AS VARCHAR) || '.org' END AS rawhost
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |  regexp_replace(lower(rawhost), '^www\.', '') AS host FROM u),
+        |c AS (SELECT doc_id, source, host,
+        |  'https://' || host || '/Doc/' || CAST(doc_id%50 AS VARCHAR) ||
+        |    CASE WHEN doc_id%2=0 THEN '?p=' || CAST(doc_id%9 AS VARCHAR)
+        |      ELSE '' END AS canon,
+        |  string_split(host, '.') AS ls FROM h),
+        |d AS (SELECT doc_id, source, canon,
+        |  CASE
+        |    WHEN len(ls) > 4 AND array_to_string(ls[len(ls)-3:len(ls)], '.')
+        |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
+        |          'go.jp','co.jp','github.io','k12.ma.us')
+        |      THEN array_to_string(ls[len(ls)-4:len(ls)], '.')
+        |    WHEN len(ls) > 3 AND array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
+        |          'go.jp','co.jp','github.io','k12.ma.us')
+        |      THEN array_to_string(ls[len(ls)-3:len(ls)], '.')
+        |    WHEN len(ls) > 2 AND array_to_string(ls[len(ls)-1:len(ls)], '.')
+        |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
+        |          'go.jp','co.jp','github.io','k12.ma.us')
+        |      THEN array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |    WHEN len(ls) > 1 AND ls[len(ls)]
+        |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
+        |          'go.jp','co.jp','github.io','k12.ma.us')
+        |      THEN array_to_string(ls[len(ls)-1:len(ls)], '.')
+        |    ELSE array_to_string(ls[greatest(len(ls)-1,1):len(ls)], '.')
+        |  END AS psl_dom,
+        |  CASE WHEN len(ls) >= 3 AND ls[len(ls)-1] IN
+        |      ('co','com','net','org','gov','ac','edu')
+        |    THEN array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |    ELSE array_to_string(ls[greatest(len(ls)-1,1):len(ls)], '.')
+        |  END AS heur_dom FROM c)
+        |SELECT source, COUNT(*) AS n_urls,
+        |CAST(SUM(CASE WHEN psl_dom <> 'site3.org' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_keep,
+        |CAST(SUM(length(canon)) AS BIGINT) AS canon_chars,
+        |CAST(SUM(CASE WHEN psl_dom <> heur_dom THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_diverge,
+        |CAST(SUM(length(psl_dom)) AS BIGINT) AS dom_chars,
+        |MAX(psl_dom) AS max_dom,
+        |COUNT(DISTINCT psl_dom) AS n_domains
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** One DuckDB round of [[graft.ops.CorpusStats.bpeTrain]] as CTEs over
@@ -1706,7 +1766,15 @@ object DataOpsQueries {
     * the oracle replays the expected outcome by arithmetic on the raw
     * text. `n_exact_recovery` counts documents whose extracted content
     * is CHARACTER-EXACT equal to the whitespace-normalized original
-    * text + paragraph 2 — the strongest possible recovery pin. */
+    * text + paragraph 2 — the strongest possible recovery pin.
+    *
+    * Corpus assumption (load-bearing, verified for the synthetic
+    * `documents` table): the text contains no `<...>` sequences. The
+    * engine's [[Html.TagPattern]] strips any angle-bracket run from
+    * block text while the oracle's whitespace-normalization keeps it,
+    * so angle-bracket text would break the hash match — a corpus that
+    * may carry them must HTML-escape `col("text")` on BOTH sides when
+    * constructing the page. */
   val q128HtmlExtract: Q = (s, dir) => {
     val docs = load(s, dir, "documents").select("doc_id", "source", "text")
     val p2 = concat(lit("Article body continues with further detail for doc "),
@@ -1867,6 +1935,65 @@ object DataOpsQueries {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
         max(col("n_copies")).as("max_copies"))
       .orderBy("lang")
+  }
+
+  /** Fixture public-suffix list for q134 — a slice of the real PSL
+    * covering the rule classes the heuristic cannot express: 2-label
+    * ccTLD registries (`go.jp`, `com.au`), a private-registry rule
+    * (`github.io`), and a 3-label rule (`k12.ma.us`), plus the plain
+    * TLDs. Mirrored verbatim in the q134 oracle SQL. */
+  val PslFixture: Seq[String] = Seq("com", "org", "net", "io", "uk", "jp",
+    "us", "au", "co.uk", "com.au", "go.jp", "co.jp", "github.io",
+    "k12.ma.us")
+
+  /** PSL-backed registered-domain extraction ([[Url.markWithPsl]] /
+    * [[Url.registeredDomainWithSuffixes]] — longest-match over a real
+    * public-suffix table, compiled into the plan as `InSet` probes,
+    * zero shuffle on the crawl side). Hosts are CONSTRUCTED per document
+    * to cover every rule class: `*.go.jp` agencies, `*.github.io` user
+    * sites, 3-label `*.k12.ma.us` schools, `*.com.au` shops (where the
+    * heuristic already groups correctly) and plain `.org` sites (one of
+    * which is blocklisted THROUGH its PSL domain). The oracle replays
+    * the longest-match CASE chain generically over the same fixture
+    * list, plus the heuristic, so `n_diverge` pins exactly where the
+    * table corrects the heuristic. Canonicalization is exercised with
+    * an UPPERCASE tracker (`UTM_Source=` — the case-insensitive key
+    * match) and replayed by construction arithmetic; q129 keeps the
+    * generic canonicalization replay. */
+  val q134UrlPsl: Q = (s, dir) => {
+    import s.implicits._
+    val docs = load(s, dir, "documents").select("doc_id", "source")
+    val d = col("doc_id")
+    def m(k: Long) = pmod(d, lit(k))
+    val host = when(m(5) === 0L,
+        concat(lit("www.Agency"), m(7).cast("string"), lit(".GO.JP")))
+      .when(m(5) === 1L,
+        concat(lit("User"), m(11).cast("string"), lit(".GitHub.IO")))
+      .when(m(5) === 2L,
+        concat(lit("school"), m(13).cast("string"), lit(".k12.MA.US")))
+      .when(m(5) === 3L,
+        concat(lit("shop.example"), m(3).cast("string"), lit(".com.au")))
+      .otherwise(concat(lit("x.site"), m(17).cast("string"), lit(".org")))
+    val url = concat(lit("https://"), host,
+      lit("/Doc/"), m(50).cast("string"),
+      when(m(4) === 0L, lit("/")).otherwise(lit("")),
+      lit("?UTM_Source=feed"),
+      when(m(2) === 0L, concat(lit("&p="), m(9).cast("string")))
+        .otherwise(lit("")))
+    val marked = Url.markWithPsl(docs.withColumn("url", url), "url",
+        PslFixture.toDF("suffix"), blockedDomains = Seq("site3.org"))
+      .withColumn("heur_domain", Url.registeredDomain(col("url")))
+    val base = marked.groupBy("source").agg(
+      count(lit(1)).as("n_urls"),
+      sum(when(col("url_keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum(length(col("canonical_url")).cast("long")).as("canon_chars"),
+      sum(when(col("url_domain") =!= col("heur_domain"), 1L).otherwise(0L))
+        .as("n_diverge"),
+      sum(length(col("url_domain")).cast("long")).as("dom_chars"),
+      max(col("url_domain")).as("max_dom"))
+    val doms = marked.select("source", "url_domain").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_domains"))
+    base.join(doms, Seq("source")).orderBy("source")
   }
 
   /** Rolling-hash document fingerprints (Rabin-Karp mod 2^31-1) via the
@@ -3435,5 +3562,6 @@ object DataOpsQueries {
     "q130_compression_ratio" -> q130CompressionRatio,
     "q131_heavy_hitters" -> q131HeavyHitters,
     "q132_perlang_dedup" -> q132PerLangDedup,
+    "q134_url_psl" -> q134UrlPsl,
   )
 }

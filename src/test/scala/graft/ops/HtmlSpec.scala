@@ -44,6 +44,29 @@ class HtmlSpec extends AnyFunSuite {
     assert(out.getAs[Int]("boiler_len") == 49, s"boiler_len: $out")
   }
 
+  test("anchor text counts under blockText's normalization: multi-line anchors don't inflate density") {
+    // Pretty-printed anchor: 8 visible chars ("tag here") but 11 raw
+    // chars (newline + indent). Block text collapses to 32 chars.
+    // Normalized anchor = 8 -> 800 <= 32*30=960 KEEP; the raw count
+    // (11 -> 1100 > 960) would have wrongly dropped the block.
+    val page = "<p>aaaaa bbbbb ccccc ddddd <a href=\"#\">tag\n   here</a></p>"
+    val out = Html.extract(Seq((1L, page)).toDF("id", "html"), "html")
+      .select("n_kept", "content").head()
+    assert(out.getAs[Int]("n_kept") == 1, s"multi-line anchor over-dropped: $out")
+    assert(out.getAs[String]("content") == "aaaaa bbbbb ccccc ddddd tag here")
+    // anchor_chars can never exceed the normalized block length now:
+    // an all-anchor pretty-printed block sits exactly AT 100% density
+    val allAnchor = "<p><a href=\"#\">only\n  anchor\n  text</a></p>"
+    val blocks = Seq((1L, allAnchor)).toDF("id", "html")
+      .select(Html.blocks(col("html")).as("b"))
+      .select(explode(col("b")).as("s"))
+      .select(col("s.text"), col("s.anchor_chars"))
+      .as[(String, Int)].collect()
+    assert(blocks.length == 1)
+    assert(blocks(0)._1.length == blocks(0)._2,
+      s"anchor chars ${blocks(0)._2} != normalized text ${blocks(0)._1.length}")
+  }
+
   test("link-density boundary: exactly at maxLinkPct keeps, just over drops") {
     // text "aaaaa bbbbb ccccc dddd" = 22 chars; anchor "aaaaa" = 5 chars
     // → 500 <= 22*30 = 660 keep; anchor "aaaaa bbbbb" = 11 → 1100 > 660 drop

@@ -87,6 +87,25 @@ class PiiSpec extends AnyFunSuite {
     assert(out(8)._3 == "order 1234-567-8901 v1.2.3 ip [IP] x 555-123-45678")
   }
 
+  test("phone pattern: ddd.ddd.dddd numerics ARE redacted (pinned over-redaction)") {
+    // The dotted triple is a genuine NANP rendering, so a 3-3-4-grouped
+    // metric/ID is indistinguishable from a phone — the scaladoc's
+    // documented over-redaction class. Mixed separators likewise (the
+    // separator classes are independent; RE2 has no backreferences).
+    val df = Seq(
+      (1L, "reading 123.456.7890 logged"), // 3-3-4 dotted numeric
+      (2L, "call 555.123 4567 now"),       // mixed separators
+      // and the shapes that stay OUT: 3-3-3, 2-3-4, trailing digit run
+      (3L, "v 123.456.789 id 12.345.6789 run 123.456.78901"))
+      .toDF("id", "text")
+    val out = Pii.scrub(df, "text").orderBy("id")
+      .select("id", "n_phone", "text_scrubbed")
+      .as[(Long, Long, String)].collect()
+    assert(out(0)._2 == 1L && out(0)._3 == "reading [PHONE] logged")
+    assert(out(1)._2 == 1L && out(1)._3 == "call [PHONE] now")
+    assert(out(2)._2 == 0L, s"unexpected match: ${out(2)._3}")
+  }
+
   test("streaming twin is the same expression chain (column parity)") {
     val df = Seq((1L, "x@y.io")).toDF("id", "text")
     val batch = Pii.scrub(df, "text")

@@ -38,6 +38,21 @@ class UrlSpec extends AnyFunSuite {
     // all params tracking -> no query at all
     assert(canon("http://site.org/p?utm_source=a&utm_medium=b&gclid=z")
       == "http://site.org/p")
+    // tracker keys are matched case-INSENSITIVELY (third-party snippets
+    // vary casing; a surviving UTM_SOURCE would split a duplicate group)
+    assert(canon("http://site.org/p?UTM_SOURCE=x&a=1") == "http://site.org/p?a=1")
+    assert(canon("http://site.org/p?FbClId=z&Utm_Campaign=c&a=1")
+      == "http://site.org/p?a=1")
+    // ...but param VALUES are untouched (pattern stops at '=')
+    assert(canon("http://site.org/p?a=UTM_SOURCE") == "http://site.org/p?a=UTM_SOURCE")
+    // 'ref' is stripped wholesale — the documented trade-off (see the
+    // TrackingParamPattern scaladoc): on sites where ref selects content
+    // these two distinct pages deliberately canonicalize identically
+    assert(canon("http://forum.org/t?ref=homepage")
+      == canon("http://forum.org/t?ref=sidebar"))
+    // 'ref' must be the WHOLE key: prefix/suffix lookalikes survive
+    assert(canon("http://site.org/p?refid=9") == "http://site.org/p?refid=9")
+    assert(canon("http://site.org/p?href=x") == "http://site.org/p?href=x")
     // non-default port is KEPT (it names a different resource)
     assert(canon("http://site.org:8080/p") == "http://site.org:8080/p")
     // :443 is only default for https, :80 only for http
@@ -55,6 +70,74 @@ class UrlSpec extends AnyFunSuite {
     assert(domain("http://localhost/x") == "localhost")
     // ac counts as a second-level suffix only with >= 3 labels
     assert(domain("http://maths.ox.ac.uk/") == "ox.ac.uk")
+  }
+
+  /** Fixture PSL slice covering the multi-level suffix classes the
+    * heuristic mis-groups: 2-label ccTLD registries (`go.jp`, `com.au`),
+    * a private-registry rule (`github.io`), and a 3-label US-school rule
+    * (`k12.ma.us`). Lowercase, no leading dot — the [[Url.markWithPsl]]
+    * input contract. */
+  private val PslFixture = Seq("com", "org", "net", "io", "uk", "jp", "us",
+    "co.uk", "ac.uk", "gov.uk", "com.au", "go.jp", "co.jp", "github.io",
+    "k12.ma.us")
+
+  private def pslDomain(url: String): String =
+    Seq(url).toDF("url")
+      .select(Url.registeredDomainWithSuffixes(col("url"), PslFixture))
+      .head().getString(0)
+
+  test("PSL registered domain: longest-match wins, agrees with heuristic where it's right") {
+    // agreement cases — the heuristic already groups these correctly
+    assert(pslDomain("http://www.news.example.co.uk/x") == "example.co.uk")
+    assert(pslDomain("http://a.b.site.org/x") == "site.org")
+    assert(pslDomain("http://Example.COM/x") == "example.com")
+    assert(pslDomain("http://shop.example.com.au/x") == "example.com.au")
+    assert(domain("http://shop.example.com.au/x") == "example.com.au")
+    // host IS a public suffix -> fallback (last two labels), never a
+    // phantom extra label
+    assert(pslDomain("http://co.uk/") == "co.uk")
+    // no rule matches at all -> last-two-labels fallback, same as the
+    // heuristic's .otherwise branch
+    assert(pslDomain("http://x.internal.corp/x") == "internal.corp")
+    assert(pslDomain("http://localhost/x") == "localhost")
+  }
+
+  test("PSL vs heuristic: the documented divergence cases") {
+    // go.jp is a public suffix the 7-entry heuristic doesn't know:
+    // heuristic collapses every *.go.jp agency into one group
+    assert(pslDomain("http://foo.go.jp/x") == "foo.go.jp")
+    assert(domain("http://foo.go.jp/x") == "go.jp")
+    assert(pslDomain("http://www.mofa.go.jp/x") == "mofa.go.jp")
+    // private-registry rule: every user site is its own registered domain
+    assert(pslDomain("http://user.github.io/p") == "user.github.io")
+    assert(domain("http://user.github.io/p") == "github.io")
+    // 3-label suffix: the heuristic's 2-label window can't express it
+    assert(pslDomain("http://school.k12.ma.us/x") == "school.k12.ma.us")
+    assert(domain("http://school.k12.ma.us/x") == "ma.us")
+  }
+
+  test("markWithPsl: one map stage, no shuffle, guarded collect, blocklist") {
+    import org.apache.spark.sql.DataFrame
+    val psl: DataFrame = PslFixture.toDF("suffix")
+    val df = Seq(
+      "https://a.foo.go.jp/doc",
+      "https://user.github.io/p",
+      "https://evil.spam.com/x",
+      "https://keep.site.org/y").toDF("url")
+    val marked = Url.markWithPsl(df, "url", psl, blockedDomains = Seq("spam.com"))
+    // zero-shuffle contract: the PSL rides the plan as InSet predicates
+    val plan = marked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val rows = marked.orderBy("url")
+      .select("url", "url_domain", "url_keep")
+      .as[(String, String, Boolean)].collect()
+    assert(rows.map(_._2).toSeq ==
+      Seq("foo.go.jp", "spam.com", "site.org", "user.github.io"))
+    assert(rows.map(_._3).toSeq == Seq(true, false, true, true))
+    // the guard fails loudly, never OOMs the driver
+    val e = intercept[IllegalArgumentException](
+      Url.markWithPsl(df, "url", psl, maxSuffixes = 3))
+    assert(e.getMessage.contains("maxSuffixes"))
   }
 
   test("keep predicate: schemes, asset extensions, blocklisted domains") {
