@@ -605,6 +605,59 @@ object Hashing {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** One-pass dedup-key normalization over UTF-8 BYTES — the compiled
+    * twin of `TextOps.dedupKey` (lowercase, non-[a-z0-9 ] → space,
+    * whitespace collapsed, trimmed, RAW-TEXT fallback when the
+    * normalized form is empty), replacing `lower` + 2 × regexp_replace
+    * + `trim` + a duplicated `when` branch with a single byte scan.
+    *
+    * Why it exists (measured, round 12): java.util.regex on this
+    * workload costs ~70 ns/char single-threaded AND its total
+    * throughput is HARD-CAPPED per JVM — the RegexThreads drill shows
+    * replaceAll flat at ~9k ops/s from 1 to 32 threads while a plain
+    * byte loop scales linearly to 26× — so the regex form of the
+    * engine's single most-executed normalization both starts 20×
+    * slower and cannot use a multi-core executor. This loop is ~1
+    * ns/byte and embarrassingly parallel.
+    *
+    * Byte-level semantics: ASCII `A-Z` fold to lowercase; `a-z0-9`
+    * pass; EVERY other byte — ASCII punctuation/whitespace and all
+    * bytes ≥ 0x80 (any non-ASCII UTF-8 sequence) — becomes a space,
+    * then runs collapse and ends trim. Equivalent to the regex form
+    * for ASCII text and for every script whose characters stay
+    * non-ASCII under Unicode lowercasing (CJK, Cyrillic, Arabic, …
+    * all erase to the same empty key → same raw-text fallback). The
+    * DOCUMENTED divergence class: the handful of non-ASCII codepoints
+    * whose Unicode lowercase maps INTO ASCII (U+212A KELVIN SIGN → k,
+    * U+0130 İ → i̇) — the regex form keeps the mapped letter, this
+    * loop folds the whole character to a space. FunctionsSpec pins
+    * both the broad equivalence and that exact divergence. */
+  def dedupKeyBytes(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      // signed-byte trick: any byte >= 0x80 is negative and fails every
+      // ASCII range test below, landing in the space branch
+      if (b >= 'a' && b <= 'z' || b >= '0' && b <= '9') {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = b; o += 1
+      } else if (b >= 'A' && b <= 'Z') {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = (b + 32).toByte; o += 1
+      } else {
+        if (o > 0) pendingSpace = true // leading spaces never emit
+      }
+      i += 1
+    }
+    if (o == 0) s // fully non-alnum text: the non-Latin raw-text guard
+    else UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
   /** One DEFLATE compressor per thread, reset per row: `Deflater`
     * allocation is a native zlib malloc — per-row construction would
     * dominate the compression itself. Never `end()`ed; the retained
@@ -1305,6 +1358,30 @@ case class KmvInterExpr(left: Expression, right: Expression)
   * proxy for degenerate-text filtering. A pure map-stage signal (no
   * shuffle ever), codegen'd like the other natives; the compressor is
   * thread-local so the per-row cost is the deflate itself. */
+/** `graft_dedup_key(text)`: the one-pass compiled dedup-key
+  * normalization ([[Hashing.dedupKeyBytes]] — see its scaladoc for the
+  * measured java-regex wall that motivates it and the exact byte-level
+  * semantics/scope). Value-identical to `TextOps.dedupKey` on ASCII and
+  * on scripts whose lowercase stays non-ASCII; that regex form remains
+  * the transparent oracle twin. */
+case class DedupKeyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dedup_key requires STRING input, got ${child.dataType.simpleString}")
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.dedupKeyBytes(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.dedupKeyBytes($c)")
+  override protected def withNewChildInternal(c: Expression): DedupKeyExpr =
+    copy(child = c)
+}
+
 case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes():
@@ -1399,6 +1476,8 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_kmv_inter", a, b)
   def graft_deflate_ratio(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_deflate_ratio", c)
+  def graft_dedup_key(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dedup_key", c)
 
   /** Evaluate a registration-time scalar argument (shingle width, merge
     * pair, sketch geometry…). These parameterize the EXPRESSION — they
@@ -1482,6 +1561,8 @@ object NativeFunctions {
     ("graft_kmv_est", "graft.functions.KmvEstExpr", exprs => KmvEstExpr(exprs.head)),
     ("graft_deflate_ratio", "graft.functions.DeflateRatioExpr",
       exprs => DeflateRatioExpr(exprs.head)),
+    ("graft_dedup_key", "graft.functions.DedupKeyExpr",
+      exprs => DedupKeyExpr(exprs.head)),
     ("graft_kmv_union", "graft.functions.KmvUnionExpr", exprs => KmvUnionExpr(exprs(0), exprs(1))),
     ("graft_kmv_inter", "graft.functions.KmvInterExpr", exprs => KmvInterExpr(exprs(0), exprs(1))),
     ("graft_dd_quantile", "graft.functions.DdQuantileExpr", exprs => DdQuantileExpr(exprs.head,
@@ -1499,5 +1580,20 @@ object NativeFunctions {
     builders.foreach { case (name, _, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    registered.put(spark, java.lang.Boolean.TRUE)
+  }
+
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Idempotent registration against the ACTIVE session — the hook
+    * library operators use so a `Column` built through `call_function`
+    * resolves even when the caller constructed its session without
+    * [[register]] (GraftSession registers; ad-hoc test sessions may
+    * not). Weak map: sessions are never retained. */
+  def ensureRegistered(): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (!registered.containsKey(spark)) register(spark)
   }
 }

@@ -86,6 +86,73 @@ object Curation {
     }
   }
 
+  /** The COMPLETE web-curation recipe — the pre-training chain a crawl
+    * actually runs, front to back, composed from this library's
+    * operators in their production variants:
+    *
+    *   1. URL canonicalization + filtering ([[Url.mark]], or
+    *      [[Url.markWithPsl]] when a public-suffix table is supplied):
+    *      drop assets/non-http(s)/blocklisted domains BEFORE any HTML
+    *      parsing — a URL-level drop is ~10^3× cheaper than parsing the
+    *      page it names;
+    *   2. HTML main-content extraction ([[Html.extract]] — jusText-style
+    *      block scoring; boilerplate never reaches the text stages);
+    *   3. language + quality gates on the RECOVERED content
+    *      ([[TextOps.langGuess]] allow-list, [[TextOps.qualityScore]]
+    *      floor) — scored pre-scrub, on the text as extracted;
+    *   4. PII scrub ([[Pii.scrub]] — emails/phones/IPs redacted, counts
+    *      kept as audit columns);
+    *   5. exact dedup of the SCRUBBED content
+    *      ([[Dedup.exactDedupNormalizedByFingerprint]] — the 8-byte-key
+    *      production shuffle; scrubbing first means two pages differing
+    *      only in PII collapse, which is the desired grouping);
+    *   6. per-domain cap ([[capPerGroup]] on the registered domain —
+    *      anti-domination; skipped at the default `maxPerDomain`).
+    *
+    * Shape at 100 TB: stages 1–4 are pure per-row expression chains that
+    * FUSE INTO ONE MAP STAGE over the scan (url/html/pii regexes
+    * evaluated once per surviving row, in pipeline order so each stage's
+    * filter prunes the next stage's input); stage 5 is the recipe's
+    * first shuffle (8-byte fingerprint key); stage 6 its second (domain
+    * key). One scan, two shuffles, total — the drill in ScaleSpec runs
+    * this fused chain at 5M pages and records per-stage wall/peak-mem/
+    * spill.
+    *
+    * Returns surviving pages with the full annotation trail:
+    * `canonical_url`, `url_domain`, `content` (extracted),
+    * `content_scrubbed`, per-class `n_<pii>` counts, and `n_copies`
+    * (duplicate-group size among pages that reached dedup). The raw
+    * `htmlCol` is DROPPED at extraction: past that point it is the
+    * row's dominant payload and would ride both shuffles for nothing
+    * (a caller that wants the raw page back joins on `idCol`). */
+  def curateWeb(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, allowedLangs: Seq[String], minQuality: Int,
+      blockedDomains: Seq[String] = Nil, psl: Option[DataFrame] = None,
+      piiClasses: Seq[Pii.PiiClass] = Pii.Classes,
+      maxPerDomain: Int = Int.MaxValue,
+      minTextLen: Int = 10, maxLinkPct: Int = 30): DataFrame = {
+    require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
+    val marked = psl match {
+      case Some(p) => Url.markWithPsl(pages, urlCol, p, blockedDomains)
+      case None    => Url.mark(pages, urlCol, blockedDomains)
+    }
+    // the raw page is DEAD WEIGHT once content is extracted — at 100 TB
+    // it is the row's dominant payload, and without the drop it rides
+    // both shuffles (the 5M drill measured the dedup stage with/without)
+    val extracted = Html.extract(marked.filter(col("url_keep")), htmlCol,
+      minTextLen = minTextLen, maxLinkPct = maxLinkPct)
+      .drop(htmlCol)
+    val gated = extracted
+      .filter(TextOps.langGuess(col("content")).isInCollection(allowedLangs))
+      .filter(TextOps.qualityScore(col("content")) >= minQuality)
+    val scrubbed = Pii.scrub(gated, "content", piiClasses)
+    val deduped = Dedup.exactDedupNormalizedByFingerprint(
+        scrubbed, "content_scrubbed", idCol)
+      .filter(col("keep")).drop("keep")
+    if (maxPerDomain == Int.MaxValue) deduped
+    else capPerGroup(deduped, "url_domain", idCol, maxPerDomain)
+  }
+
   /** Per-group cap (anti-domination): keep at most `k` rows per value of
     * `groupCol`, preferring the smallest `orderCol` — the standard
     * "max N documents per domain" curation stage that stops a single

@@ -19,11 +19,14 @@ object TextOps {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Whitespace token count: `length - length(without spaces) + 1` on the
-    * trimmed text (cheap; no array materialization). Empty text → 0. */
+    * trimmed text (cheap; no array materialization). Empty text → 0.
+    * Space removal via the NON-regex `replace` (StringReplace): the
+    * pattern is a literal, and java-regex replace is both slower and
+    * JVM-throughput-capped (see [[graft.functions.Hashing.dedupKeyBytes]]). */
   def tokenCount(text: Column): Column = {
     val t = trim(text)
     when(length(t) === 0, lit(0))
-      .otherwise(length(t) - length(regexp_replace(t, " ", "")) + 1)
+      .otherwise(length(t) - length(replace(t, lit(" "), lit(""))) + 1)
   }
 
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra
@@ -41,9 +44,14 @@ object TextOps {
   def stopwordCount(text: Column, stopwords: Seq[String] = Stopwords): Column =
     coalesce(size(filter(tokens(text), t => t.isInCollection(stopwords))), lit(0))
 
-  /** Number of punctuation characters. */
+  /** Number of punctuation characters. `\p{Punct}` in java regex (no
+    * UNICODE_CHARACTER_CLASS flag) is exactly the 32 ASCII punctuation
+    * characters, so the NON-regex `translate` computes the identical
+    * count without the java-regex replace cost (OpsSpec pins equality
+    * with the regex form on every ASCII punct char). */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "\\p{Punct}", ""))
+    length(text) - length(translate(text,
+      "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~", ""))
 
   /** Mean token length ×100, as an exact integer (deterministic across
     * engines — no float division). */
@@ -52,7 +60,7 @@ object TextOps {
     // integer division (cast-truncate is exact here: int/int quotients are
     // never within an ulp of the next integer unless exactly divisible)
     when(tokenCount(text) === 0, lit(0L))
-      .otherwise(((length(regexp_replace(t, " ", "")).cast("long") * 100) /
+      .otherwise(((length(replace(t, lit(" "), lit(""))).cast("long") * 100) /
         tokenCount(text)).cast("long"))
   }
 
@@ -229,16 +237,35 @@ object TextOps {
     * ([[langGuess]]) and dedup per language; this key makes the failure
     * mode of NOT doing so conservative (raw-exact dedup) instead of
     * destructive. Pure codegen, replayable in external SQL
-    * (`CASE WHEN nt = '' THEN text ELSE nt END`). */
+    * (`CASE WHEN nt = '' THEN text ELSE nt END`). This regex form is
+    * the TRANSPARENT twin the oracles replay; production paths compute
+    * the same key in one compiled byte pass ([[dedupKeyNative]]). */
   def dedupKey(text: Column): Column = {
     val n = normalizeText(text)
     when(n === "", text).otherwise(n)
   }
 
-  /** 8-byte dedup key: `xxhash64` of [[dedupKey]] — the production
-    * shuffle key for normalized dedup (the CCNet convention: CCNet
-    * itself groups paragraphs by the first 8 bytes of a SHA1, accepting
-    * the same collision bound). A collision falsely MERGES two distinct
+  /** [[dedupKey]] as ONE compiled byte pass (`graft_dedup_key` —
+    * [[graft.functions.Hashing.dedupKeyBytes]]): identical values on
+    * ASCII text and on scripts whose lowercase stays non-ASCII (the
+    * CJK/Cyrillic/… raw-fallback class), with the exotic
+    * uppercase-maps-into-ASCII divergence (U+212A, U+0130) documented
+    * and spec-pinned there. Exists because the regex form both starts
+    * ~20× slower AND serializes across executor threads (java.util
+    * .regex total throughput is flat from 1→32 threads — measured,
+    * see the Hashing scaladoc); this is the key the production paths
+    * use. [[dedupKey]] stays as the transparent regex twin the SQL
+    * oracles replay. */
+  def dedupKeyNative(text: Column): Column = {
+    graft.functions.NativeFunctions.ensureRegistered()
+    graft.functions.NativeFunctions.graft_dedup_key(text)
+  }
+
+  /** 8-byte dedup key: `xxhash64` of the dedup key (computed via the
+    * compiled [[dedupKeyNative]] pass) — the production shuffle key for
+    * normalized dedup (the CCNet convention: CCNet itself groups
+    * paragraphs by the first 8 bytes of a SHA1, accepting the same
+    * collision bound). A collision falsely MERGES two distinct
     * documents (one of them is dropped/down-weighted): expected count
     * ≈ n²/2^65 over n distinct keys — ~0.003 at 10^9 documents, ~27 at
     * 10^11 (a 100 TB corpus of 1 KB docs), each costing one document.
@@ -247,7 +274,7 @@ object TextOps {
     * of a second full copy of the text). NOT replayable in external
     * SQL (xxhash64 is engine-internal) — equivalence with the exact
     * key is spec-pinned instead (DedupSpec). */
-  def dedupFingerprint(text: Column): Column = xxhash64(dedupKey(text))
+  def dedupFingerprint(text: Column): Column = xxhash64(dedupKeyNative(text))
 
   /** Polynomial rolling-hash fingerprint of a document (mod 2^31-1, so all
     * intermediate products stay < 2^62 and never overflow even under ANSI

@@ -1471,6 +1471,93 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |MAX(n_copies) AS max_copies
         |FROM n JOIN g USING (lang, nt) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The full web-curation chain, replayed stage by stage: registered
+    // domains / url_keep by construction arithmetic (q129/q134 hold the
+    // generic replays), HTML recovery by the q128 arithmetic (p1 kept
+    // iff its normalized length >= 10; boilerplate blocks are link-dense
+    // or short by construction), lang+quality by the q60 arithmetic over
+    // the RECOVERED content, the email->phone->ip chain by the q122
+    // arithmetic, dedup by the q123/q126 normalized-key grouping (the
+    // engine runs the 8-byte fingerprint variant — identical up to
+    // xxhash64 collisions, zero at test scale), and the per-domain cap
+    // as a row_number window ordered by doc_id.
+    "q133_web_curation" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, source, text || ' !! !!'
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |b AS (SELECT doc_id, source, text, doc_id % 100000000 AS d2 FROM a),
+        |u AS (SELECT doc_id, source, text, d2,
+        |  CASE WHEN d2 % 13 = 0 THEN 'tracker.net'
+        |    WHEN d2 % 3 = 0 THEN 'shop' || CAST(d2 % 23 AS VARCHAR) || '.com'
+        |    WHEN d2 % 3 = 1 THEN 'site' || CAST(d2 % 19 AS VARCHAR) || '.co.uk'
+        |    ELSE 'media' || CAST(d2 % 17 AS VARCHAR) || '.org' END AS dom
+        |  FROM b WHERE d2 % 29 <> 5 AND d2 % 13 <> 0),
+        |h AS (SELECT doc_id, source, dom,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt,
+        |  'Article body continues with further detail for doc '
+        |    || CAST(d2 AS VARCHAR) || '.'
+        |  || CASE WHEN d2 % 7 = 0
+        |       THEN ' contact user' || CAST(d2 AS VARCHAR) || '@example.com'
+        |       ELSE '' END
+        |  || CASE WHEN d2 % 11 = 3
+        |       THEN ' call 555-' || lpad(CAST(d2 % 1000 AS VARCHAR), 3, '0')
+        |         || '-' || lpad(CAST(d2 % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END AS p2
+        |  FROM u),
+        |c AS (SELECT doc_id, source, dom,
+        |  CASE WHEN length(nt) >= 10 THEN nt || ' ' || p2 ELSE p2 END AS content
+        |  FROM h),
+        |sc AS (SELECT doc_id, source, dom, content,
+        |  CASE WHEN regexp_matches(content, '\b(the|and|of|is)\b') THEN 'en'
+        |    WHEN regexp_matches(content, '\b(der|und|die|das)\b') THEN 'de'
+        |    WHEN regexp_matches(content, '\b(le|la|et|les)\b') THEN 'fr'
+        |    WHEN regexp_matches(content, '\b(el|los|las|una)\b') THEN 'es'
+        |    ELSE 'und' END AS guess,
+        |  (CASE WHEN ntok BETWEEN 20 AND 1000 THEN 40 WHEN ntok BETWEEN 5 AND 19 THEN 20 ELSE 0 END)
+        |  + (CASE WHEN nstop * 10 >= ntok THEN 30 WHEN nstop > 0 THEN 15 ELSE 0 END)
+        |  + (CASE WHEN npunct * 4 <= nlen THEN 30 ELSE 0 END) AS score
+        |  FROM (
+        |    SELECT doc_id, source, dom, content, LENGTH(content) AS nlen,
+        |      CASE WHEN LENGTH(TRIM(content)) = 0 THEN 0
+        |        ELSE LENGTH(TRIM(content)) - LENGTH(REPLACE(TRIM(content), ' ', '')) + 1 END AS ntok,
+        |      LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(content), '\s+'),
+        |        w -> w IN ('the','a','an','and','of','to','in','is','it','for'))) AS nstop,
+        |      LENGTH(content) - LENGTH(REGEXP_REPLACE(content, '[\p{P}\p{S}]', '', 'g')) AS npunct
+        |    FROM c)),
+        |f AS (SELECT doc_id, source, dom, content FROM sc
+        |  WHERE guess IN ('en', 'de', 'fr', 'es') AND score >= 40),
+        |s1 AS (SELECT doc_id, source, dom,
+        |  len(regexp_extract_all(content, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |  regexp_replace(content, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM f),
+        |s2 AS (SELECT doc_id, source, dom, ne,
+        |  len(regexp_extract_all(t1, '(\+1[- .])?(\(\d{3}\)[- .]?|\b\d{3}[- .])\d{3}[- .]\d{4}\b')) AS np,
+        |  regexp_replace(t1, '(\+1[- .])?(\(\d{3}\)[- .]?|\b\d{3}[- .])\d{3}[- .]\d{4}\b', '[PHONE]', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, source, dom, ne, np,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t3
+        |  FROM s2),
+        |n AS (SELECT doc_id, source, dom, ne, np, t3,
+        |  CASE WHEN nt0 = '' THEN t3 ELSE nt0 END AS k FROM (
+        |    SELECT *, trim(regexp_replace(regexp_replace(lower(t3),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt0 FROM s3)),
+        |g AS (SELECT k, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |  FROM n GROUP BY 1),
+        |keepers AS (SELECT n.doc_id, n.source, n.dom, n.ne, n.np, n.t3,
+        |  g.n_copies FROM n JOIN g ON n.k = g.k AND n.doc_id = g.keep_id),
+        |capped AS (SELECT * FROM (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY dom ORDER BY doc_id) AS rn
+        |  FROM keepers) WHERE rn <= 40)
+        |SELECT source, COUNT(*) AS n_final,
+        |CAST(SUM(n_copies) AS BIGINT) AS n_repr,
+        |CAST(SUM(ne) AS BIGINT) AS emails,
+        |CAST(SUM(np) AS BIGINT) AS phones,
+        |CAST(SUM(LENGTH(t3)) AS BIGINT) AS scrub_chars,
+        |MAX(n_copies) AS max_copies,
+        |COUNT(DISTINCT dom) AS n_domains
+        |FROM capped GROUP BY 1 ORDER BY 1""".stripMargin,
     // PSL registered domains: the oracle replays BOTH algorithms — the
     // longest-match CASE chain over the same fixture suffix list
     // (mirroring Url.registeredDomainWithSuffixes' when-chain, 4 labels
@@ -1935,6 +2022,84 @@ object DataOpsQueries {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
         max(col("n_copies")).as("max_copies"))
       .orderBy("lang")
+  }
+
+  /** The COMPLETE web-curation recipe ([[Curation.curateWeb]] — URL
+    * mark/filter → HTML extraction → lang/quality gates → PII scrub →
+    * fingerprint dedup → per-domain cap), run end-to-end as ONE composed
+    * operator over constructed pages. Construction composes the proven
+    * per-stage fixtures: the q128 page skeleton (nav/p1/p2/tags/footer),
+    * q129-style messy URLs (asset paths, a blocklisted domain, 59
+    * registrable domains), q122's planted PII (in paragraph 2), and
+    * q123-style punctuation mutants under the `d2 = id mod 1e8`
+    * convention so a mutant builds the SAME paragraph 2 as its original
+    * and the pair collapses at the dedup stage. The oracle replays the
+    * ENTIRE chain in SQL (domains/keep by construction arithmetic, HTML
+    * recovery by the q128 arithmetic, lang/quality by the q60
+    * arithmetic, the PII chain by the q122 arithmetic, dedup by the
+    * q123/q126 normalized-key grouping — the engine runs the 8-byte
+    * fingerprint variant — and the cap as a row_number window). Any
+    * stage deviating changes the survivor set and the hash mismatches:
+    * this is the composition contract the per-stage queries can't see
+    * (the r10 precedent: the 5M recipe drill caught curate's
+    * double-scan). */
+  val q133WebCuration: Q = (s, dir) => {
+    val base = load(s, dir, "documents").select("doc_id", "source", "text")
+    val mutant = base.filter(pmod(col("doc_id"), lit(10L)) === 1L)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit(" !! !!")).as("text"))
+    val docs = base.unionByName(mutant)
+    val d2 = pmod(col("doc_id"), lit(100000000L))
+    def m(k: Long) = pmod(d2, lit(k))
+    val p2 = concat(
+      lit("Article body continues with further detail for doc "),
+      d2.cast("string"), lit("."),
+      when(m(7) === 0L, concat(lit(" contact user"), d2.cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      when(m(11) === 3L, concat(lit(" call 555-"),
+        lpad(m(1000).cast("string"), 3, "0"), lit("-"),
+        lpad(m(10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav><p>"),
+      col("text"),
+      lit("</p><p>"), p2, lit("</p>" +
+        "<ul><li><a href=\"/t1\">tag one</a></li>" +
+        "<li><a href=\"/t2\">tag two</a></li></ul>" +
+        "<footer>(c) 2026 <a href=\"/tos\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+    val host = when(m(13) === 0L, lit("Spam.Tracker.NET"))
+      .when(m(3) === 0L,
+        concat(lit("WWW.Shop"), m(23).cast("string"), lit(".COM")))
+      .when(m(3) === 1L,
+        concat(lit("news.site"), m(19).cast("string"), lit(".co.uk")))
+      .otherwise(concat(lit("cdn.media"), m(17).cast("string"), lit(".org")))
+    val url = concat(lit("https://"), host,
+      when(m(29) === 5L,
+          concat(lit("/static/app."), m(50).cast("string"), lit(".js")))
+        .otherwise(concat(lit("/Article/"), m(50).cast("string"))),
+      lit("?utm_source=feed"),
+      when(m(2) === 0L, concat(lit("&p="), m(9).cast("string")))
+        .otherwise(lit("")))
+    val pages = docs.select(col("doc_id"), col("source"),
+      url.as("url"), html.as("html"))
+    // persist: TWO consumers (the per-source aggregate and the two-phase
+    // distinct-domain count) would otherwise each re-run the regex-heavy
+    // chain and both of its shuffles — the r10 curate double-scan lesson
+    val out = graft.ops.OpCaches.persist(
+      graft.ops.Curation.curateWeb(pages, "doc_id", "url", "html",
+        allowedLangs = Seq("en", "de", "fr", "es"), minQuality = 40,
+        blockedDomains = Seq("tracker.net"), maxPerDomain = 40))
+    val agg = out.groupBy("source").agg(
+      count(lit(1)).as("n_final"),
+      sum(col("n_copies")).as("n_repr"),
+      sum(col("n_email")).as("emails"),
+      sum(col("n_phone")).as("phones"),
+      sum(length(col("content_scrubbed")).cast("long")).as("scrub_chars"),
+      max(col("n_copies")).as("max_copies"))
+    val doms = out.select("source", "url_domain").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_domains"))
+    agg.join(doms, Seq("source")).orderBy("source")
   }
 
   /** Fixture public-suffix list for q134 — a slice of the real PSL
@@ -3562,6 +3727,7 @@ object DataOpsQueries {
     "q130_compression_ratio" -> q130CompressionRatio,
     "q131_heavy_hitters" -> q131HeavyHitters,
     "q132_perlang_dedup" -> q132PerLangDedup,
+    "q133_web_curation" -> q133WebCuration,
     "q134_url_psl" -> q134UrlPsl,
   )
 }

@@ -63,6 +63,7 @@ object NativeWarmup {
       "graft_bpe_merge_ids" -> NF.graft_bpe_merge_ids(
         NF.graft_byte_token_ids(text), 116, 104, 257),
       "graft_deflate_ratio" -> NF.graft_deflate_ratio(text),
+      "graft_dedup_key" -> NF.graft_dedup_key(text),
     )
   }
 

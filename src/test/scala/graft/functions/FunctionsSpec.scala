@@ -307,6 +307,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("Hashing.minhashSig"), "minhash should codegen via the static helper")
   }
 
+  test("dedup key native: equals the regex twin, raw fallback, pinned Unicode scope, codegen") {
+    import spark.implicits._
+    // corpus-wide equivalence on real documents
+    val df = spark.read.parquet(docs)
+      .select(NativeFunctions.graft_dedup_key(col("text")).as("native"),
+        TextOps.dedupKey(col("text")).as("regex"))
+    assert(df.filter(col("native") =!= col("regex")).count() == 0)
+    // shape fixtures: case/punct folding, space collapse, leading/trailing,
+    // digits, whitespace-only + pure-punct + CJK (raw-text fallback), empty
+    val cases = Seq(
+      "  Hello,   WORLD!!  42 ",
+      "a-b_c.d",
+      "!!??!!",
+      "   ",
+      "",
+      "你好 世界",       // CJK: erases -> raw fallback
+      "Héllo Wörld",           // accented: é/ö -> space both ways
+      "tabs\tand\nnewlines  here")
+      .toDF("t")
+      .select(col("t"), NativeFunctions.graft_dedup_key(col("t")).as("native"),
+        TextOps.dedupKey(col("t")).as("regex"))
+      .collect()
+    cases.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"'${r.getString(0)}': native='${r.getString(1)}' regex='${r.getString(2)}'")
+    }
+    // concrete values (not just mutual agreement)
+    val v = Seq("  Hello,   WORLD!!  42 ").toDF("t")
+      .select(NativeFunctions.graft_dedup_key(col("t"))).head().getString(0)
+    assert(v == "hello world 42")
+    // the DOCUMENTED divergence class: non-ASCII codepoints whose Unicode
+    // lowercase maps INTO ASCII (U+212A KELVIN SIGN -> 'k'). The regex
+    // twin keeps the mapped letter; the byte pass folds the whole
+    // character to a space — dedupKeyBytes' scope contract.
+    val kelvin = Seq("\u212A" + "elvin sign").toDF("t")
+      .select(NativeFunctions.graft_dedup_key(col("t")).as("native"),
+        TextOps.dedupKey(col("t")).as("regex")).head()
+    assert(kelvin.getString(1) == "kelvin sign", kelvin.toString)
+    assert(kelvin.getString(0) == "elvin sign", kelvin.toString)
+    // codegen: the compiled kernel, not a fallback path
+    val plan = spark.read.parquet(docs)
+      .select(NativeFunctions.graft_dedup_key(col("text")))
+      .queryExecution.executedPlan
+    assert(plan.toString.startsWith("*"), plan.toString.take(200)) // codegen'd
+    val gen = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(gen.contains("Hashing.dedupKeyBytes"), gen.take(500))
+  }
+
   test("deflate ratio: determinism, planted-class separation, edge inputs, codegen") {
     import spark.implicits._
     val rep = "the quick brown fox jumps over the lazy dog " * 20

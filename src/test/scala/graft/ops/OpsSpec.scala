@@ -502,6 +502,26 @@ class OpsSpec extends AnyFunSuite {
     assert(m.filter(!col("lang").isin("en", "de", "fr", "es", "und")).count() == 0)
   }
 
+  test("punctCount translate form == \\p{Punct} regex form (all 32 chars + corpus)") {
+    import spark.implicits._
+    // the translate swap removes the java-regex replace from the quality
+    // path; \p{Punct} (no UNICODE flag) is exactly ASCII 0x21-0x2F,
+    // 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E — pin char-for-char equality
+    def regexForm(c: org.apache.spark.sql.Column) =
+      length(c) - length(regexp_replace(c, "\\p{Punct}", ""))
+    val allPunct = (0x21 to 0x7e).map(_.toChar).filter(!_.isLetterOrDigit)
+      .mkString
+    val fixtures = Seq(allPunct, "plain words only", "", "a.b,c!d",
+      "unicode punct: ¿—。 stays uncounted", "  spaced . out  ")
+      .toDF("t")
+      .select(TextOps.punctCount(col("t")).as("fast"),
+        regexForm(col("t")).as("slow"))
+    assert(fixtures.filter(col("fast") =!= col("slow")).count() == 0)
+    val corpus = docs.select(TextOps.punctCount(col("text")).as("fast"),
+      regexForm(col("text")).as("slow"))
+    assert(corpus.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("winnowing: substring-match guarantee, density bound, short-doc degrade") {
     import spark.implicits._
     val k = 5

@@ -25,6 +25,59 @@ class PipelineRecipeSpec extends AnyFunSuite {
   }
   val sf = "/root/testdata/sf0.001"
 
+  test("curateWeb: every stage visibly fires, one fused map + two shuffles") {
+    import spark.implicits._
+    def p(t: String) = s"<p>$t</p>"
+    // 21 tokens, 7 stopwords, zero punct -> lang en, quality 100
+    val T1 = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it drinks water in peace today"
+    val pages = Seq(
+      // survives; email scrubbed; dedup keeper of the pair (1, 2)
+      (1L, "https://www.Alpha.COM/a?utm_source=x", p(T1 + " contact a@b.io")),
+      // same normalized scrubbed content as 1 (punct mutant) -> dedup-dropped
+      (2L, "https://alpha.com/b", p(T1 + " !! contact a@b.io")),
+      (3L, "https://alpha.com/app.js", p(T1)),   // asset extension -> URL drop
+      (4L, "https://bad.org/x", p(T1)),          // blocklisted domain
+      (5L, "ftp://alpha.com/x", p(T1)),          // non-http(s) scheme
+      (6L, "https://beta.org/nav",               // boilerplate-only page ->
+        "<nav><a href=\"/\">Home</a></nav>"),    //   empty content -> und/low
+      (7L, "https://beta.org/de", p("der hund und die katze laufen " +
+        "schnell durch den garten weil sie heute sehr froh sind und " +
+        "spielen wollen immer")),                // lang 'de', allow-list en
+      (8L, "https://beta.org/low", p("is!!!!!!!!!!")), // en but quality 0
+      // four distinct survivors on ONE domain -> cap k=2 keeps 10, 11
+      (10L, "https://big.com/p0", p(T1 + " landmark site number zero here")),
+      (11L, "https://big.com/p1", p(T1 + " landmark site number one here")),
+      (12L, "https://big.com/p2", p(T1 + " landmark site number two here")),
+      (13L, "https://big.com/p3", p(T1 + " landmark site number three here")))
+      .toDF("doc_id", "url", "html")
+    val out = Curation.curateWeb(pages, "doc_id", "url", "html",
+      allowedLangs = Seq("en"), minQuality = 40,
+      blockedDomains = Seq("bad.org"), maxPerDomain = 2)
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 10L, 11L),
+      rows.mkString("; "))
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("n_email") == 1L)
+    val scrubbed = r1.getAs[String]("content_scrubbed")
+    assert(scrubbed.contains("[EMAIL]") && !scrubbed.contains("a@b.io"))
+    assert(r1.getAs[Long]("n_copies") == 2L,
+      "the punct mutant must reach dedup and collapse onto its original")
+    assert(r1.getAs[String]("url_domain") == "alpha.com")
+    assert(r1.getAs[String]("canonical_url") == "https://alpha.com/a")
+    // shape: the per-row stages fuse — exactly TWO exchanges total
+    // (fingerprint-dedup window + per-domain cap window)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 2, plan)
+    // without the cap: ONE shuffle
+    val noCap = Curation.curateWeb(pages, "doc_id", "url", "html",
+      allowedLangs = Seq("en"), minQuality = 40,
+      blockedDomains = Seq("bad.org"))
+    val planNoCap = noCap.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(planNoCap).length == 1, planNoCap)
+    assert(noCap.count() == 5) // 1 + all four big.com pages
+  }
+
   test("full recipe: compose, laws hold, deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -950,6 +950,137 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("web-curation recipe drill: 5M HTML pages through the fused chain") {
+    // r11 verdict item 1: the front stages (Url.mark -> Html.extract ->
+    // Pii.scrub) had never run FUSED with the back half (fingerprint
+    // dedup -> cap) — composition drills are where this engine finds
+    // shape bugs (r10 precedent: curate's double-scan). Pages are the
+    // q128 skeleton over synthetic texts plus 10% punctuation MUTANTS
+    // (the synth source's own "dups" are near-dups with a ' twin' token
+    // — exact dedup rightly keeps those); paragraph 2 is doc-INdependent
+    // so a mutant builds the same page around its mutated text and the
+    // pair collapses at the dedup stage. The constructed pages are
+    // PERSISTED once before timing: the synthetic generator costs more
+    // per row than the whole recipe (WebChainProfile measured both), so
+    // uncached laps would measure the fixture, not the chain — a real
+    // deployment reads pages from parquet at GB/s. Stage costs are then
+    // attributed by timing successive PREFIXES of the chain over the
+    // cached pages (no intermediate persists — each prefix is the fused
+    // plan an actual consumer would run; deltas attribute increments).
+    val n = sys.env.get("SPARK_GRAFT_DRILL_ROWS")
+      .flatMap(_.toLongOption).getOrElse(5000000L)
+    val sc = spark.sparkContext
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+          spilled.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val docs = spark.read.format("graft-synth")
+        .option("rows", n).option("partitions", 64)
+        .option("dupfraction", 0.0).load()
+        .select("doc_id", "text")
+      val mutants = docs.filter(pmod(col("doc_id"), lit(10L)) === 1L)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" !! !!")).as("text"))
+      val all = docs.unionByName(mutants)
+      val nAll = n + (n + 8) / 10 // ids 0..n-1; residue-1 count
+      val d = col("doc_id")
+      def m(k: Long) = pmod(d, lit(k))
+      val host = when(m(13) === 0L, lit("Spam.Tracker.NET"))
+        .otherwise(concat(lit("www.Site"), m(1000).cast("string"), lit(".COM")))
+      val url = concat(lit("https://"), host,
+        when(m(29) === 5L,
+            concat(lit("/static/app."), m(50).cast("string"), lit(".js")))
+          .otherwise(concat(lit("/Article/"), m(50).cast("string"))),
+        lit("?utm_source=feed&a=1"))
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><p>"),
+        col("text"),
+        lit("</p><p>Article body continues with further general detail " +
+          "here.</p><ul><li><a href=\"/t1\">tag one</a></li>" +
+          "<li><a href=\"/t2\">tag two</a></li></ul>" +
+          "<footer>(c) 2026 <a href=\"/tos\">Terms</a> " +
+          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      val pages = OpCaches.persist(
+        all.select(d.as("doc_id"), url.as("url"), html.as("html")))
+      val t0 = System.nanoTime()
+      var tLast = t0
+      def lap(stage: String, rows: Long): Double = {
+        val now = System.nanoTime()
+        val secs = (now - tLast) / 1e9
+        val line = f"  $stage: $secs%.1fs ($rows rows, " +
+          f"peak=${peak.get / (1 << 20)}%d MiB, spill=${spilled.get / (1 << 20)}%d MiB)"
+        println(s"[web-drill]$line")
+        info(line)
+        tLast = now
+        secs
+      }
+      val nCached = pages.count()
+      lap("materialize pages (generator, not the recipe)", nCached)
+      assert(nCached == nAll, s"cached $nCached, expected $nAll")
+      // prefix 1: URL mark + keep filter (map-only)
+      val marked = Url.mark(pages, "url", blockedDomains = Seq("tracker.net"))
+        .filter(col("url_keep"))
+      val nUrl = marked.count()
+      lap("url mark+filter", nUrl)
+      // drops are the 1/13 blocked + 1/29 asset residues minus their CRT
+      // overlap: keep ≈ 1 − 1/13 − 1/29 + 1/377 ≈ 89.1% (mutant ids land
+      // on shifted residues, so a band, not an exact count)
+      assert(nUrl > nAll * 87 / 100 && nUrl < nAll * 91 / 100,
+        s"url stage kept $nUrl of $nAll")
+      // prefix 2: + HTML extraction + lang/quality gates + PII scrub
+      val gated = Pii.scrub(
+        Html.extract(marked, "html").drop("html") // the curateWeb drop:
+          // past extraction the raw page is the row's dominant payload
+          .filter(TextOps.langGuess(col("content"))
+            .isInCollection(Seq("en", "de", "fr", "es", "und")))
+          .filter(TextOps.qualityScore(col("content")) >= 20), "content")
+      val nGate = gated.count()
+      lap("html+gates+scrub", nGate)
+      assert(nGate > n / 2, s"gates dropped too much: $nGate")
+      // prefix 3: + fingerprint dedup (shuffle #1). ~10% of pages are
+      // punct mutants; each that survives the URL stage together with
+      // its original collapses — demand a substantial fraction did
+      val deduped = Dedup.exactDedupNormalizedByFingerprint(
+        gated, "content_scrubbed", "doc_id").filter(col("keep"))
+      val nDedup = deduped.count()
+      lap("fingerprint dedup", nDedup)
+      assert(nDedup < nGate - n / 20,
+        s"planted mutants must collapse: $nGate -> $nDedup")
+      // full fused chain (the operator itself; shuffle #2 = domain cap)
+      val out = Curation.curateWeb(pages, "doc_id", "url", "html",
+        allowedLangs = Seq("en", "de", "fr", "es", "und"), minQuality = 20,
+        blockedDomains = Seq("tracker.net"), maxPerDomain = 3000)
+      val nFinal = out.count()
+      lap("FUSED curateWeb (cap 3000/domain)", nFinal)
+      assert(nFinal <= 1000L * 3000L && nFinal > 0, s"cap out of band: $nFinal")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val line = f"web ${n / 1000000}%dM: total $secs%.1fs, url=$nUrl " +
+        f"gated=$nGate deduped=$nDedup final=$nFinal " +
+        f"peakExecMem=${peak.get / (1 << 20)}%d MiB " +
+        f"spilled=${spilled.get / (1 << 20)}%d MiB"
+      println(s"[web-drill] $line")
+      info(line)
+      // bounded state: window buffers are duplicate-group / domain-group
+      // sized, never corpus-proportional
+      assert(peak.get < (4L << 30),
+        s"per-task peak execution memory ${peak.get} suggests unbounded state")
+    } finally {
+      sc.removeSparkListener(listener)
+      OpCaches.releaseAll()
+    }
+  }
+
   test("semdedup ivf scale shape: no cartesian, pair join keyed on cell") {
     val m = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
     val vecs = spark.range(10000).select(col("id").as("vec_id"),
