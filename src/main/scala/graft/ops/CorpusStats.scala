@@ -549,4 +549,41 @@ object CorpusStats {
     docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .agg(heavyHittersAgg(col("tok"), k).as("summary"))
       .select(explode(col("summary")).as(Seq("token", "est")))
+
+  /** Per-group heavy-hitters SUMMARIES — one `(group, summary)` row per
+    * value of `groupCol` (day, shard, source). This is the cross-run
+    * STATE format: the summary map is k-bounded (k × ~tokens bytes per
+    * group, independent of corpus size), parquet-persistable
+    * ([[saveHeavyHittersState]]), and mergeable later with
+    * [[heavyHittersRollup]] under the composed MG bound — the
+    * [[graft.ops.Incremental]] daily-pipeline story applied to
+    * vocabulary tracking: today's run appends today's row; nothing is
+    * ever re-tokenized. */
+  def heavyHittersByGroup(docs: DataFrame, textCol: String,
+      groupCol: String, k: Int): DataFrame =
+    docs.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(groupCol)
+      .agg(heavyHittersAgg(col("tok"), k).as("summary"))
+
+  /** Persist per-group summary state (the [[Incremental.saveState]]
+    * snapshot convention: overwrite; path-per-run for audit history). */
+  def saveHeavyHittersState(state: DataFrame, path: String): Unit =
+    state.write.mode("overwrite").parquet(path)
+
+  def loadHeavyHittersState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Roll persisted per-group summaries up into one `(token, est)`
+    * summary via [[graft.functions.MisraGriesMergeAggregator]]. The
+    * mergeable-summary bound composes: the roll-up of k-summaries of
+    * streams S₁…Sₘ is a valid k-summary of their concatenation
+    * (never over-counts; undercount ≤ |S₁…Sₘ|/(k+1); EXACT when k ≥
+    * the combined vocabulary — the regime the q136 oracle hash-checks
+    * against a from-scratch GROUP BY). Input is the state table, so
+    * the roll-up reads k×groups map entries, never the corpus. */
+  def heavyHittersRollup(state: DataFrame, summaryCol: String,
+      k: Int): DataFrame =
+    state.agg(heavyHittersMerge(col(summaryCol), k).as("merged"))
+      .select(explode(col("merged")).as(Seq("token", "est")))
 }

@@ -344,6 +344,36 @@ object Multimodal {
       }(enc)
   }
 
+  /** MIXED media table — one heterogeneous pass for the [[JdkCodec]]
+    * dispatch contract (q135): by `id mod 3`, a real PNG
+    * ([[synthPng]]), a real WAV ([[synthWav]]), or a deliberately
+    * non-decodable payload (`(id mod 17)+3` copies of the single byte
+    * `(id mod 199)+1` — no PNG magic, no RIFF header, so both real
+    * decoders reject it and the row falls through to [[decodeStub]],
+    * whose byte histogram over a single-valued payload is EXACTLY
+    * one-hot: bucket `((id mod 199)+1) mod dim` at 1.0 — integer
+    * arithmetic an external oracle replays). */
+  def synthMixed(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Math.floorMod(id, 3L) match {
+            case 0L => Row(id, synthPng(id), Row("image", "png", null, null, null))
+            case 1L => Row(id, synthWav(id), Row("audio", "wav", null, null, null))
+            case _ =>
+              val v = (Math.floorMod(id, 199L) + 1L).toByte
+              val bytes = Array.fill((Math.floorMod(id, 17L) + 3L).toInt)(v)
+              Row(id, bytes, Row("video", "bin", null, null, null))
+          }
+        }
+      }(enc)
+  }
+
   /** The decode/feature-extract stage: partition-parallel over blobs,
     * iterated in `batchSize` groups so the codec sees columnar batches
     * ([[BatchCodec]]) rather than single rows. The default codec is the

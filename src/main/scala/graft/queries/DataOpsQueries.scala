@@ -1558,6 +1558,55 @@ object DataOpsQueries {
         |MAX(n_copies) AS max_copies,
         |COUNT(DISTINCT dom) AS n_domains
         |FROM capped GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cross-run heavy-hitters roll-up: the k=64 path through the
+    // persist/reload seam is exact (per-day and merged vocab <= k), so
+    // the oracle is the same from-scratch GROUP BY as q131; the k=8
+    // roll-up verdicts are the composed mergeable-summary guarantees,
+    // TRUE for any merge order and day split.
+    "q136_hh_rollup" ->
+      """WITH t AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+'))
+        |    AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM t),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
+        |SELECT token, cnt, cnt*9 > n AS is_heavy, TRUE AS k8_ok
+        |FROM c, tot ORDER BY cnt DESC, token""".stripMargin,
+    // Mixed-media dispatch: per-type verdict values replayed from the
+    // construction formulas — image rows are the q45 pixel arithmetic,
+    // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
+    // one-hot histogram (single-valued payload). The engine side only
+    // reports what the dispatching decoder actually produced.
+    "q135_media_dispatch" ->
+      """SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |  WHEN 1 THEN 'audio' ELSE 'other' END AS mtype,
+        |CAST(CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN (doc_id % 7) + 2
+        |  WHEN 1 THEN CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |    WHEN 2 THEN 16000 ELSE 22050 END
+        |  ELSE ((doc_id % 199) + 1) % 5 END AS BIGINT) AS v1,
+        |CAST(CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN (doc_id % 5) + 2
+        |  WHEN 1 THEN (doc_id % 2) + 1
+        |  ELSE 1 END AS BIGINT) AS v2,
+        |CAST(CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN list_sum(list_transform(range(0, ((doc_id % 7) + 2) * ((doc_id % 5) + 2)),
+        |    i -> (3*(doc_id % 256) + 5*(i % ((doc_id % 7) + 2)) + 7*(i // ((doc_id % 7) + 2))) % 256))
+        |  WHEN 1 THEN (doc_id % 50) + 20
+        |  ELSE 0 END AS BIGINT) AS v3,
+        |CAST(CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN list_sum(list_transform(range(0, ((doc_id % 7) + 2) * ((doc_id % 5) + 2)),
+        |    i -> (11*(doc_id % 256) + 13*(i % ((doc_id % 7) + 2)) + 17*(i // ((doc_id % 7) + 2))) % 256))
+        |  WHEN 1 THEN list_sum(list_transform(range(0, (doc_id % 50) + 20),
+        |    i -> (7*(doc_id % 256) + 13*i) % 201 - 100))
+        |  ELSE 0 END AS BIGINT) AS v4,
+        |CAST(CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN list_sum(list_transform(range(0, ((doc_id % 7) + 2) * ((doc_id % 5) + 2)),
+        |    i -> (19*(doc_id % 256) + 23*(i % ((doc_id % 7) + 2)) + 29*(i // ((doc_id % 7) + 2))) % 256))
+        |  WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN
+        |    list_sum(list_transform(range(0, (doc_id % 50) + 20),
+        |      i -> (7*(doc_id % 256) + 13*i + 31) % 201 - 100)) ELSE 0 END
+        |  ELSE 0 END AS BIGINT) AS v5
+        |FROM documents ORDER BY media_id""".stripMargin,
     // PSL registered domains: the oracle replays BOTH algorithms — the
     // longest-match CASE chain over the same fixture suffix list
     // (mirroring Url.registeredDomainWithSuffixes' when-chain, 4 labels
@@ -1843,6 +1892,40 @@ object DataOpsQueries {
       .orderBy("media_id")
   }
 
+  /** Mixed-media decode DISPATCH ([[Multimodal.JdkCodec]] — image bytes
+    * through the real ImageIO decoder, PCM audio through the real
+    * `javax.sound.sampled` decoder, non-decodable payloads through the
+    * documented stub fallback) — the q45/q127 contract, dispatch
+    * edition: ONE heterogeneous table ([[Multimodal.synthMixed]], type
+    * by `id mod 3`), one decode pass, and per-type verdict values the
+    * oracle replays by integer arithmetic. Image rows re-pin the q45
+    * width/height/channel-sum formulas, audio rows the q127 rate/
+    * channels/frames/sample-sum formulas, and the non-decodable rows
+    * pin the stub's one-hot histogram (single-valued payload → bucket
+    * `((id mod 199)+1) mod 5` at exactly 1.0). A dispatch bug in any
+    * direction — image bytes hitting the stub, garbage hitting a real
+    * decoder — changes the values and the hash mismatches. */
+  val q135MediaDispatch: Q = (s, dir) => {
+    val media = Multimodal.synthMixed(
+      load(s, dir, "documents").select("doc_id"), "doc_id")
+    val dec = Multimodal.decodeFeatures(media, featureDim = 5,
+      codec = Multimodal.JdkCodec)
+    val m3 = pmod(col("media_id"), lit(3L))
+    def f(i: Int) = try_element_at(col("features"), lit(i))
+    dec.select(col("media_id"),
+        when(m3 === 0L, lit("image")).when(m3 === 1L, lit("audio"))
+          .otherwise(lit("other")).as("mtype"),
+        when(m3 === 2L, array_position(col("features"), lit(1.0f)) - 1L)
+          .otherwise(f(1).cast("long")).as("v1"),
+        when(m3 === 2L, size(filter(col("features"), x => x > 0f)).cast("long"))
+          .otherwise(f(2).cast("long")).as("v2"),
+        when(m3 === 2L, lit(0L)).otherwise(f(3).cast("long")).as("v3"),
+        when(m3 === 2L, lit(0L)).otherwise(f(4).cast("long")).as("v4"),
+        when(m3 === 2L, lit(0L))
+          .otherwise(coalesce(f(5).cast("long"), lit(0L))).as("v5"))
+      .orderBy("media_id")
+  }
+
   /** HTML/boilerplate main-content extraction ([[Html.extract]] — the
     * jusText-style block-segmentation + link-density stage every
     * pre-C4 web pipeline runs first). Pages are CONSTRUCTED per
@@ -1983,6 +2066,49 @@ object DataOpsQueries {
     val exact = graft.ops.CorpusStats.heavyHitters(docs, "text", 64)
       .withColumnRenamed("est", "cnt")
     val approx = graft.ops.CorpusStats.heavyHitters(docs, "text", 8)
+      .withColumnRenamed("est", "est8")
+    val total = docs.select(
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_total"))
+    exact.join(approx, Seq("token"), "left")
+      .crossJoin(total)
+      .select(col("token"), col("cnt"),
+        (col("cnt") * 9 > col("n_total")).as("is_heavy"),
+        when(col("cnt") * 9 > col("n_total"),
+          col("est8").isNotNull && col("est8") <= col("cnt") &&
+            (col("cnt") - col("est8")) * 9 <= col("n_total"))
+          .otherwise(col("est8").isNull || col("est8") <= col("cnt"))
+          .as("k8_ok"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** CROSS-RUN heavy-hitters state ([[CorpusStats.heavyHittersByGroup]]
+    * → parquet persist → reload → [[CorpusStats.heavyHittersRollup]]) —
+    * the q86 incremental-dedup story applied to vocabulary tracking:
+    * per-day MG summaries are computed once, saved as k-bounded state
+    * rows, and a later run rolls them up WITHOUT re-tokenizing history.
+    * Both q131 regimes run through the persist/reload seam: the k=64
+    * roll-up is provably EXACT (per-day vocab ≤ k, merged vocab ≤ k —
+    * no counter subtraction ever fires) and hash-compared against a
+    * from-scratch GROUP BY; the k=8 roll-up's composed mergeable-
+    * summary bound (never over-counts; undercount ≤ N_total/9) is
+    * emitted as verdict booleans the oracle asserts TRUE. MisraGriesSpec
+    * pins the same roll-up equal to the single-pass summary and to the
+    * streaming twin's accumulated windows. */
+  val q136HhRollup: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val byDay = docs.withColumn("day", pmod(col("doc_id"), lit(4L)))
+    val daily = graft.ops.CorpusStats
+      .heavyHittersByGroup(byDay, "text", "day", 64)
+      .join(graft.ops.CorpusStats
+        .heavyHittersByGroup(byDay, "text", "day", 8)
+        .withColumnRenamed("summary", "summary8"), Seq("day"))
+    val statePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_q136_hh_state"
+    graft.ops.CorpusStats.saveHeavyHittersState(daily, statePath)
+    val state = graft.ops.CorpusStats.loadHeavyHittersState(s, statePath)
+    val exact = graft.ops.CorpusStats.heavyHittersRollup(state, "summary", 64)
+      .withColumnRenamed("est", "cnt")
+    val approx = graft.ops.CorpusStats.heavyHittersRollup(state, "summary8", 8)
       .withColumnRenamed("est", "est8")
     val total = docs.select(
       sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_total"))
@@ -3729,5 +3855,7 @@ object DataOpsQueries {
     "q132_perlang_dedup" -> q132PerLangDedup,
     "q133_web_curation" -> q133WebCuration,
     "q134_url_psl" -> q134UrlPsl,
+    "q135_media_dispatch" -> q135MediaDispatch,
+    "q136_hh_rollup" -> q136HhRollup,
   )
 }

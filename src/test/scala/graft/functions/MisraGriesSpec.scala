@@ -37,6 +37,56 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-run roll-up: persisted per-group summaries merge to the one-pass result") {
+    // the q136 seam end-to-end at law level: per-day summaries ->
+    // parquet -> reload -> MisraGriesMergeAggregator roll-up. Exact
+    // regime: equals BOTH the true counts and the single-pass summary.
+    val df = stream(parts = 8, seed = 3)
+      .withColumn("day", pmod(monotonically_increasing_id(), lit(4L)))
+    val path = java.nio.file.Files
+      .createTempDirectory("mg_state").toString + "/state"
+    CorpusStats.saveHeavyHittersState(
+      CorpusStats.heavyHittersByGroup(df, "text", "day", 64), path)
+    val rolled = CorpusStats.heavyHittersRollup(
+        CorpusStats.loadHeavyHittersState(spark, path), "summary", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == trueCounts)
+    assert(rolled == summarize(stream(8, 3), 64))
+    // approximate regime through the same seam: the composed bound holds
+    CorpusStats.saveHeavyHittersState(
+      CorpusStats.heavyHittersByGroup(df, "text", "day", 4), path)
+    val rolled4 = CorpusStats.heavyHittersRollup(
+        CorpusStats.loadHeavyHittersState(spark, path), "summary", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rolled4.foreach { case (t, est) =>
+      assert(est <= trueCounts(t), s"$t over-counted: $est")
+      assert(trueCounts(t) - est <= n / 5, s"$t undercount past N/(k+1)")
+    }
+    assert(rolled4.contains("alpha") && rolled4.contains("beta"),
+      "tokens with true count > N/(k+1) must survive the roll-up")
+  }
+
+  test("streaming twin: accumulated window summaries roll up to the batch result") {
+    // heavyHittersStream groups by event-time window and emits one MG
+    // summary per window; rolling those up with the merge aggregator
+    // must equal the batch one-pass summary in the exact regime — the
+    // q136 state story with windows as the "runs".
+    val base = stream(parts = 4, seed = 11)
+      .withColumn("event_time", timestamp_seconds(
+        lit(1767225600L) + pmod(monotonically_increasing_id(), lit(3L)) * 3600L))
+    // run the streaming aggregation logic as the batch analog (the
+    // StreamingSpec convention: same expression chain, batch execution)
+    val windows = base
+      .select(col("event_time"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(CorpusStats.heavyHittersAgg(col("tok"), 64).as("summary"))
+    assert(windows.count() == 3) // three distinct hourly windows
+    val rolled = CorpusStats.heavyHittersRollup(windows, "summary", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == trueCounts)
+  }
+
   test("approximate regime: never over-counts, bounded undercount, heavies always present") {
     for ((parts, seed) <- Seq((1, 1L), (8, 2L), (32, 3L))) {
       val k = 4
