@@ -658,6 +658,115 @@ object Hashing {
     else UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 
+  /** Exact-match tracker keys of `Url.TrackingParamPattern`'s
+    * alternation (lowercase; the `utm_*` family is handled
+    * structurally in [[urlParts]]). */
+  private val TrackerExact: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref")
+      .foreach(s.add)
+    s
+  }
+
+  private def isTracker(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    if (eq <= 0) return false // pattern requires a non-empty key then '='
+    val key = param.substring(0, eq).toLowerCase(java.util.Locale.ROOT)
+    if (TrackerExact.contains(key)) return true
+    if (key.length > 4 && key.startsWith("utm_")) {
+      var i = 4
+      while (i < key.length) {
+        val c = key.charAt(i)
+        if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) return false
+        i += 1
+      }
+      true
+    } else false
+  }
+
+  /** One-pass URL decomposition — the compiled twin of the `Url` regex
+    * Columns (`scheme`/`host`/`path`/`canonicalQuery`), which chain ~10
+    * java-regex REPLACE operations per row and therefore hit the same
+    * per-JVM replaceAll throughput wall [[dedupKeyBytes]] documents
+    * (q133 attribution: URL marking was the recipe's single largest
+    * map cost). Returns `struct(scheme, host, path, query)` with
+    * exactly the twins' semantics:
+    *  - effective string ends at the first `#` (fragment strip);
+    *  - `scheme` = lowercased `[A-Za-z][A-Za-z0-9+.-]*` prefix iff
+    *    followed by `://`, else `''` — and when `''`, ALL fields are
+    *    `''` (non-absolute rows are [[graft.ops.Url.keepUrl]] rejects);
+    *  - `host` = lowercased authority up to `/`/`?`, `www.` prefix
+    *    stripped, scheme-default port (`:80` http / `:443` https)
+    *    stripped;
+    *  - `path` = raw-case path up to `?`, trailing `/` runs stripped;
+    *  - `query` = params after the first `?`, empties and tracking
+    *    params dropped (key matched case-insensitively, the
+    *    `TrackingParamPattern` semantics), survivors sorted by UTF-8
+    *    byte order (array_sort's binary ordering) and re-joined with
+    *    `&`.
+    * UrlSpec/FunctionsSpec pin field-for-field equality with the regex
+    * twins on the fixture battery and the corpus-constructed URLs. */
+  def urlParts(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val full = u.toString
+    val hash = full.indexOf('#')
+    val s = if (hash >= 0) full.substring(0, hash) else full
+    val empty = UTF8String.EMPTY_UTF8
+    def row(a: UTF8String, b: UTF8String, c: UTF8String, d: UTF8String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, b, c, d))
+    // scheme
+    var j = 0
+    val n = s.length
+    // [A-Za-z] — ASCII-only, exactly the twin's anchored class
+    if (n == 0 || !((s.charAt(0) >= 'A' && s.charAt(0) <= 'Z') ||
+        (s.charAt(0) >= 'a' && s.charAt(0) <= 'z')))
+      return row(empty, empty, empty, empty)
+    j = 1
+    while (j < n && { val c = s.charAt(j)
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-' }) j += 1
+    if (j + 2 >= n || s.charAt(j) != ':' || s.charAt(j + 1) != '/' ||
+        s.charAt(j + 2) != '/')
+      return row(empty, empty, empty, empty)
+    val scheme = s.substring(0, j).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(j + 3)
+    // host
+    var he = 0
+    while (he < rest.length && rest.charAt(he) != '/' && rest.charAt(he) != '?') he += 1
+    var host = rest.substring(0, he).toLowerCase(java.util.Locale.ROOT)
+    if (host.startsWith("www.")) host = host.substring(4)
+    if (scheme == "http" && host.endsWith(":80"))
+      host = host.substring(0, host.length - 3)
+    else if (scheme == "https" && host.endsWith(":443"))
+      host = host.substring(0, host.length - 4)
+    // path (raw case), trailing slash runs stripped
+    var qi = rest.indexOf('?', he)
+    if (qi < 0) qi = rest.length
+    var pe = qi
+    while (pe > he && rest.charAt(pe - 1) == '/') pe -= 1
+    val path = rest.substring(he, pe)
+    // canonical query: split '&', drop empties + trackers, byte-order sort
+    val query: String = if (qi >= rest.length) "" else {
+      val params = rest.substring(qi + 1).split("&", -1)
+      val kept = new java.util.ArrayList[String]()
+      var i = 0
+      while (i < params.length) {
+        val p = params(i)
+        if (p.nonEmpty && !isTracker(p)) kept.add(p)
+        i += 1
+      }
+      val arr = kept.toArray(new Array[String](kept.size))
+      // UTF-8 byte order == array_sort's binary ordering; for the
+      // ASCII parameter regime it coincides with String order, and the
+      // UTF8String comparison makes the equivalence exact beyond it
+      java.util.Arrays.sort(arr, (a: String, b: String) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      String.join("&", arr: _*)
+    }
+    row(UTF8String.fromString(scheme), UTF8String.fromString(host),
+      UTF8String.fromString(path), UTF8String.fromString(query))
+  }
+
   /** One DEFLATE compressor per thread, reset per row: `Deflater`
     * allocation is a native zlib malloc — per-row construction would
     * dominate the compression itself. Never `end()`ed; the retained
@@ -1358,6 +1467,42 @@ case class KmvInterExpr(left: Expression, right: Expression)
   * proxy for degenerate-text filtering. A pure map-stage signal (no
   * shuffle ever), codegen'd like the other natives; the compressor is
   * thread-local so the per-row cost is the deflate itself. */
+/** `graft_url_parts(url)`: one-pass URL decomposition to
+  * `struct<scheme, host, path, query>` ([[Hashing.urlParts]] — see its
+  * scaladoc for exact semantics and the replaceAll-wall motivation).
+  * The `Url` object's regex Columns remain the transparent twins the
+  * SQL oracles replay; `Url.mark`/`markWithPsl` ride this kernel. */
+case class UrlPartsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = UrlPartsExpr.schema
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_url_parts requires STRING input, got ${child.dataType.simpleString}")
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.urlParts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.urlParts($c)")
+  override protected def withNewChildInternal(c: Expression): UrlPartsExpr =
+    copy(child = c)
+}
+
+object UrlPartsExpr {
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scheme",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("host",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("query",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+}
+
 /** `graft_dedup_key(text)`: the one-pass compiled dedup-key
   * normalization ([[Hashing.dedupKeyBytes]] — see its scaladoc for the
   * measured java-regex wall that motivates it and the exact byte-level
@@ -1478,6 +1623,8 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_deflate_ratio", c)
   def graft_dedup_key(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dedup_key", c)
+  def graft_url_parts(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_url_parts", c)
 
   /** Evaluate a registration-time scalar argument (shingle width, merge
     * pair, sketch geometry…). These parameterize the EXPRESSION — they
@@ -1563,6 +1710,8 @@ object NativeFunctions {
       exprs => DeflateRatioExpr(exprs.head)),
     ("graft_dedup_key", "graft.functions.DedupKeyExpr",
       exprs => DedupKeyExpr(exprs.head)),
+    ("graft_url_parts", "graft.functions.UrlPartsExpr",
+      exprs => UrlPartsExpr(exprs.head)),
     ("graft_kmv_union", "graft.functions.KmvUnionExpr", exprs => KmvUnionExpr(exprs(0), exprs(1))),
     ("graft_kmv_inter", "graft.functions.KmvInterExpr", exprs => KmvInterExpr(exprs(0), exprs(1))),
     ("graft_dd_quantile", "graft.functions.DdQuantileExpr", exprs => DdQuantileExpr(exprs.head,

@@ -62,9 +62,20 @@ object Pii {
   def countMatches(text: Column, cls: PiiClass): Column =
     regexp_count(text, lit(cls.pattern)).cast("long")
 
+  /** One class's redaction, GATED on a find-type match count: java
+    * regex `replaceAll` is the expensive, JVM-throughput-capped
+    * operation (measured — see [[graft.functions.Hashing.dedupKeyBytes]]
+    * scaladoc) while find-type matching scales, and on a real corpus
+    * most documents carry no PII of a given class, so the guard turns
+    * the common case into a count + pass-through. Value-identical:
+    * replacing on a zero-match text is the identity. */
+  private def guardedReplace(t: Column, c: PiiClass): Column =
+    when(regexp_count(t, lit(c.pattern)) > 0,
+      regexp_replace(t, c.pattern, c.replacement)).otherwise(t)
+
   /** Fully scrubbed text (all classes, chain order). */
   def scrubText(text: Column, classes: Seq[PiiClass] = Classes): Column =
-    classes.foldLeft(text)((t, c) => regexp_replace(t, c.pattern, c.replacement))
+    classes.foldLeft(text)(guardedReplace)
 
   /** Per-row scrub: adds `n_<class>` count columns (counted on the text
     * each class actually sees in the chain) and `<textCol>_scrubbed`.
@@ -75,10 +86,11 @@ object Pii {
     Sampling.requireFreshColumns(df, "Pii.scrub",
       classes.map(c => s"n_${c.name}") :+ s"${textCol}_scrubbed": _*)
     // one chained expression per output column; Catalyst CSEs the shared
-    // prefixes so each redaction stage is evaluated once per row
-    val stages: Seq[Column] = classes.scanLeft(col(textCol)) {
-      (t, c) => regexp_replace(t, c.pattern, c.replacement)
-    }
+    // prefixes so each redaction stage is evaluated once per row. Each
+    // stage's replace is count-gated (see guardedReplace) — the count is
+    // the same find the n_<class> column runs, so a clean row pays two
+    // cheap finds and zero replaceAll calls per class
+    val stages: Seq[Column] = classes.scanLeft(col(textCol))(guardedReplace)
     val withCounts = classes.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       d.withColumn(s"n_${c.name}", countMatches(stages(i), c))
     }

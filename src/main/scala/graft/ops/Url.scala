@@ -114,13 +114,38 @@ object Url {
   val SecondLevelSuffixes: Seq[String] =
     Seq("co", "com", "net", "org", "gov", "ac", "edu")
 
-  def registeredDomain(url: Column): Column = {
-    val l = split(host(url), "\\.")
+  def registeredDomain(url: Column): Column =
+    registeredDomainFromHost(host(url))
+
+  /** The heuristic over an already-extracted host (the [[mark]] path —
+    * the host comes from the compiled [[parts]] kernel there). */
+  def registeredDomainFromHost(h: Column): Column = {
+    val l = split(h, "\\.")
     val n = size(l)
     when(n >= 3 && element_at(l, n - 1).isInCollection(SecondLevelSuffixes),
         concat_ws(".", slice(l, n - 2, lit(3))))
       .otherwise(concat_ws(".", slice(l, greatest(n - 1, lit(1)), lit(2))))
   }
+
+  /** One-pass compiled URL decomposition (`graft_url_parts` —
+    * `struct(scheme, host, path, query)`): the production twin of the
+    * regex Columns above, which chain ~10 java-regex replaces per row
+    * and hit the per-JVM replaceAll throughput wall (see
+    * [[graft.functions.Hashing.urlParts]] for exact semantics and the
+    * measurement). The regex Columns STAY as the transparent forms the
+    * SQL oracles replay; [[mark]]/[[markWithPsl]] derive everything
+    * from one kernel evaluation per row. */
+  def parts(url: Column): Column = {
+    graft.functions.NativeFunctions.ensureRegistered()
+    graft.functions.NativeFunctions.graft_url_parts(url)
+  }
+
+  private def canonicalFromParts(p: Column): Column =
+    when(p.getField("scheme") === "", lit(""))
+      .otherwise(concat(p.getField("scheme"), lit("://"), p.getField("host"),
+        p.getField("path"),
+        when(p.getField("query") === "", lit(""))
+          .otherwise(concat(lit("?"), p.getField("query")))))
 
   /** PSL rules never exceed a handful of labels (the longest entries in
     * the real list are 4-label, e.g. `s3.dualstack.ap-south-1.amazonaws
@@ -150,9 +175,15 @@ object Url {
     * candidate, zero shuffle, same one-map-stage plan as the heuristic.
     * [[markWithPsl]] is the table-driven seam that feeds this from a
     * DataFrame (the [[filterByBlocklist]]-style entry point). */
-  def registeredDomainWithSuffixes(url: Column, suffixes: Seq[String]): Column = {
+  def registeredDomainWithSuffixes(url: Column, suffixes: Seq[String]): Column =
+    registeredDomainWithSuffixesFromHost(host(url), suffixes)
+
+  /** PSL longest-match over an already-extracted host (the
+    * [[markWithPsl]] path — host from the compiled [[parts]] kernel). */
+  def registeredDomainWithSuffixesFromHost(h: Column,
+      suffixes: Seq[String]): Column = {
     require(suffixes.nonEmpty, "public-suffix list must be non-empty")
-    val l = split(host(url), "\\.")
+    val l = split(h, "\\.")
     val n = size(l)
     val fallback = concat_ws(".", slice(l, greatest(n - 1, lit(1)), lit(2)))
     (MaxSuffixLabels to 1 by -1).foldRight(fallback) { (i, elseCol) =>
@@ -176,7 +207,7 @@ object Url {
     require(psl.columns.contains("suffix"),
       "public-suffix list must have a 'suffix' column")
     Sampling.requireFreshColumns(df, "Url.markWithPsl",
-      "canonical_url", "url_domain", "url_keep")
+      "canonical_url", "url_domain", "url_keep", "__url_parts")
     val suffixes = psl.select(col("suffix").cast("string")).distinct()
       .limit(maxSuffixes + 1)
       .collect().map(_.getString(0)).toSeq
@@ -184,14 +215,17 @@ object Url {
       s"markWithPsl: more than $maxSuffixes suffix rules — the list is " +
         "compiled into the plan; raise maxSuffixes only with driver/plan " +
         "memory to match")
-    val dom = registeredDomainWithSuffixes(col(urlCol), suffixes)
-    val keepBase = scheme(col(urlCol)).isInCollection(Seq("http", "https")) &&
-      !lower(path(col(urlCol))).rlike(BlockedExtensionPattern)
+    val p = col("__url_parts")
+    val dom = registeredDomainWithSuffixesFromHost(p.getField("host"), suffixes)
+    val keepBase = p.getField("scheme").isInCollection(Seq("http", "https")) &&
+      !lower(p.getField("path")).rlike(BlockedExtensionPattern)
     val keep = if (blockedDomains.isEmpty) keepBase
       else keepBase && !dom.isInCollection(blockedDomains)
-    df.withColumn("canonical_url", canonicalize(col(urlCol)))
+    df.withColumn("__url_parts", parts(col(urlCol)))
+      .withColumn("canonical_url", canonicalFromParts(p))
       .withColumn("url_domain", dom)
       .withColumn("url_keep", keep)
+      .drop("__url_parts")
   }
 
   /** The C4/RefinedWeb keep predicate: absolute http(s), not an asset
@@ -212,10 +246,18 @@ object Url {
   def mark(df: DataFrame, urlCol: String,
       blockedDomains: Seq[String] = Nil): DataFrame = {
     Sampling.requireFreshColumns(df, "Url.mark",
-      "canonical_url", "url_domain", "url_keep")
-    df.withColumn("canonical_url", canonicalize(col(urlCol)))
-      .withColumn("url_domain", registeredDomain(col(urlCol)))
-      .withColumn("url_keep", keepUrl(col(urlCol), blockedDomains))
+      "canonical_url", "url_domain", "url_keep", "__url_parts")
+    val p = col("__url_parts")
+    val dom = registeredDomainFromHost(p.getField("host"))
+    val keepBase = p.getField("scheme").isInCollection(Seq("http", "https")) &&
+      !lower(p.getField("path")).rlike(BlockedExtensionPattern)
+    val keep = if (blockedDomains.isEmpty) keepBase
+      else keepBase && !dom.isInCollection(blockedDomains)
+    df.withColumn("__url_parts", parts(col(urlCol)))
+      .withColumn("canonical_url", canonicalFromParts(p))
+      .withColumn("url_domain", dom)
+      .withColumn("url_keep", keep)
+      .drop("__url_parts")
   }
 
   /** Blocklist as a TABLE (column `domain`): left-anti join on the
@@ -226,7 +268,8 @@ object Url {
       blocked: DataFrame): DataFrame = {
     require(blocked.columns.contains("domain"),
       "blocklist must have a 'domain' column")
-    df.withColumn("url_domain", registeredDomain(col(urlCol)))
+    df.withColumn("url_domain",
+        registeredDomainFromHost(parts(col(urlCol)).getField("host")))
       .join(broadcast(blocked.select(col("domain").as("url_domain")).distinct()),
         Seq("url_domain"), "left_anti")
   }

@@ -64,6 +64,10 @@ object NativeWarmup {
         NF.graft_byte_token_ids(text), 116, 104, 257),
       "graft_deflate_ratio" -> NF.graft_deflate_ratio(text),
       "graft_dedup_key" -> NF.graft_dedup_key(text),
+      "graft_url_parts" -> NF.graft_url_parts(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("https://www.Example.COM/a/?utm_source=x&b="),
+          text)),
     )
   }
 

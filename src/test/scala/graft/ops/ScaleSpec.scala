@@ -967,8 +967,11 @@ class ScaleSpec extends AnyFunSuite {
     // attributed by timing successive PREFIXES of the chain over the
     // cached pages (no intermediate persists — each prefix is the fused
     // plan an actual consumer would run; deltas attribute increments).
+    // Suite default 1M (local[4]; each prefix lap re-runs the chain) —
+    // the 5M evidence run goes through SPARK_GRAFT_DRILL_ROWS=5000000,
+    // numbers in BENCH_NOTES round 12.
     val n = sys.env.get("SPARK_GRAFT_DRILL_ROWS")
-      .flatMap(_.toLongOption).getOrElse(5000000L)
+      .flatMap(_.toLongOption).getOrElse(1000000L)
     val sc = spark.sparkContext
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
     val spilled = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -152,6 +152,66 @@ class UrlSpec extends AnyFunSuite {
     assert(keep("https://fine.site.net/x", blocked = Seq("spam.net")))
   }
 
+  test("compiled parts kernel == regex twins, field for field") {
+    // every canonicalization fixture in this spec plus the edge shapes:
+    // the kernel must reproduce scheme/host/path/canonicalQuery and the
+    // derived canonical EXACTLY (for non-absolute URLs the kernel zeroes
+    // all fields — every consumer is gated on scheme, so only the
+    // derived canonical is compared there)
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://News.Example.co.uk:443/Path",
+      "https://SITE.org/CamelPath",
+      "https://site.org", "https://site.org/", "https://site.org///",
+      "http://site.org/?x=1&a=9", "http://site.org?a=9&x=1",
+      "http://site.org/p?&&a=1",
+      "http://site.org/p?utm_source=a&utm_medium=b&gclid=z",
+      "http://site.org/p?UTM_SOURCE=x&a=1",
+      "http://site.org/p?FbClId=z&Utm_Campaign=c&a=1",
+      "http://site.org/p?a=UTM_SOURCE",
+      "http://site.org/p?refid=9&href=x&ref=gone",
+      "http://site.org:8080/p", "http://site.org:443/p",
+      "https://h.org/p?flag&a=1",       // param without '=' survives
+      "https://h.org/p?utm_a-b=1",      // non-alnum utm key survives
+      "https://h.org/a?z=1&y=2&z=0",    // duplicate keys both kept, sorted
+      "ftp://x.org/y?a=1#f", "a://",
+      "not a url", "/relative/path", "", "#only-fragment",
+      "https://Üni.example.org/Pfad?b=1&a=2") // non-ASCII host lowercase
+      .toDF("url")
+    val p = Url.parts(col("url"))
+    val cmp = urls.select(
+      col("url"),
+      p.getField("scheme").as("ks"), Url.scheme(col("url")).as("ts"),
+      p.getField("host").as("kh"), Url.host(col("url")).as("th"),
+      p.getField("path").as("kp"), Url.path(col("url")).as("tp"),
+      p.getField("query").as("kq"), Url.canonicalQuery(col("url")).as("tq"),
+      Url.canonicalize(col("url")).as("tc")).collect()
+    cmp.foreach { r =>
+      val abs = r.getAs[String]("ts").nonEmpty
+      assert(r.getAs[String]("ks") == r.getAs[String]("ts"), r.toString)
+      if (abs) {
+        assert(r.getAs[String]("kh") == r.getAs[String]("th"), r.toString)
+        assert(r.getAs[String]("kp") == r.getAs[String]("tp"), r.toString)
+        assert(r.getAs[String]("kq") == r.getAs[String]("tq"), r.toString)
+      }
+    }
+    // derived canonical == regex canonicalize on every row (incl. the
+    // non-absolute ones, both '')
+    val derived = urls.select(Url.canonicalize(col("url")).as("tw"),
+      when(p.getField("scheme") === "", lit("")).otherwise(
+        concat(p.getField("scheme"), lit("://"), p.getField("host"),
+          p.getField("path"), when(p.getField("query") === "", lit(""))
+            .otherwise(concat(lit("?"), p.getField("query"))))).as("kc"))
+    assert(derived.filter(col("tw") =!= col("kc")).count() == 0)
+    // and mark()'s outputs (kernel-derived) equal the regex forms
+    val marked = Url.mark(urls, "url", blockedDomains = Seq("site.org"))
+    val diff = marked.filter(
+      col("canonical_url") =!= Url.canonicalize(col("url")) ||
+      col("url_domain") =!= Url.registeredDomain(col("url")) ||
+      col("url_keep") =!= Url.keepUrl(col("url"), Seq("site.org")))
+    assert(diff.count() == 0, diff.collect().mkString("; "))
+  }
+
   test("mark is one map stage: no exchange, no aggregate") {
     val df = spark.range(100).select(
       concat(lit("https://h"), pmod(col("id"), lit(7L)).cast("string"),
