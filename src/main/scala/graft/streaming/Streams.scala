@@ -146,6 +146,41 @@ object Streams {
       .dropDuplicatesWithinWatermark(textCol)
   }
 
+  /** Streaming web-curation — the continuous-crawl twin of
+    * [[graft.ops.Curation.curateWeb]]. The recipe's front four stages
+    * (URL mark/blocklist → HTML extraction → lang/quality gates → PII
+    * scrub) are PURE PER-ROW expression chains, so the stream runs the
+    * IDENTICAL `Column` expressions as batch (byte-identical outputs
+    * for the same rows — the [[piiScrubStream]] parity contract,
+    * recipe-wide) with no state store and no watermark; the dedup
+    * stage becomes event-time state (`dropDuplicatesWithinWatermark`
+    * on the same production key the batch window uses — the 8-byte
+    * [[graft.ops.TextOps.dedupFingerprint]], so state per retained
+    * row is a fingerprint, not a document). The batch-only per-domain
+    * CAP is deliberately absent: a global "first k per domain" is not
+    * expressible with bounded streaming state over an unbounded
+    * domain-time range — run [[graft.ops.Curation.capPerGroup]] in
+    * the batch compaction pass instead (the lambda-architecture
+    * split the q86 incremental story prescribes). */
+  def curateWebStream(pages: DataFrame, urlCol: String, htmlCol: String,
+      allowedLangs: Seq[String], minQuality: Int,
+      blockedDomains: Seq[String] = Nil,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.{Html, Pii, TextOps, Url}
+    val gated = Html.extract(
+        Url.mark(pages, urlCol, blockedDomains).filter(col("url_keep")),
+        htmlCol)
+      .drop(htmlCol)
+      .filter(TextOps.langGuess(col("content")).isInCollection(allowedLangs))
+      .filter(TextOps.qualityScore(col("content")) >= minQuality)
+    Pii.scrub(gated, "content")
+      .withColumn("__dedup_fp", TextOps.dedupFingerprint(col("content_scrubbed")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__dedup_fp")
+      .drop("__dedup_fp")
+  }
+
   /** Stateless streaming multi-class PII scrub — the continuous-ingest
     * twin of [[graft.ops.Pii.scrub]]: the identical per-row
     * count-and-redact chain (same `Column` expressions, same class order),

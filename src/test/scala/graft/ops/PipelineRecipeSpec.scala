@@ -78,6 +78,45 @@ class PipelineRecipeSpec extends AnyFunSuite {
     assert(noCap.count() == 5) // 1 + all four big.com pages
   }
 
+  test("curateWeb with a PSL: domains group by real suffix rules, blocklist rides them") {
+    import spark.implicits._
+    def p(t: String) = s"<p>$t</p>"
+    val T1 = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it drinks water in peace today"
+    val pages = Seq(
+      // two distinct user sites on github.io — the PSL keeps them APART
+      // (the heuristic would group both under github.io and a cap of 1
+      // would wrongly drop one)
+      (1L, "https://alice.github.io/a", p(T1 + " alpha page")),
+      (2L, "https://bob.github.io/b", p(T1 + " beta page")),
+      // blocklisted BY its PSL-registered domain
+      (3L, "https://evil.foo.go.jp/x", p(T1 + " gamma page")),
+      (4L, "https://fine.bar.go.jp/y", p(T1 + " delta page")))
+      .toDF("doc_id", "url", "html")
+    val psl = Seq("com", "org", "io", "jp", "go.jp", "github.io").toDF("suffix")
+    val out = Curation.curateWeb(pages, "doc_id", "url", "html",
+      allowedLangs = Seq("en"), minQuality = 40,
+      blockedDomains = Seq("foo.go.jp"), psl = Some(psl),
+      maxPerDomain = 1)
+    val rows = out.orderBy("doc_id")
+      .select("doc_id", "url_domain").as[(Long, String)].collect()
+    assert(rows.toSeq == Seq(
+      (1L, "alice.github.io"), (2L, "bob.github.io"), (4L, "bar.go.jp")),
+      rows.mkString("; "))
+    // same pages through the HEURISTIC default: both github.io users
+    // collapse into one domain group and the cap drops one — exactly
+    // the day-one mis-grouping the PSL variant exists to fix
+    val heur = Curation.curateWeb(pages, "doc_id", "url", "html",
+      allowedLangs = Seq("en"), minQuality = 40,
+      blockedDomains = Seq("foo.go.jp"), maxPerDomain = 1)
+    // heuristic mis-groupings, both directions: evil.foo.go.jp maps to
+    // go.jp — NOT blocklisted, so the blocked site SURVIVES (3); and
+    // both *.github.io users and both *.go.jp hosts collapse into one
+    // group each, so cap 1 drops bob (2) and fine.bar (4)
+    val heurIds = heur.select("doc_id").as[Long].collect().toSet
+    assert(heurIds == Set(1L, 3L), heurIds.toString)
+  }
+
   test("full recipe: compose, laws hold, deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -110,6 +110,62 @@ class StreamingSpec extends AnyFunSuite {
       .except(batch).count() == 0)
   }
 
+  test("streaming web-curation twin matches batch curateWeb (dedup-invariant projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.{Curation, TextOps}
+    implicit val sq = spark.sqlContext
+    def p(t: String) = s"<p>$t</p>"
+    val T1 = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it drinks water in peace today"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val rows = Seq(
+      (1L, "https://alpha.com/a", p(T1 + " contact a@b.io"), at(0)),
+      (2L, "https://alpha.com/b", p(T1 + " !! contact a@b.io"), at(1)), // dup
+      (3L, "https://alpha.com/app.js", p(T1), at(2)),   // asset drop
+      (4L, "https://bad.org/x", p(T1), at(3)),          // blocklist drop
+      (5L, "ftp://alpha.com/x", p(T1), at(4)),          // scheme drop
+      (7L, "https://beta.org/de", p("der hund und die katze laufen " +
+        "schnell durch den garten immer"), at(5)),      // lang drop
+      (10L, "https://big.com/p0", p(T1 + " landmark zero"), at(6)),
+      (11L, "https://big.com/p1", p(T1 + " landmark one"), at(7)))
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    mem.addData(rows)
+    val stream = Streams.curateWebStream(
+      mem.toDF().toDF("doc_id", "url", "html", "event_time"),
+      "url", "html", allowedLangs = Seq("en"), minQuality = 40,
+      blockedDomains = Seq("bad.org"))
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("webcurate_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("webcurate_stream")
+    // batch twin (no cap — the documented lambda split), same rows
+    val batch = Curation.curateWeb(
+      rows.toDF("doc_id", "url", "html", "event_time"),
+      "doc_id", "url", "html", allowedLangs = Seq("en"), minQuality = 40,
+      blockedDomains = Seq("bad.org"))
+    // dedup keeps ONE of {1,2} on both sides (batch: min id; stream:
+    // first seen) — compare the dedup-INVARIANT projection: the
+    // normalized content key set and the survivor count
+    assert(streamed.count() == batch.count())
+    val kStream = streamed
+      .select(TextOps.dedupKey(col("content_scrubbed")).as("k"))
+    val kBatch = batch
+      .select(TextOps.dedupKey(col("content_scrubbed")).as("k"))
+    assert(kStream.except(kBatch).count() == 0)
+    assert(kBatch.except(kStream).count() == 0)
+    // annotation parity on a deterministic survivor (id 10): identical
+    // columns and values through both paths
+    val s10 = streamed.filter(col("doc_id") === 10L)
+      .select("canonical_url", "url_domain", "n_email", "content_scrubbed")
+      .head()
+    val b10 = batch.filter(col("doc_id") === 10L)
+      .select("canonical_url", "url_domain", "n_email", "content_scrubbed")
+      .head()
+    assert(s10 == b10, s"$s10 vs $b10")
+  }
+
   test("streaming bloom decontamination matches the batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
