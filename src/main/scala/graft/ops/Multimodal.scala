@@ -110,6 +110,14 @@ object Multimodal {
     * fall back per-payload to [[StubCodec]]'s byte histogram, keeping
     * mixed-media tables decodable in one pass. */
   object ImageIoCodec extends BatchCodec {
+    // ImageIO defaults to a per-decode TEMP FILE cache (synchronized
+    // disk I/O inside javax.imageio) even when the source is an
+    // in-memory byte array — the multi-thread serialization class the
+    // java-regex wall taught this engine to look for. Memory-cache mode
+    // decodes identical pixels with no filesystem round trip; set once
+    // per JVM (executors inherit it on first codec touch).
+    javax.imageio.ImageIO.setUseCache(false)
+
     override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] = {
       require(dim >= 5, "ImageIoCodec needs dim >= 5 (w, h, r_sum, g_sum, b_sum)")
       payloads.map(b => decodeImage(b, dim).getOrElse(decodeStub(b, dim).toArray))
