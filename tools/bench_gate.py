@@ -49,7 +49,23 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def load(path):
     """Accepts either the raw Bench JSON line ({"metric":...,"queries":{...}})
     or the driver's wrapper, which embeds that line inside a "tail" field of
-    captured stdout."""
+    captured stdout.
+
+    Preference order (r12 verdict, What's wrong #4): if the path is a
+    driver-recorded BENCH_rNN.json AND the repo has a committed full
+    close-run for the same round (tools/close_run_rNN.json — the complete
+    per-query Bench JSON captured at round close on an idle machine), use
+    the close run instead. The driver tail truncates to the last ~60
+    queries and is recorded under suite load; the close run covers all
+    queries of the same build, so the gate compares like with like and
+    sees the full surface."""
+    m = re.search(r"BENCH_(r\d+)\.json$", os.path.basename(path))
+    if m:
+        close = os.path.join(ROOT, "tools", f"close_run_{m.group(1)}.json")
+        if os.path.exists(close):
+            print(f"bench_gate: using committed close run for {m.group(1)} "
+                  f"({os.path.relpath(close, ROOT)})")
+            path = close
     with open(path) as f:
         data = json.load(f)
     if "queries" not in data and "tail" in data:
