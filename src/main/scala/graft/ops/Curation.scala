@@ -130,7 +130,8 @@ object Curation {
       blockedDomains: Seq[String] = Nil, psl: Option[DataFrame] = None,
       piiClasses: Seq[Pii.PiiClass] = Pii.Classes,
       maxPerDomain: Int = Int.MaxValue,
-      minTextLen: Int = 10, maxLinkPct: Int = 30): DataFrame = {
+      minTextLen: Int = 10, maxLinkPct: Int = 30,
+      boundedDomainCap: Boolean = false): DataFrame = {
     require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
     val marked = psl match {
       case Some(p) => Url.markWithPsl(pages, urlCol, p, blockedDomains)
@@ -150,6 +151,12 @@ object Curation {
         scrubbed, "content_scrubbed", idCol)
       .filter(col("keep")).drop("keep")
     if (maxPerDomain == Int.MaxValue) deduped
+    // the cap variants are result-identical (ids are globally unique);
+    // boundedDomainCap trades the window's single skew-sensitive shuffle
+    // for BottomK partials + a uniformly-keyed semi join — see
+    // [[capPerGroupBounded]] and the CapSkewProfile drill in BENCH_NOTES
+    else if (boundedDomainCap)
+      capPerGroupBounded(deduped, "url_domain", idCol, maxPerDomain)
     else capPerGroup(deduped, "url_domain", idCol, maxPerDomain)
   }
 
@@ -175,6 +182,56 @@ object Curation {
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** Skew-proof per-group cap — result-identical to [[capPerGroup]] when
+    * `orderCol` is a non-null id UNIQUE within each group (the
+    * CurationSamplingSpec pins row-for-row equality), but with a bounded
+    * reduce-side buffer instead of a per-group sort:
+    *
+    *   1. keep-set: `groupBy(groupCol)` with [[graft.functions.BottomKAggregator]]
+    *      — each map task carries AT MOST k (id, id) pairs per group
+    *      (partial aggregation), the reduce side k-way-merges them, so
+    *      the group-keyed shuffle moves ≤ k·groups rows no matter how
+    *      skewed the groups are;
+    *   2. payload: a LEFT SEMI join of `df` against the keep-set on
+    *      (orderCol, groupCol) — the join shuffle is keyed by the id,
+    *      which is UNIFORM even when one group holds half the corpus.
+    *
+    * Contrast with the window plan: `row_number()` over
+    * `partitionBy(groupCol)` sends EVERY row of a group to one
+    * partition and sorts the whole run — under a pathological
+    * mega-domain (30–50% corpus share, the exact anti-domination case
+    * the cap exists for) that partition is corpus-scale. Here no
+    * executor ever holds more than k pairs of state per group, at the
+    * cost of a second (uniformly-keyed) shuffle for the payload re-join.
+    * The CapSkewProfile drill measures the crossover (BENCH_NOTES):
+    * balanced regimes favor the window's single shuffle; skewed regimes
+    * favor this. [[curateWeb]] exposes the choice via `boundedDomainCap`.
+    *
+    * Requirements (documented, not checked — a per-row uniqueness scan
+    * would cost more than the cap): `orderCol` casts to long, is
+    * non-null, and is unique within each group. Ties would keep every
+    * row matching a kept id (the window variant keeps exactly k); null
+    * ids never match the semi join (the window sorts them first). Null
+    * GROUP values are handled: the join is null-safe on the group key,
+    * so the null-domain group is capped like any other. */
+  def capPerGroupBounded(df: DataFrame, groupCol: String, orderCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "cap must be >= 1")
+    Sampling.requireFreshColumns(df, "Curation.capPerGroupBounded",
+      "__g", "__o", "__w")
+    val bottomK = udaf(new graft.functions.BottomKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    val keep = df
+      .select(col(groupCol).as("__g"), col(orderCol).cast("long").as("__o"))
+      .groupBy(col("__g"))
+      .agg(bottomK(col("__o"), col("__o")).as("__w"))
+      .select(col("__g"), explode(col("__w")).as("__e"))
+      .select(col("__g"), col("__e._1").as("__o"))
+    df.join(keep,
+      col(orderCol).cast("long") === col("__o") && col(groupCol) <=> col("__g"),
+      "left_semi")
   }
 
   /** Semantic (embedding-space) deduplication: documents whose embeddings

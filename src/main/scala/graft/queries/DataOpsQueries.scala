@@ -1570,6 +1570,16 @@ object DataOpsQueries {
         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
         |SELECT token, cnt, cnt*9 > n AS is_heavy, TRUE AS k8_ok
         |FROM c, tot ORDER BY cnt DESC, token""".stripMargin,
+    // Bounded per-group cap: identical replay to q67 (k smallest ids per
+    // group) — the engine side differs only in plan shape.
+    "q137_domain_cap_bounded" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |CAST(SUM(CASE WHEN rn <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |CAST(SUM(CASE WHEN rn <= 25 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2102,8 +2112,19 @@ object DataOpsQueries {
       .join(graft.ops.CorpusStats
         .heavyHittersByGroup(byDay, "text", "day", 8)
         .withColumnRenamed("summary", "summary8"), Seq("day"))
-    val statePath =
-      s"${System.getProperty("java.io.tmpdir")}/graft_q136_hh_state"
+    // unique per-run state dir: a fixed path lets two concurrent sessions
+    // clobber each other's state mid-query. The loaded state is read
+    // LAZILY when the caller materializes the result, so deletion is a
+    // JVM-exit hook rather than end-of-query.
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft_q136_hh_state")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try java.nio.file.Files.walk(stateDir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
+    val statePath = stateDir.toString
     graft.ops.CorpusStats.saveHeavyHittersState(daily, statePath)
     val state = graft.ops.CorpusStats.loadHeavyHittersState(s, statePath)
     val exact = graft.ops.CorpusStats.heavyHittersRollup(state, "summary", 64)
@@ -2122,6 +2143,22 @@ object DataOpsQueries {
           .otherwise(col("est8").isNull || col("est8") <= col("cnt"))
           .as("k8_ok"))
       .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Skew-proof per-group cap ([[Curation.capPerGroupBounded]] — BottomK
+    * partial aggregation + uniformly-keyed semi join instead of the q67
+    * window sort): result-identical to the window cap when ids are unique
+    * per group, so the oracle is the SAME row_number replay as q67. The
+    * point of a separate oracle row is the plan, not the answer — the
+    * bounded variant's group-keyed shuffle carries ≤ k·groups rows no
+    * matter how skewed the groups (see the CapSkewProfile drill). */
+  val q137DomainCapBounded: Q = (s, dir) => {
+    val docs = load(s, dir, "documents")
+    val capped = Curation.capPerGroupBounded(docs, "source", "doc_id", 25)
+    val total = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val kept = capped.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+    total.join(kept, Seq("source")).orderBy("source")
   }
 
   /** Per-language normalized dedup ([[Dedup.exactDedupNormalizedPerGroup]]
@@ -3857,5 +3894,6 @@ object DataOpsQueries {
     "q134_url_psl" -> q134UrlPsl,
     "q135_media_dispatch" -> q135MediaDispatch,
     "q136_hh_rollup" -> q136HhRollup,
+    "q137_domain_cap_bounded" -> q137DomainCapBounded,
   )
 }

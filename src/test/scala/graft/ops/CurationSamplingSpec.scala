@@ -30,6 +30,51 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(capped.count() == docs.count())
   }
 
+  test("capPerGroupBounded == capPerGroup row-for-row (incl. a null group)") {
+    // a null-domain group exercises the null-safe join key: the window
+    // variant treats null as its own partition, the bounded variant must
+    // cap it identically instead of dropping it at the semi join
+    val withNull = docs.withColumn("source",
+      when(pmod(col("doc_id"), lit(11L)) === 0L, lit(null: String))
+        .otherwise(col("source")))
+    for (k <- Seq(1, 2, 30)) {
+      val win = Curation.capPerGroup(withNull, "source", "doc_id", k)
+        .select("source", "doc_id")
+      val bnd = Curation.capPerGroupBounded(withNull, "source", "doc_id", k)
+        .select("source", "doc_id")
+      assert(bnd.exceptAll(win).count() == 0, s"k=$k: bounded \\ window nonempty")
+      assert(win.exceptAll(bnd).count() == 0, s"k=$k: window \\ bounded nonempty")
+    }
+  }
+
+  test("capPerGroupBounded: payload columns survive the semi join intact") {
+    val bnd = Curation.capPerGroupBounded(docs, "source", "doc_id", 3)
+    assert(bnd.columns.toSeq == docs.columns.toSeq)
+    // every surviving row is a verbatim input row (semi join, no dupes)
+    assert(bnd.exceptAll(docs).count() == 0)
+    assert(bnd.groupBy("source").count().filter(col("count") > 3).count() == 0)
+  }
+
+  test("curateWeb: boundedDomainCap=true matches the window cap row-for-row") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pages = (1L to 400L).map { i =>
+      val dom = if (i % 3 == 0) "big.com" else s"site${i % 7}.org"
+      val text = s"the quick brown fox number $i jumps over the lazy dog " +
+        "and keeps running through the long meadow for a while longer"
+      (i, s"https://www.$dom/a/$i",
+        s"<html><body><p>$text</p><p>$text</p></body></html>")
+    }.toDF("doc_id", "url", "html")
+    def run(bounded: Boolean) = Curation.curateWeb(pages, "doc_id", "url",
+      "html", allowedLangs = Seq("en", "und"), minQuality = 10,
+      maxPerDomain = 5, boundedDomainCap = bounded)
+      .select("doc_id", "canonical_url", "url_domain")
+    val win = run(bounded = false)
+    val bnd = run(bounded = true)
+    assert(win.count() > 0)
+    assert(bnd.exceptAll(win).count() == 0 && win.exceptAll(bnd).count() == 0)
+  }
+
   test("keepByWeight: weight 0 keeps nothing, 100 keeps everything, deterministic") {
     assert(Sampling.weightedSample(docs, "doc_id", lit(0)).count() == 0)
     assert(Sampling.weightedSample(docs, "doc_id", lit(100)).count() == docs.count())
