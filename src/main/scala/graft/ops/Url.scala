@@ -147,68 +147,146 @@ object Url {
         when(p.getField("query") === "", lit(""))
           .otherwise(concat(lit("?"), p.getField("query")))))
 
-  /** PSL rules never exceed a handful of labels (the longest entries in
-    * the real list are 4-label, e.g. `s3.dualstack.ap-south-1.amazonaws
-    * .com`-class private rules); candidate generation is capped here so
-    * the per-row cost is a CONSTANT number of set probes. */
-  val MaxSuffixLabels: Int = 4
+  /** Parsed public-suffix rule set, partitioned by rule class and label
+    * count. Partitioning by LENGTH means each rule's literal appears in
+    * exactly ONE `InSet` probe (the previous plain-only implementation
+    * probed the whole list at every candidate length — 4× literal
+    * duplication in the compiled plan for zero semantic gain: a k-label
+    * candidate string can only ever equal a k-label rule). */
+  final case class PslRules(
+      plain: Map[Int, Seq[String]],
+      wildcardBases: Map[Int, Seq[String]],
+      exceptions: Map[Int, Seq[String]]) {
+    def ruleCount: Int =
+      (plain.values ++ wildcardBases.values ++ exceptions.values).map(_.size).sum
+  }
+
+  object PslRules {
+    /** Parses raw publicsuffix.org-style rules: plain suffixes, wildcard
+      * rules (`*.ck` — the `*` matches exactly one label, leftmost only,
+      * per the PSL spec), exception rules (`!www.ck` — concrete, no
+      * wildcard). Comments (`// …`), blanks, and nulls are dropped; rules
+      * are trimmed + lowercased so a mixed-case rule can never silently
+      * fail to match the lowercased host (ADVICE r12). */
+    def compile(raw: Seq[String]): PslRules = {
+      val cleaned = raw.iterator
+        .filter(_ != null)
+        .map(_.trim.toLowerCase)
+        .filter(r => r.nonEmpty && !r.startsWith("//"))
+        .toVector.distinct
+      val (exc, rest) = cleaned.partition(_.startsWith("!"))
+      val (wild, plain) = rest.partition(_.startsWith("*."))
+      val excBodies = exc.map(_.stripPrefix("!"))
+      val wildBases = wild.map(_.stripPrefix("*."))
+      (excBodies ++ wildBases ++ plain).foreach { body =>
+        require(body.nonEmpty && !body.contains("*"),
+          s"PSL rule body '$body': wildcards are only supported as the " +
+            "leftmost label (*.suffix), and exception rules must be concrete")
+      }
+      def byLen(rs: Seq[String]): Map[Int, Seq[String]] =
+        rs.groupBy(_.count(_ == '.') + 1)
+      PslRules(byLen(plain), byLen(wildBases), byLen(excBodies))
+    }
+  }
 
   /** Registered-domain extraction against a REAL public-suffix list —
-    * the production variant [[registeredDomain]]'s scaladoc promises.
-    * Longest-match-wins over the host's trailing label runs, exactly the
-    * PSL algorithm for plain (non-wildcard, non-exception) rules: try
-    * the longest candidate suffix first ([[MaxSuffixLabels]] labels down
-    * to 1); on the first hit the registered domain is the suffix plus
-    * ONE more label. A host that IS a public suffix, or that matches
-    * nothing, falls back to the last-two-labels default — the PSL's own
-    * prevailing `*` rule, and [[registeredDomain]]'s `.otherwise` branch,
+    * the production variant [[registeredDomain]]'s scaladoc promises,
+    * implementing the FULL publicsuffix.org algorithm: exception rules
+    * (`!www.ck`) beat wildcard rules (`*.ck`) beat plain rules, and
+    * within wildcard/plain the rule with the most labels prevails. On a
+    * plain/wildcard hit the registered domain is the matched public
+    * suffix plus ONE more label; on an exception hit it is the exception
+    * rule itself (`!www.ck` names the registrable domain directly, so
+    * `a.www.ck` → `www.ck`). A host that IS a public suffix, or that
+    * matches nothing, falls back to the last-two-labels default — the
+    * PSL's own prevailing `*` rule, and [[registeredDomain]]'s
+    * `.otherwise` branch (the PSL proper says such a host has NO
+    * registered domain; this engine returns the best-effort short
+    * grouping instead of null, the documented convention UrlSpec pins) —
     * so the two variants agree everywhere the heuristic is right and
     * differ only where the heuristic mis-groups (UrlSpec pins the
     * documented divergence cases: `foo.go.jp`, `user.github.io`,
-    * `school.k12.ma.us`).
+    * `school.k12.ma.us`, and the PSL test-vector `*.ck`/`!www.ck` and
+    * `*.kobe.jp`/`!city.kobe.jp` families).
     *
     * Scale shape — why a compiled set, not a join: a join-based
     * longest-match needs candidate explode + a per-row re-group, putting
     * a shuffle on the CRAWL side for a lookup table of ~10^4 rows. The
     * PSL is model-sized (the real list is ~9k active rules), so it rides
     * the plan as Catalyst `InSet` predicates — hash-set probes, O(1) per
-    * candidate, zero shuffle, same one-map-stage plan as the heuristic.
+    * candidate, zero shuffle, same one-map-stage plan as the heuristic;
+    * branch depth derives from the label counts actually present in the
+    * rule set, and each rule literal appears in exactly one probe.
     * [[markWithPsl]] is the table-driven seam that feeds this from a
     * DataFrame (the [[filterByBlocklist]]-style entry point). */
   def registeredDomainWithSuffixes(url: Column, suffixes: Seq[String]): Column =
     registeredDomainWithSuffixesFromHost(host(url), suffixes)
 
-  /** PSL longest-match over an already-extracted host (the
-    * [[markWithPsl]] path — host from the compiled [[parts]] kernel). */
+  /** Full-PSL longest-match over an already-extracted host (the
+    * [[markWithPsl]] path — host from the compiled [[parts]] kernel).
+    * The `when` chains rely on Catalyst's short-circuiting `And`: the
+    * `n > len` guard runs first, so the slice expressions never see a
+    * non-positive start index. */
   def registeredDomainWithSuffixesFromHost(h: Column,
       suffixes: Seq[String]): Column = {
-    require(suffixes.nonEmpty, "public-suffix list must be non-empty")
+    val rules = PslRules.compile(suffixes)
+    require(rules.ruleCount > 0, "public-suffix list must be non-empty")
     val l = split(h, "\\.")
     val n = size(l)
+    def lastK(k: Int): Column = concat_ws(".", slice(l, n - k + 1, lit(k)))
     val fallback = concat_ws(".", slice(l, greatest(n - 1, lit(1)), lit(2)))
-    (MaxSuffixLabels to 1 by -1).foldRight(fallback) { (i, elseCol) =>
-      // candidate suffix = last i labels; a hit needs one label in front
-      when(n > i && concat_ws(".", slice(l, n - i + 1, lit(i)))
-          .isInCollection(suffixes),
-        concat_ws(".", slice(l, n - i, lit(i + 1))))
+    // plain + wildcard by EFFECTIVE label count (a wildcard rule *.X is
+    // |X|+1 labels long); ascending foldLeft nests so the longest rule
+    // is the outermost branch — longest match wins
+    val lens = (rules.plain.keySet ++ rules.wildcardBases.keySet.map(_ + 1))
+      .toSeq.sorted
+    val base = lens.foldLeft(fallback) { (elseCol, len) =>
+      val hits =
+        rules.plain.get(len).map(ss => lastK(len).isInCollection(ss)).toSeq ++
+        // the * consumes the len-th label from the right (any value);
+        // the base must equal the len-1 trailing labels
+        rules.wildcardBases.get(len - 1)
+          .map(ss => lastK(len - 1).isInCollection(ss)).toSeq
+      when(n > len && hits.reduce(_ || _), lastK(len + 1))
+        .otherwise(elseCol)
+    }
+    // exception rules prevail over everything, longest first; the rule
+    // itself IS the registrable domain (n >= j: the host may equal it)
+    rules.exceptions.keys.toSeq.sorted.foldLeft(base) { (elseCol, j) =>
+      when(n >= j && lastK(j).isInCollection(rules.exceptions(j)), lastK(j))
         .otherwise(elseCol)
     }
   }
 
   /** [[mark]] with PSL-backed registered domains: `psl` is a DataFrame
-    * with a `suffix` column (one public-suffix rule per row, lowercase,
-    * no leading dot). The list is collected ONCE (model-sized, guarded —
-    * the [[Curation.mixtureBalance]] driver-table pattern: fail loudly,
+    * with a `suffix` column (one publicsuffix.org rule per row — plain,
+    * `*.wildcard`, or `!exception`; comments and blanks are tolerated
+    * and dropped, casing is normalized, so the raw list file loads
+    * as-is). The list is collected ONCE (model-sized, guarded — the
+    * [[Curation.mixtureBalance]] driver-table pattern: fail loudly,
     * never OOM) and compiled into the plan; the crawl side stays a
-    * single map stage with zero shuffle. */
+    * single map stage with zero shuffle.
+    *
+    * `maxSuffixes` defaults to real-PSL scale (~9k active rules, 50k
+    * headroom): every rule is one string literal in the compiled plan,
+    * so the ceiling is a PLAN-memory guard, not a data limit — callers
+    * with a genuinely bigger table raise it explicitly, accepting the
+    * plan size. */
   def markWithPsl(df: DataFrame, urlCol: String, psl: DataFrame,
       blockedDomains: Seq[String] = Nil,
-      maxSuffixes: Int = 1000000): DataFrame = {
+      maxSuffixes: Int = 50000): DataFrame = {
     require(psl.columns.contains("suffix"),
       "public-suffix list must have a 'suffix' column")
     Sampling.requireFreshColumns(df, "Url.markWithPsl",
       "canonical_url", "url_domain", "url_keep", "__url_parts")
-    val suffixes = psl.select(col("suffix").cast("string")).distinct()
+    // sanitize at the collect (ADVICE r12): a NULL suffix row would land
+    // as a null literal inside the InSet probe (null-propagating compare
+    // silently degrades that branch), and a non-lowercase rule could
+    // never match the lowercased host
+    val suffixes = psl
+      .select(lower(trim(col("suffix").cast("string"))).as("suffix"))
+      .filter(col("suffix").isNotNull && col("suffix") =!= "")
+      .distinct()
       .limit(maxSuffixes + 1)
       .collect().map(_.getString(0)).toSeq
     require(suffixes.size <= maxSuffixes,

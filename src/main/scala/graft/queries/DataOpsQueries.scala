@@ -1618,14 +1618,15 @@ object DataOpsQueries {
         |  ELSE 0 END AS BIGINT) AS v5
         |FROM documents ORDER BY media_id""".stripMargin,
     // PSL registered domains: the oracle replays BOTH algorithms — the
-    // longest-match CASE chain over the same fixture suffix list
-    // (mirroring Url.registeredDomainWithSuffixes' when-chain, 4 labels
-    // down to 1, one extra label in front on a hit, last-two fallback)
-    // and the 7-entry heuristic — so n_diverge pins exactly where the
-    // table corrects the heuristic. Canonical strings are replayed by
-    // construction arithmetic (https, www/case fold, trailing slash,
-    // UPPERCASE tracker dropped); keep = not blocklisted (scheme/
-    // extension are clean by construction).
+    // full PSL CASE chain over the same fixture rules (exception rule
+    // first, then longest-match tiers 4 labels down to 1 where each
+    // tier ORs its plain IN list with the wildcard-base equality whose
+    // effective length lands on that tier, one extra label in front on
+    // a hit, last-two fallback) and the 7-entry heuristic — so
+    // n_diverge pins exactly where the table corrects the heuristic.
+    // Canonical strings are replayed by construction arithmetic (https,
+    // www/case fold, trailing slash, UPPERCASE tracker dropped); keep =
+    // not blocklisted (scheme/extension are clean by construction).
     "q134_url_psl" ->
       """WITH u AS (SELECT doc_id, source,
         |  CASE CAST(doc_id%5 AS INTEGER)
@@ -1633,7 +1634,12 @@ object DataOpsQueries {
         |    WHEN 1 THEN 'User' || CAST(doc_id%11 AS VARCHAR) || '.GitHub.IO'
         |    WHEN 2 THEN 'school' || CAST(doc_id%13 AS VARCHAR) || '.k12.MA.US'
         |    WHEN 3 THEN 'shop.example' || CAST(doc_id%3 AS VARCHAR) || '.com.au'
-        |    ELSE 'x.site' || CAST(doc_id%17 AS VARCHAR) || '.org' END AS rawhost
+        |    ELSE CASE
+        |      WHEN doc_id%3 = 0 THEN 'x.site' || CAST(doc_id%17 AS VARCHAR) || '.org'
+        |      WHEN doc_id%3 = 1 THEN 'b.test' || CAST(doc_id%7 AS VARCHAR) || '.CK'
+        |      WHEN doc_id%2 = 0 THEN 'visit.City.kobe.JP'
+        |      ELSE 'ward.c' || CAST(doc_id%4 AS VARCHAR) || '.kobe.JP'
+        |    END END AS rawhost
         |  FROM documents),
         |h AS (SELECT doc_id, source,
         |  regexp_replace(lower(rawhost), '^www\.', '') AS host FROM u),
@@ -1644,17 +1650,21 @@ object DataOpsQueries {
         |  string_split(host, '.') AS ls FROM h),
         |d AS (SELECT doc_id, source, canon,
         |  CASE
+        |    WHEN len(ls) >= 3 AND array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |      = 'city.kobe.jp' THEN 'city.kobe.jp'
         |    WHEN len(ls) > 4 AND array_to_string(ls[len(ls)-3:len(ls)], '.')
         |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
         |          'go.jp','co.jp','github.io','k12.ma.us')
         |      THEN array_to_string(ls[len(ls)-4:len(ls)], '.')
-        |    WHEN len(ls) > 3 AND array_to_string(ls[len(ls)-2:len(ls)], '.')
+        |    WHEN len(ls) > 3 AND (array_to_string(ls[len(ls)-2:len(ls)], '.')
         |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
         |          'go.jp','co.jp','github.io','k12.ma.us')
+        |      OR array_to_string(ls[len(ls)-1:len(ls)], '.') = 'kobe.jp')
         |      THEN array_to_string(ls[len(ls)-3:len(ls)], '.')
-        |    WHEN len(ls) > 2 AND array_to_string(ls[len(ls)-1:len(ls)], '.')
+        |    WHEN len(ls) > 2 AND (array_to_string(ls[len(ls)-1:len(ls)], '.')
         |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
         |          'go.jp','co.jp','github.io','k12.ma.us')
+        |      OR ls[len(ls)] = 'ck')
         |      THEN array_to_string(ls[len(ls)-2:len(ls)], '.')
         |    WHEN len(ls) > 1 AND ls[len(ls)]
         |      IN ('com','org','net','io','uk','jp','us','au','co.uk','com.au',
@@ -2269,10 +2279,13 @@ object DataOpsQueries {
     * covering the rule classes the heuristic cannot express: 2-label
     * ccTLD registries (`go.jp`, `com.au`), a private-registry rule
     * (`github.io`), and a 3-label rule (`k12.ma.us`), plus the plain
-    * TLDs. Mirrored verbatim in the q134 oracle SQL. */
+    * TLDs — and the PSL test file's wildcard/exception families
+    * (`*.ck`, `*.kobe.jp`, `!city.kobe.jp`). Mirrored verbatim in the
+    * q134 oracle SQL (plain rules as IN lists, wildcard bases as ORed
+    * equality tiers, the exception as the top CASE arm). */
   val PslFixture: Seq[String] = Seq("com", "org", "net", "io", "uk", "jp",
     "us", "au", "co.uk", "com.au", "go.jp", "co.jp", "github.io",
-    "k12.ma.us")
+    "k12.ma.us", "*.ck", "*.kobe.jp", "!city.kobe.jp")
 
   /** PSL-backed registered-domain extraction ([[Url.markWithPsl]] /
     * [[Url.registeredDomainWithSuffixes]] — longest-match over a real
@@ -2301,7 +2314,13 @@ object DataOpsQueries {
         concat(lit("school"), m(13).cast("string"), lit(".k12.MA.US")))
       .when(m(5) === 3L,
         concat(lit("shop.example"), m(3).cast("string"), lit(".com.au")))
-      .otherwise(concat(lit("x.site"), m(17).cast("string"), lit(".org")))
+      .otherwise(
+        when(m(3) === 0L,
+          concat(lit("x.site"), m(17).cast("string"), lit(".org")))
+        .when(m(3) === 1L,
+          concat(lit("b.test"), m(7).cast("string"), lit(".CK")))
+        .when(m(2) === 0L, lit("visit.City.kobe.JP"))
+        .otherwise(concat(lit("ward.c"), m(4).cast("string"), lit(".kobe.JP"))))
     val url = concat(lit("https://"), host,
       lit("/Doc/"), m(50).cast("string"),
       when(m(4) === 0L, lit("/")).otherwise(lit("")),

@@ -116,6 +116,55 @@ class UrlSpec extends AnyFunSuite {
     assert(domain("http://school.k12.ma.us/x") == "ma.us")
   }
 
+  test("PSL wildcard + exception rules: the publicsuffix.org test vectors") {
+    // pure-PSL vectors go through ...FromHost on literal hosts: the
+    // URL-level path strips a leading `www.` as part of canonicalization
+    // (its own pinned convention), which would hide the !www.ck vector
+    def dom(rules: Seq[String])(h: String) = Seq(h).toDF("h")
+      .select(Url.registeredDomainWithSuffixesFromHost(col("h"), rules))
+      .head().getString(0)
+    // straight from the PSL test file's *.ck / !www.ck family…
+    val ck = dom(Seq("com", "*.ck", "!www.ck")) _
+    assert(ck("b.test.ck") == "b.test.ck")     // *.ck: test.ck is a suffix
+    assert(ck("a.b.test.ck") == "b.test.ck")
+    assert(ck("www.ck") == "www.ck")           // !www.ck: the rule IS the domain
+    assert(ck("www.www.ck") == "www.ck")
+    // host IS the wildcard public suffix (PSL: no registered domain) →
+    // the documented best-effort fallback, last two labels
+    assert(ck("test.ck") == "test.ck")
+    // …and the *.kobe.jp / !city.kobe.jp family, where a SHORTER plain
+    // rule (jp) coexists with the wildcard
+    val jp = dom(Seq("jp", "*.kobe.jp", "!city.kobe.jp")) _
+    assert(jp("kobe.jp") == "kobe.jp")               // plain jp rule
+    assert(jp("www.c.kobe.jp") == "www.c.kobe.jp")   // *.kobe.jp
+    assert(jp("a.www.c.kobe.jp") == "www.c.kobe.jp")
+    assert(jp("city.kobe.jp") == "city.kobe.jp")     // exception
+    assert(jp("www.city.kobe.jp") == "city.kobe.jp")
+    // URL-level: the www-strip convention composes with the exception
+    // rule (www.www.ck → host www.ck → exception hits)
+    val viaUrl = Seq("http://www.www.ck/x").toDF("url")
+      .select(Url.registeredDomainWithSuffixes(col("url"),
+        Seq("com", "*.ck", "!www.ck"))).head().getString(0)
+    assert(viaUrl == "www.ck")
+  }
+
+  test("PslRules.compile: comments/blanks/nulls dropped, casing normalized, bad wildcards rejected") {
+    val rules = Url.PslRules.compile(Seq(
+      "// comment line", "", "  ", null, "COM", "*.CK", "!WWW.ck", "co.uk"))
+    assert(rules.plain == Map(1 -> Seq("com"), 2 -> Seq("co.uk")))
+    assert(rules.wildcardBases == Map(1 -> Seq("ck")))
+    assert(rules.exceptions == Map(2 -> Seq("www.ck")))
+    // a mixed-case DataFrame rule matches after markWithPsl's sanitation
+    val psl = Seq("GO.JP", null, "  ", "// x").toDF("suffix")
+    val marked = Url.markWithPsl(
+      Seq("https://a.foo.GO.jp/x").toDF("url"), "url", psl)
+    assert(marked.select("url_domain").head().getString(0) == "foo.go.jp")
+    // embedded / non-leftmost wildcards are loud errors, not silent labels
+    intercept[IllegalArgumentException](Url.PslRules.compile(Seq("a.*.b")))
+    intercept[IllegalArgumentException](Url.PslRules.compile(Seq("!*.ck")))
+    intercept[IllegalArgumentException](Url.PslRules.compile(Seq("*")))
+  }
+
   test("markWithPsl: one map stage, no shuffle, guarded collect, blocklist") {
     import org.apache.spark.sql.DataFrame
     val psl: DataFrame = PslFixture.toDF("suffix")
