@@ -131,16 +131,27 @@ object Curation {
       piiClasses: Seq[Pii.PiiClass] = Pii.Classes,
       maxPerDomain: Int = Int.MaxValue,
       minTextLen: Int = 10, maxLinkPct: Int = 30,
-      boundedDomainCap: Boolean = false): DataFrame = {
+      boundedDomainCap: Boolean = false,
+      seenUrls: Option[DataFrame] = None): DataFrame = {
     require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
     val marked = psl match {
       case Some(p) => Url.markWithPsl(pages, urlCol, p, blockedDomains)
       case None    => Url.mark(pages, urlCol, blockedDomains)
     }
+    val kept = marked.filter(col("url_keep"))
+    // RECRAWL seam (q138): drop pages whose canonical URL a prior run
+    // already crawled — and today's own re-fetches — BEFORE the HTML
+    // parse, the recipe's most expensive per-row stage. `canonical_url`
+    // is already computed; the probe is one 8-byte-key anti-join.
+    val fresh = seenUrls match {
+      case Some(st) =>
+        Incremental.dropSeenCanonicalUrls(kept, idCol, "canonical_url", st)
+      case None => kept
+    }
     // the raw page is DEAD WEIGHT once content is extracted — at 100 TB
     // it is the row's dominant payload, and without the drop it rides
     // both shuffles (the 5M drill measured the dedup stage with/without)
-    val extracted = Html.extract(marked.filter(col("url_keep")), htmlCol,
+    val extracted = Html.extract(fresh, htmlCol,
       minTextLen = minTextLen, maxLinkPct = maxLinkPct)
       .drop(htmlCol)
     val gated = extracted

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.NativeFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cross-RUN dedup / decontamination state — the incremental pattern a
@@ -70,6 +70,65 @@ object Incremental {
       .join(winners, Seq("__fp", idCol), "left_semi")
       .join(state.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
       .drop("__fp")
+  }
+
+  /** Canonical-URL fingerprint state of a crawl batch — the RECRAWL
+    * story: a day-2 crawl drops already-seen pages at the URL stage,
+    * BEFORE HTML extraction, because a URL-level drop is ~10^3× cheaper
+    * than parsing the page it names (the [[Url]] front-stage argument,
+    * applied across runs). One row per distinct canonical URL (column
+    * `url_fp` — `graft_fingerprint` over [[Url.canonicalCompiled]], the
+    * same engine-independent rolling hash as [[fingerprintState]], so a
+    * SQL oracle replays the whole incremental run, q138). Growth ∝
+    * distinct URLs ever crawled, 8 bytes each. */
+  def urlState(pages: DataFrame, urlCol: String): DataFrame = {
+    NativeFunctions.register(pages.sparkSession)
+    pages.select(NativeFunctions.graft_fingerprint(
+      Url.canonicalCompiled(col(urlCol))).as("url_fp")).distinct()
+  }
+
+  /** Roll the canonical-URL state forward with a new crawl batch. */
+  def updatedUrlState(state: DataFrame, pages: DataFrame,
+      urlCol: String): DataFrame =
+    state.unionByName(urlState(pages, urlCol)).distinct()
+
+  /** Drop TODAY's pages whose canonical URL was already crawled: dedups
+    * today WITHIN itself (smallest id per canonical URL wins — two
+    * fetches of one page in one crawl) AND against the prior
+    * [[urlState]]. Same plan shape as [[dedupAgainstState]], but keyed
+    * on the URL instead of the content, which is the point: the page
+    * body (or raw HTML) never has to exist yet — run this before the
+    * fetch/parse stages. [[Curation.curateWeb]] exposes it via
+    * `seenUrls`; the first-seen-wins invariant is q138's oracle. */
+  def dropSeenUrls(today: DataFrame, idCol: String, urlCol: String,
+      state: DataFrame): DataFrame = {
+    NativeFunctions.register(today.sparkSession)
+    dropSeenByFp(today, idCol,
+      NativeFunctions.graft_fingerprint(Url.canonicalCompiled(col(urlCol))),
+      state)
+  }
+
+  /** [[dropSeenUrls]] over an ALREADY-canonical column (the
+    * [[Curation.curateWeb]] path — `Url.mark` computed `canonical_url`
+    * one kernel call earlier; re-canonicalizing would double the map
+    * cost for nothing). */
+  def dropSeenCanonicalUrls(today: DataFrame, idCol: String,
+      canonicalCol: String, state: DataFrame): DataFrame = {
+    NativeFunctions.register(today.sparkSession)
+    dropSeenByFp(today, idCol,
+      NativeFunctions.graft_fingerprint(col(canonicalCol)), state)
+  }
+
+  private def dropSeenByFp(today: DataFrame, idCol: String, fp: Column,
+      state: DataFrame): DataFrame = {
+    val withFp = today.withColumn("__url_fp", fp)
+    val winners = withFp.groupBy(col("__url_fp"))
+      .agg(min(col(idCol)).as(idCol))
+    withFp
+      .join(winners, Seq("__url_fp", idCol), "left_semi")
+      .join(state.withColumnRenamed("url_fp", "__url_fp"),
+        Seq("__url_fp"), "left_anti")
+      .drop("__url_fp")
   }
 
   /** Persist a [[Bloom]] bit array (+ its hash count) as a one-row

@@ -140,6 +140,13 @@ object Url {
     graft.functions.NativeFunctions.graft_url_parts(url)
   }
 
+  /** Compiled canonical URL — [[canonicalize]]'s production twin riding
+    * ONE `graft_url_parts` kernel evaluation (the [[mark]] path's form;
+    * the regex [[canonicalize]] stays as the oracle-replayable twin).
+    * Used by [[graft.ops.Incremental.urlState]] for cross-run URL-level
+    * dedup keys. */
+  def canonicalCompiled(url: Column): Column = canonicalFromParts(parts(url))
+
   private def canonicalFromParts(p: Column): Column =
     when(p.getField("scheme") === "", lit(""))
       .otherwise(concat(p.getField("scheme"), lit("://"), p.getField("host"),

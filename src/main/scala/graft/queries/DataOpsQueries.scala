@@ -1580,6 +1580,22 @@ object DataOpsQueries {
         |CAST(SUM(CASE WHEN rn <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |CAST(SUM(CASE WHEN rn <= 25 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cross-run URL dedup: canonicalization replayed by construction
+    // arithmetic (www/case fold, trailing slash, trackers dropped);
+    // first-seen-wins = min(day*10^9 + id) per canonical URL (the q86
+    // invariant, URL-keyed).
+    "q138_incremental_web" ->
+      """WITH u AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS day,
+        |  CASE WHEN doc_id % 2 = 1 AND doc_id % 7 = 3
+        |    THEN 'https://site-new' || CAST(doc_id AS VARCHAR) || '.com/doc'
+        |    ELSE 'https://site' || CAST(doc_id % 351 AS VARCHAR)
+        |      || '.com/doc/' || CAST(doc_id % 351 AS VARCHAR)
+        |  END AS canon FROM documents),
+        |keep AS (SELECT canon, MIN(day * 1000000000 + doc_id) AS ord
+        |  FROM u GROUP BY canon)
+        |SELECT CAST(ord % 1000000000 AS BIGINT) AS doc_id,
+        |CAST(ord // 1000000000 AS INT) AS day, canon AS canonical_url
+        |FROM keep ORDER BY doc_id""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2169,6 +2185,55 @@ object DataOpsQueries {
     val kept = capped.groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
     total.join(kept, Seq("source")).orderBy("source")
+  }
+
+  /** Cross-run URL-level dedup — the RECRAWL story ([[Incremental
+    * .urlState]] → parquet persist → reload → [[Incremental
+    * .dropSeenUrls]]): day-1's crawl seeds the canonical-URL fingerprint
+    * state; day-2 drops already-crawled pages at the URL stage, before
+    * any HTML would be parsed. Planted evidence: day-2 URLs differ from
+    * day-1's in case/tracker/trailing-slash ONLY (so the drop must key
+    * on the CANONICAL form — a raw-string key would wave them all
+    * through), except a deterministic slice of genuinely new pages that
+    * must survive. The oracle replays canonicalization by construction
+    * arithmetic and first-seen-wins as min(day·10^9 + id) per canonical
+    * URL — the q86 invariant, URL-keyed. */
+  val q138IncrementalWeb: Q = (s, dir) => {
+    import graft.ops.Incremental
+    val docs = load(s, dir, "documents").select("doc_id")
+    val d = col("doc_id")
+    def m(k: Long) = pmod(d, lit(k))
+    val k = m(351).cast("string") // odd modulus: both parities share keys
+    val url = when(m(2) === 1L && m(7) === 3L,
+        concat(lit("https://site-new"), d.cast("string"), lit(".com/doc")))
+      .when(m(2) === 0L,
+        concat(lit("https://www.site"), k, lit(".com/doc/"), k,
+          lit("?utm_source=feed")))
+      .otherwise( // same canonical page, different surface form
+        concat(lit("https://Site"), k, lit(".COM/doc/"), k,
+          lit("/?fbclid=x")))
+    val pages = docs.withColumn("url", url)
+    val day1 = pages.filter(m(2) === 0L)
+    val day2 = pages.filter(m(2) === 1L)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_url_state").resolve("state.parquet").toString
+    val emptyState = s.range(0).select(col("id").as("url_fp"))
+    val run1 = Incremental.dropSeenUrls(day1, "doc_id", "url", emptyState)
+    Incremental.saveState(Incremental.urlState(day1, "url"), statePath)
+    val run2 = Incremental.dropSeenUrls(day2, "doc_id", "url",
+      Incremental.loadState(s, statePath))
+    run1.select(col("doc_id"), lit(0).as("day"))
+      .unionByName(run2.select(col("doc_id"), lit(1).as("day")))
+      .withColumn("canonical_url",
+        graft.ops.Url.canonicalCompiled(
+          when(pmod(col("doc_id"), lit(2L)) === 1L &&
+              pmod(col("doc_id"), lit(7L)) === 3L,
+            concat(lit("https://site-new"), col("doc_id").cast("string"),
+              lit(".com/doc")))
+          .otherwise(concat(lit("https://www.site"),
+            pmod(col("doc_id"), lit(351L)).cast("string"), lit(".com/doc/"),
+            pmod(col("doc_id"), lit(351L)).cast("string")))))
+      .orderBy("doc_id")
   }
 
   /** Per-language normalized dedup ([[Dedup.exactDedupNormalizedPerGroup]]
@@ -3914,5 +3979,6 @@ object DataOpsQueries {
     "q135_media_dispatch" -> q135MediaDispatch,
     "q136_hh_rollup" -> q136HhRollup,
     "q137_domain_cap_bounded" -> q137DomainCapBounded,
+    "q138_incremental_web" -> q138IncrementalWeb,
   )
 }

@@ -161,16 +161,35 @@ object Streams {
     * expressible with bounded streaming state over an unbounded
     * domain-time range — run [[graft.ops.Curation.capPerGroup]] in
     * the batch compaction pass instead (the lambda-architecture
-    * split the q86 incremental story prescribes). */
+    * split the q86 incremental story prescribes).
+    *
+    * `seenUrls` (optional) is the RECRAWL seam — the persisted
+    * [[graft.ops.Incremental.urlState]] table: pages whose canonical
+    * URL a prior run already crawled are dropped by a stream-static
+    * anti-join on the 8-byte fingerprint BEFORE the HTML parse, the
+    * stream twin of `curateWeb(seenUrls = …)`. The state side is
+    * static per query start (tomorrow's run loads tomorrow's state —
+    * the q86/q138 roll-forward), so this adds no streaming state. */
   def curateWebStream(pages: DataFrame, urlCol: String, htmlCol: String,
       allowedLangs: Seq[String], minQuality: Int,
       blockedDomains: Seq[String] = Nil,
       eventTimeCol: String = "event_time",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      seenUrls: Option[DataFrame] = None): DataFrame = {
     import graft.ops.{Html, Pii, TextOps, Url}
-    val gated = Html.extract(
-        Url.mark(pages, urlCol, blockedDomains).filter(col("url_keep")),
-        htmlCol)
+    graft.functions.NativeFunctions.register(pages.sparkSession)
+    val marked = Url.mark(pages, urlCol, blockedDomains)
+      .filter(col("url_keep"))
+    val fresh = seenUrls match {
+      case Some(st) => marked
+        .withColumn("__url_fp", graft.functions.NativeFunctions
+          .graft_fingerprint(col("canonical_url")))
+        .join(st.withColumnRenamed("url_fp", "__url_fp"),
+          Seq("__url_fp"), "left_anti")
+        .drop("__url_fp")
+      case None => marked
+    }
+    val gated = Html.extract(fresh, htmlCol)
       .drop(htmlCol)
       .filter(TextOps.langGuess(col("content")).isInCollection(allowedLangs))
       .filter(TextOps.qualityScore(col("content")) >= minQuality)

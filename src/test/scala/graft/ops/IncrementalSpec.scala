@@ -110,4 +110,64 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 12L), s"fresh doc falsely flagged: $pairs")
     OpCaches.releaseAll()
   }
+
+  test("URL recrawl state: canonical keying, first-seen-wins, roll-forward (q138 invariant)") {
+    // day-2 re-fetches differ from day-1 in case/tracker/trailing-slash
+    // ONLY — a raw-string key would wave every one of them through
+    val day1 = Seq(
+      (2L, "https://www.site1.com/doc/1?utm_source=feed"),
+      (4L, "https://www.site2.com/doc/2?utm_source=feed"),
+      (6L, "https://www.site2.com/doc/2")  // same-day re-fetch: min id wins
+    ).toDF("doc_id", "url")
+    val day2 = Seq(
+      (11L, "https://Site1.COM/doc/1/?fbclid=x"),  // seen day-1: drop
+      (13L, "https://site3.com/doc/3"),            // new: survives
+      (15L, "https://SITE3.com/doc/3?gclid=y"),    // within-day dup of 13
+      (17L, "https://site4.com/doc/4")             // new
+    ).toDF("doc_id", "url")
+    val path = tmp("url_state")
+    val empty = spark.range(0).select(col("id").as("url_fp"))
+    val run1 = Incremental.dropSeenUrls(day1, "doc_id", "url", empty)
+    assert(run1.select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    Incremental.saveState(Incremental.urlState(day1, "url"), path)
+    val run2 = Incremental.dropSeenUrls(day2, "doc_id", "url",
+      Incremental.loadState(spark, path))
+    assert(run2.select("doc_id").as[Long].collect().toSet == Set(13L, 17L))
+    // roll the state forward; a day-3 re-fetch of a DAY-2 page drops too
+    val path2 = tmp("url_state2")
+    Incremental.saveState(Incremental.updatedUrlState(
+      Incremental.loadState(spark, path), day2, "url"), path2)
+    val day3 = Seq(
+      (21L, "https://www.site4.com/doc/4?utm_medium=x"), // day-2 page
+      (23L, "https://site9.com/brand-new")
+    ).toDF("doc_id", "url")
+    val run3 = Incremental.dropSeenUrls(day3, "doc_id", "url",
+      Incremental.loadState(spark, path2))
+    assert(run3.select("doc_id").as[Long].collect().toSet == Set(23L))
+  }
+
+  test("curateWeb(seenUrls): the recrawl drop happens before extraction, survivors unchanged otherwise") {
+    def p(t: String) = s"<html><body><p>$t</p></body></html>"
+    val T = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it drinks water in peace today"
+    val day1 = Seq(
+      (1L, "https://alpha.com/a", p(T + " page alpha a")),
+      (2L, "https://beta.com/b", p(T + " page beta b"))
+    ).toDF("doc_id", "url", "html")
+    val day2 = Seq(
+      (11L, "https://ALPHA.com/a/?utm_source=x", p(T + " page alpha a")),  // recrawl
+      (12L, "https://gamma.com/c", p(T + " page gamma c"))                 // new
+    ).toDF("doc_id", "url", "html")
+    val path = tmp("web_url_state")
+    Incremental.saveState(Incremental.urlState(day1, "url"), path)
+    val out = Curation.curateWeb(day2, "doc_id", "url", "html",
+      allowedLangs = Seq("en"), minQuality = 10,
+      seenUrls = Some(Incremental.loadState(spark, path)))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(12L))
+    // without the state the recrawl survives (content differs per page,
+    // so content dedup alone cannot catch it)
+    val noState = Curation.curateWeb(day2, "doc_id", "url", "html",
+      allowedLangs = Seq("en"), minQuality = 10)
+    assert(noState.select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
+  }
 }

@@ -166,6 +166,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(s10 == b10, s"$s10 vs $b10")
   }
 
+  test("streaming web-curation with persisted URL state == batch curateWeb(seenUrls)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.{Curation, Incremental}
+    implicit val sq = spark.sqlContext
+    def p(t: String) = s"<p>$t</p>"
+    val T1 = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it drinks water in peace today"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // day-1 crawl seeds the persisted canonical-URL state
+    val day1 = Seq(
+      (1L, "https://alpha.com/a"),
+      (2L, "https://beta.com/b")).toDF("doc_id", "url")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_url_stream").resolve("s.parquet").toString
+    Incremental.saveState(Incremental.urlState(day1, "url"), statePath)
+    // day-2: one recrawl (different surface form), two new pages —
+    // within-day URLs unique so stream first-seen == batch min-id
+    val rows = Seq(
+      (11L, "https://ALPHA.com/a/?utm_source=x", p(T1 + " alpha again"), at(0)),
+      (12L, "https://gamma.com/c", p(T1 + " gamma page"), at(1)),
+      (13L, "https://delta.com/d", p(T1 + " delta page"), at(2)))
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    mem.addData(rows)
+    val state = Incremental.loadState(spark, statePath)
+    val stream = Streams.curateWebStream(
+      mem.toDF().toDF("doc_id", "url", "html", "event_time"),
+      "url", "html", allowedLangs = Seq("en"), minQuality = 40,
+      seenUrls = Some(state))
+    val q = stream.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("webcurate_inc_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("webcurate_inc_stream")
+    val batch = Curation.curateWeb(
+      rows.toDF("doc_id", "url", "html", "event_time"),
+      "doc_id", "url", "html", allowedLangs = Seq("en"), minQuality = 40,
+      seenUrls = Some(state))
+    assert(streamed.select("doc_id").as[Long].collect().toSet == Set(12L, 13L))
+    assert(batch.select("doc_id").as[Long].collect().toSet == Set(12L, 13L))
+    // annotation parity through both paths on a surviving row
+    val cols = Seq("canonical_url", "url_domain", "content_scrubbed")
+    assert(streamed.filter(col("doc_id") === 12L).select(cols.map(col): _*).head() ==
+      batch.filter(col("doc_id") === 12L).select(cols.map(col): _*).head())
+  }
+
   test("streaming bloom decontamination matches the batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
