@@ -30,6 +30,8 @@ object GraftSession {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.NativeFunctions.register(s)
+    // media decode perf flag — process-global, documented at the method
+    graft.ops.Multimodal.ensureImageIoMemCache()
     // per-session route to the optimizer rule GraftExtensions injects
     // cluster-wide (extensions only apply at session construction; this
     // works on the shared/reused session too)

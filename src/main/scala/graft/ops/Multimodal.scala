@@ -109,17 +109,27 @@ object Multimodal {
     * Payloads `ImageIO.read` rejects (returns null — non-image media)
     * fall back per-payload to [[StubCodec]]'s byte histogram, keeping
     * mixed-media tables decodable in one pass. */
-  object ImageIoCodec extends BatchCodec {
-    // ImageIO defaults to a per-decode TEMP FILE cache (synchronized
-    // disk I/O inside javax.imageio) even when the source is an
-    // in-memory byte array — the multi-thread serialization class the
-    // java-regex wall taught this engine to look for. Memory-cache mode
-    // decodes identical pixels with no filesystem round trip; set once
-    // per JVM (executors inherit it on first codec touch).
-    javax.imageio.ImageIO.setUseCache(false)
+  /** PROCESS-GLOBAL ImageIO setting, applied idempotently before every
+    * decode path in this object: ImageIO defaults to a per-decode TEMP
+    * FILE cache (synchronized disk I/O inside javax.imageio) even when
+    * the source is an in-memory byte array — the multi-thread
+    * serialization class the java-regex wall taught this engine to look
+    * for. Memory-cache mode decodes identical pixels with no filesystem
+    * round trip (q45 1.87→0.83s, q135 variance collapse).
+    *
+    * This MUTATES JVM-global state and affects every other ImageIO user
+    * in the process (ADVICE r12 — documented, and applied at each decode
+    * entry point rather than in a lazily-ordered object initializer, so
+    * an embedder that flips the flag back loses it again on the next
+    * graft decode, visibly, instead of depending on class-init order).
+    * [[graft.GraftSession.local]] also applies it at session init. */
+  def ensureImageIoMemCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
 
+  object ImageIoCodec extends BatchCodec {
     override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] = {
       require(dim >= 5, "ImageIoCodec needs dim >= 5 (w, h, r_sum, g_sum, b_sum)")
+      ensureImageIoMemCache()
       payloads.map(b => decodeImage(b, dim).getOrElse(decodeStub(b, dim).toArray))
     }
 
@@ -238,6 +248,7 @@ object Multimodal {
   object JdkCodec extends BatchCodec {
     override def decodeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] = {
       require(dim >= 5, "JdkCodec needs dim >= 5")
+      ensureImageIoMemCache()
       payloads.map { b =>
         ImageIoCodec.decodeImage(b, dim)
           .orElse(WavCodec.decodeWav(b, dim))
@@ -382,6 +393,31 @@ object Multimodal {
       }(enc)
   }
 
+  /** Mixed frame-media table for the [[frameSampleReal]] contract
+    * (q139): by `id mod 2`, a real animated GIF ([[synthGif]] — the
+    * real-decode path) or the [[synthMixed]]-style non-decodable payload
+    * (`(id mod 17)+3` copies of byte `(id mod 199)+1` — no reader claims
+    * it, exercising the byte-stride fallback). */
+  def synthFrameMedia(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (Math.floorMod(id, 2L) == 0L)
+            Row(id, synthGif(id), Row("image", "gif", null, null, null))
+          else {
+            val v = (Math.floorMod(id, 199L) + 1L).toByte
+            val bytes = Array.fill((Math.floorMod(id, 17L) + 3L).toInt)(v)
+            Row(id, bytes, Row("video", "bin", null, null, null))
+          }
+        }
+      }(enc)
+  }
+
   /** The decode/feature-extract stage: partition-parallel over blobs,
     * iterated in `batchSize` groups so the codec sees columnar batches
     * ([[BatchCodec]]) rather than single rows. The default codec is the
@@ -425,6 +461,173 @@ object Multimodal {
           val meta = r.getStruct(2)
           Row(r.getLong(0), resizeStub(bytes, w * h),
             Row(meta.get(0), meta.get(1), w, h, meta.get(4)))
+        }
+      }(enc)
+  }
+
+  /** Deterministic tiny REAL animated GIF keyed by `id` — the
+    * oracle-checkable multi-frame fixture ([[synthPng]]'s playbook, with
+    * a time axis): `n_frames = (id mod 6)+2`, each frame
+    * `w = (id mod 5)+2` × `h = (id mod 4)+2`, pixel (x, y) of frame f
+    * holds GRAY value `(3m + 5x + 7y + 11f) mod 256` with
+    * `m = id mod 256`. Frames are TYPE_BYTE_INDEXED over an explicit
+    * 256-entry gray palette (r=g=b=i): GIF stores the palette verbatim
+    * (no quantization, no sRGB gamma remap — the TYPE_BYTE_GRAY trap),
+    * so every decoded sample is exact integer arithmetic on the id while
+    * the payload is a genuine multi-image GIF89a stream only a real
+    * sequence-aware reader can parse back (`ImageIO.read` alone sees
+    * frame 0 and nothing else). */
+  private[graft] def synthGif(id: Long): Array[Byte] = {
+    ensureImageIoMemCache()
+    val nFrames = (Math.floorMod(id, 6L) + 2L).toInt
+    val w = (Math.floorMod(id, 5L) + 2L).toInt
+    val h = (Math.floorMod(id, 4L) + 2L).toInt
+    val m = Math.floorMod(id, 256L).toInt
+    val pal = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    // interlace OFF: the JDK GIF writer's default interlaced encoding
+    // CORRUPTS rows on images 2–4 pixels tall (measured in GifDbg-style
+    // probes: 2x2/6x4/32x2 all lose every row past the first interlace
+    // pass; ≥5 tall or exactly 1 tall round-trip fine) — progressive
+    // MODE_DISABLED makes every probed size lossless
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, (3 * m + 5 * x + 7 * y + 11 * f) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** ALL frames of a JDK-readable image payload as
+    * `(width, height, gray_sum)` per frame, where `gray_sum` is the sum
+    * of `(r+g+b)/3` over the frame's pixels (for a gray-palette GIF this
+    * is exactly the stored sample sum). `None` when no installed reader
+    * claims the bytes — the caller falls back to the byte-stride stub.
+    * Frames are read INCREMENTALLY (`reader.read(i)` until the index
+    * runs out) rather than via `getNumImages(true)`, which would scan
+    * the whole stream up front; a truncated animation yields its intact
+    * prefix (per-payload degradation, the [[ImageIoCodec]] contract —
+    * one crafted blob must never kill the task). */
+  private[ops] def imageFrames(bytes: Array[Byte]): Option[Vector[(Int, Int, Long)]] =
+    try {
+      ensureImageIoMemCache()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val frames = Vector.newBuilder[(Int, Int, Long)]
+            var i = 0
+            var done = false
+            while (!done) {
+              val img =
+                try reader.read(i)
+                catch {
+                  case _: IndexOutOfBoundsException => null
+                  // mid-stream corruption: keep the intact prefix
+                  case scala.util.control.NonFatal(_) if i > 0 => null
+                }
+              if (img == null) done = true
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += ((w, h, sum))
+                i += 1
+              }
+            }
+            val out = frames.result()
+            if (out.isEmpty) None else Some(out)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Output schema of [[frameSampleReal]]: one row per SAMPLED frame.
+    * Real-decoded rows carry frame dimensions + the exact gray sum
+    * (`frame_bytes` null); stub rows carry the byte-stride slice size
+    * (`frame_w`/`frame_h`/`pix_sum` null). */
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("real_decode", BooleanType),
+    StructField("n_frames", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_w", IntegerType),
+    StructField("frame_h", IntegerType),
+    StructField("pix_sum", LongType),
+    StructField("frame_bytes", LongType)))
+
+  /** Frame sampling with REAL decode where the JDK has a codec: payloads
+    * any installed ImageIO reader claims (animated GIF being the
+    * multi-frame case — the JDK reads every GIF frame, no external
+    * dependency) are decoded frame-by-frame and every `stride`-th REAL
+    * frame is emitted with its true dimensions and exact pixel sum;
+    * payloads nothing claims (true video — the JDK has no video codec,
+    * the documented stub boundary) fall back per-payload to the
+    * [[frameSample]] byte-stride arithmetic. Same map-only scale shape
+    * as [[decodeFeatures]]: partition-parallel, no shuffle, binary
+    * column pruned upstream when only counts are consumed. */
+  def frameSampleReal(media: DataFrame, frameBytes: Int = 256,
+      stride: Int = 4): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1)
+    val enc = org.apache.spark.sql.Encoders.row(frameSampleSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          imageFrames(bytes) match {
+            case Some(frames) =>
+              (0 until frames.length by stride).iterator.map { i =>
+                val (w, h, sum) = frames(i)
+                Row(id, true, frames.length.toLong, i.toLong, w, h, sum, null)
+              }
+            case None =>
+              val n = bytes.length.toLong
+              val nFrames = (n + frameBytes - 1) / frameBytes
+              (0L until nFrames by stride.toLong).iterator.map { i =>
+                Row(id, false, nFrames, i, null, null, null,
+                  math.min(frameBytes.toLong, n - i * frameBytes))
+              }
+          }
         }
       }(enc)
   }

@@ -1596,6 +1596,36 @@ object DataOpsQueries {
         |SELECT CAST(ord % 1000000000 AS BIGINT) AS doc_id,
         |CAST(ord // 1000000000 AS INT) AS day, canon AS canonical_url
         |FROM keep ORDER BY doc_id""".stripMargin,
+    // Real GIF frame sampling: frame grid and per-frame gray sums
+    // replayed by the synthGif construction arithmetic (nested
+    // UNNEST(range) over frames × pixels); stub rows by the q59
+    // byte-stride arithmetic.
+    "q139_gif_frames" ->
+      """WITH g AS (SELECT doc_id AS id, (doc_id % 6) + 2 AS nf,
+        |    (doc_id % 5) + 2 AS w, (doc_id % 4) + 2 AS h, doc_id % 256 AS m
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |gf AS (SELECT id, nf, w, h, m, t.f FROM g,
+        |  UNNEST(range(0, CAST(nf AS BIGINT), 2)) AS t(f)),
+        |gp AS (SELECT id, nf, f, w, h,
+        |    SUM((3*m + 5*tx.x + 7*ty.y + 11*f) % 256) AS pix
+        |  FROM gf,
+        |    UNNEST(range(0, CAST(w AS BIGINT))) AS tx(x),
+        |    UNNEST(range(0, CAST(h AS BIGINT))) AS ty(y)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |v AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 17 + 3 AS BIGINT) AS nb FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |vr AS (SELECT id, (nb + 3) // 4 AS nf, t.f, nb FROM v,
+        |  UNNEST(range(0, (nb + 3) // 4, 2)) AS t(f))
+        |SELECT id AS media_id, TRUE AS real_decode,
+        |  CAST(nf AS BIGINT) AS n_frames, f AS frame_idx,
+        |  CAST(w AS INT) AS frame_w, CAST(h AS INT) AS frame_h,
+        |  CAST(pix AS BIGINT) AS pix_sum, CAST(NULL AS BIGINT) AS frame_bytes
+        |FROM gp
+        |UNION ALL
+        |SELECT id, FALSE, nf, f, NULL, NULL, NULL, LEAST(4, nb - f * 4)
+        |FROM vr
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2234,6 +2264,23 @@ object DataOpsQueries {
             pmod(col("doc_id"), lit(351L)).cast("string"), lit(".com/doc/"),
             pmod(col("doc_id"), lit(351L)).cast("string")))))
       .orderBy("doc_id")
+  }
+
+  /** REAL multi-frame decode for frame sampling ([[Multimodal
+    * .frameSampleReal]] over [[Multimodal.synthFrameMedia]]): even ids
+    * carry genuine animated GIFs — the JDK's sequence-aware reader
+    * decodes EVERY frame (ImageIO.read alone sees only frame 0), and
+    * each sampled frame's true dimensions and exact gray-pixel sum are
+    * emitted; odd ids carry payloads no reader claims and fall back
+    * per-payload to the q59 byte-stride arithmetic. Every value is
+    * integer arithmetic on the id (the synthGif construction), so the
+    * oracle replays frames and pixel sums with nested UNNEST(range(…))
+    * — a stub CANNOT fake the GIF rows: LZW decompression destroys the
+    * byte↔sample correspondence. */
+  val q139GifFrames: Q = (s, dir) => {
+    val media = Multimodal.synthFrameMedia(load(s, dir, "documents"), "doc_id")
+    Multimodal.frameSampleReal(media, frameBytes = 4, stride = 2)
+      .orderBy("media_id", "frame_idx")
   }
 
   /** Per-language normalized dedup ([[Dedup.exactDedupNormalizedPerGroup]]
@@ -3980,5 +4027,6 @@ object DataOpsQueries {
     "q136_hh_rollup" -> q136HhRollup,
     "q137_domain_cap_bounded" -> q137DomainCapBounded,
     "q138_incremental_web" -> q138IncrementalWeb,
+    "q139_gif_frames" -> q139GifFrames,
   )
 }

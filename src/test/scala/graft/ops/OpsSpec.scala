@@ -476,6 +476,57 @@ class OpsSpec extends AnyFunSuite {
     assert(perDoc.filter(col("nf") =!= ceil(col("n_bytes") / 64.0)).count() == 0)
   }
 
+  test("imageFrames: every animated-GIF frame decodes to the exact synth grid") {
+    for (id <- Seq(0L, 1L, 5L, 17L, 123L, 254L)) {
+      val nf = (id % 6 + 2).toInt
+      val w = (id % 5 + 2).toInt
+      val h = (id % 4 + 2).toInt
+      val m = (id % 256).toInt
+      val frames = Multimodal.imageFrames(Multimodal.synthGif(id))
+      assert(frames.isDefined, s"id=$id: GIF not decoded")
+      assert(frames.get.length == nf, s"id=$id: ${frames.get.length} != $nf frames")
+      frames.get.zipWithIndex.foreach { case ((fw, fh, sum), f) =>
+        assert(fw == w && fh == h, s"id=$id frame $f: ${fw}x$fh != ${w}x$h")
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield ((3 * m + 5 * x + 7 * y + 11 * f) % 256).toLong).sum
+        assert(sum == expected, s"id=$id frame $f: sum $sum != $expected")
+      }
+    }
+    // a single-frame PNG is one real frame with the synthPng sums
+    val png = Multimodal.imageFrames(Multimodal.synthPng(9L))
+    assert(png.isDefined && png.get.length == 1)
+    // junk bytes: no reader claims them -> None (stub fallback)
+    assert(Multimodal.imageFrames(Array.fill(40)(7.toByte)).isEmpty)
+    // truncated animation: the intact frame prefix survives, no throw
+    val whole = Multimodal.synthGif(4L) // 6 frames
+    val truncated = Multimodal.imageFrames(whole.take(whole.length * 2 / 3))
+    assert(truncated.forall(_.length < 6))
+  }
+
+  test("frameSampleReal: real GIF rows + stub byte-stride rows in one pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Multimodal.synthFrameMedia(
+      (0L until 40L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.frameSampleReal(media, frameBytes = 4, stride = 2)
+    val real = out.filter(col("real_decode"))
+    val stub = out.filter(!col("real_decode"))
+    // even ids real, odd ids stub
+    assert(real.filter(pmod(col("media_id"), lit(2L)) =!= 0L).count() == 0)
+    assert(stub.filter(pmod(col("media_id"), lit(2L)) =!= 1L).count() == 0)
+    // real rows: n_frames = (id%6)+2, sampled idx 0,2,... with true dims
+    assert(real.filter(col("n_frames") =!=
+      pmod(col("media_id"), lit(6L)) + 2L).count() == 0)
+    assert(real.filter(col("frame_w") =!=
+      (pmod(col("media_id"), lit(5L)) + 2L).cast("int")).count() == 0)
+    assert(real.filter(col("frame_bytes").isNotNull).count() == 0)
+    // stub rows: the q59 byte-stride arithmetic, no pixel columns
+    assert(stub.filter(col("pix_sum").isNotNull).count() == 0)
+    assert(stub.filter(col("frame_bytes") < 1 || col("frame_bytes") > 4).count() == 0)
+    assert(stub.filter(col("n_frames") =!=
+      ceil((pmod(col("media_id"), lit(17L)) + 3L) / 4.0).cast("long")).count() == 0)
+  }
+
   test("curation recipe with near-dup removal drops planted twins") {
     val allGuesses = Seq("en", "de", "fr", "es", "und")
     val curated = Curation.curate(withTwins, "doc_id", "text",
