@@ -15,13 +15,31 @@ import java.nio.file.{Files, Paths}
 object Ingest {
 
   /** The fetch abstraction: playlist id → raw JSON document (the API
-    * response wrapped in a JSON array, like reference raw.py:125-126). */
+    * response wrapped in a JSON array, like reference raw.py:125-126),
+    * plus the generic entity search (reference raw.py:101-134): `q`/
+    * `type` search with an optional `genre:` filter, returning the
+    * UNWRAPPED `{type}s.items` list as a JSON array — exactly what the
+    * reference hands its parser. */
   trait SpotifyClient {
     def fetchPlaylist(playlistId: String, limit: Int = 50): String
+    def search(query: String, searchType: String,
+      genre: Option[String] = None, limit: Int = 20): String
   }
 
   /** Deterministic fake for tests / offline runs. */
   final class FakeSpotifyClient extends SpotifyClient {
+    /** Fake search items keyed by (query, type, genre): type-shaped
+      * objects with the genre echoed where present, so specs can assert
+      * the filter reached the result construction. */
+    override def search(query: String, searchType: String,
+        genre: Option[String], limit: Int): String = {
+      val g = genre.map(v => s""", "genres": ["$v"]""").getOrElse("")
+      (1 to math.min(limit, 3)).map { i =>
+        s"""{"id": "${query.replace(' ', '_')}_${searchType}_$i",
+           | "name": "${searchType.capitalize} $i"$g}""".stripMargin
+      }.mkString("[", ",", "]")
+    }
+
     override def fetchPlaylist(playlistId: String, limit: Int): String = {
       val items = (1 to math.min(limit, 3)).map { i =>
         s"""{"track": {"id": "${playlistId}_t$i", "name": "Track $i",
@@ -53,5 +71,22 @@ object Ingest {
       Files.writeString(path, client.fetchPlaylist(id, limit))
       path.toString
     }
+  }
+
+  /** Run an entity search and land the items in the raw zone with the
+    * reference's search-shaped filename
+    * (`{query with _}_{type}_{genre}_{limit}.json`, raw.py:286 — the
+    * reference interpolates Python `None` into the name when no genre is
+    * given; `"None"` is kept verbatim so day-2 re-runs land on the same
+    * files an existing deployment already has). Returns the written path. */
+  def landSearch(client: SpotifyClient, query: String, searchType: String,
+      rawZone: String, genre: Option[String] = None,
+      limit: Int = 20): String = {
+    Files.createDirectories(Paths.get(rawZone))
+    val name = s"${query.replace(' ', '_')}_${searchType}_" +
+      s"${genre.getOrElse("None")}_$limit.json"
+    val path = Paths.get(rawZone, name)
+    Files.writeString(path, client.search(query, searchType, genre, limit))
+    path.toString
   }
 }

@@ -53,6 +53,40 @@ object SpotifyHttp {
     m.map(_.group(1).replace("\\/", "/").replace("\\\"", "\""))
   }
 
+  /** Extract the balanced `"items": [ … ]` array nested under the given
+    * top-level key (`"tracks"`, `"artists"`, … — the search-response
+    * unwrap, reference raw.py:127-128). String-aware bracket scan: quotes
+    * and escapes inside item fields never unbalance the depth count. */
+  private[etl] def jsonItemsArray(body: String, key: String): Option[String] = {
+    val kIdx = body.indexOf("\"" + key + "\"")
+    if (kIdx < 0) return None
+    val iIdx = body.indexOf("\"items\"", kIdx)
+    if (iIdx < 0) return None
+    val start = body.indexOf('[', iIdx)
+    if (start < 0) return None
+    var depth = 0
+    var i = start
+    var inStr = false
+    var esc = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' => depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0) return Some(body.substring(start, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
   final class AuthException(msg: String) extends RuntimeException(msg)
 
   /** Bearer-authed Spotify client over an injectable [[Transport]].
@@ -114,6 +148,22 @@ object SpotifyHttp {
     /** Playlist fetch, wrapped in a JSON array like the reference lands it. */
     override def fetchPlaylist(playlistId: String, limit: Int): String =
       s"[${getOk(s"${apiBase}playlists/$playlistId")}]"
+
+    /** Generic entity search (reference raw.py:117-128): GET `search`
+      * with `q`/`type`/`limit` query params — a genre filter folds into
+      * `q` as `genre:<g>`, exactly the reference's query_string — then
+      * unwrap the `{type}s.items` list. Bearer/401 handling rides
+      * [[authedGet]] like every other call. */
+    override def search(query: String, searchType: String,
+        genre: Option[String], limit: Int): String = {
+      val q = genre.map(g => s"$query genre:$g").getOrElse(query)
+      def enc(s: String) =
+        java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+      val body = getOk(
+        s"${apiBase}search?q=${enc(q)}&type=${enc(searchType)}&limit=$limit")
+      jsonItemsArray(body, searchType + "s").getOrElse(
+        throw new AuthException(s"search: no ${searchType}s.items in response"))
+    }
 
     /** Follow a paged endpoint's `next` links; returns the raw page bodies
       * as a JSON array (one element per page). */

@@ -73,6 +73,63 @@ class IngestSpec extends AnyFunSuite {
     assert(transport.log.last._2.endsWith("offset=100"))
   }
 
+  test("HttpSpotifyClient.search: q/type/limit params, genre folded into q, items unwrapped") {
+    val searchBody = """{"tracks": {"href": "h", "items": [
+      {"id": "t1", "name": "A [live]"}, {"id": "t2", "name": "B \"quoted\]"}],
+      "limit": 5, "next": null}}"""
+    val transport = new StubTransport(tok("t1"),
+      SpotifyHttp.Response(200, searchBody))
+    val client = new SpotifyHttp.HttpSpotifyClient(transport, "cid", "secret")
+    val items = client.search("summer hits", "track", Some("rock"), limit = 5)
+    // the unwrap is the balanced items array — including the ] inside a
+    // string value, which a naive scan would cut at
+    assert(items.startsWith("[") && items.endsWith("]"))
+    assert(items.contains("\"t1\"") && items.contains("B \\\"quoted\\]"))
+    val url = transport.log.last._2
+    assert(url.contains("search?q=summer+hits+genre%3Arock"), url)
+    assert(url.contains("type=track") && url.contains("limit=5"), url)
+    // no genre: q is the bare query
+    val t2 = new StubTransport(tok("t1"),
+      SpotifyHttp.Response(200, """{"artists": {"items": [{"id": "a1"}]}}"""))
+    val c2 = new SpotifyHttp.HttpSpotifyClient(t2, "cid", "secret")
+    assert(c2.search("misfits", "artist") == """[{"id": "a1"}]""")
+    assert(t2.log.last._2.contains("search?q=misfits&type=artist&limit=20"))
+    // a response missing the typed items is a loud error, not empty data
+    val t3 = new StubTransport(tok("t1"),
+      SpotifyHttp.Response(200, """{"tracks": {"total": 0}}"""))
+    val c3 = new SpotifyHttp.HttpSpotifyClient(t3, "cid", "secret")
+    intercept[SpotifyHttp.AuthException](c3.search("x", "track"))
+  }
+
+  test("HttpSpotifyClient.search: 401 refresh-retry applies to the search endpoint too") {
+    val transport = new StubTransport(
+      tok("t1"),
+      SpotifyHttp.Response(401, "expired"),
+      tok("t2"),
+      SpotifyHttp.Response(200, """{"playlists": {"items": [{"id": "p"}]}}"""))
+    val client = new SpotifyHttp.HttpSpotifyClient(transport, "cid", "secret")
+    assert(client.search("jazz", "playlist") == """[{"id": "p"}]""")
+    assert(transport.log(3)._3("Authorization") == "Bearer t2")
+  }
+
+  test("landSearch: reference filename scheme, Bronze.readRaw shreds the landed array") {
+    val rawZone = java.nio.file.Files.createTempDirectory("graft_search").toString
+    val p1 = Ingest.landSearch(new Ingest.FakeSpotifyClient(),
+      "summer hits", "track", rawZone, genre = Some("rock"), limit = 2)
+    val p2 = Ingest.landSearch(new Ingest.FakeSpotifyClient(),
+      "misfits", "artist", rawZone)
+    assert(p1.endsWith("summer_hits_track_rock_2.json"))
+    // the reference interpolates Python None into genre-less names
+    assert(p2.endsWith("misfits_artist_None_20.json"))
+    // the landed array roots are list-dispatched by the raw reader (N1):
+    // one row per item, search-shaped fields simply project as null
+    val raw = Bronze.readRaw(spark, rawZone)
+    assert(raw.count() == 5) // 2 tracks + 3 artists
+    // and the genre filter visibly reached the fake's items
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p1))
+      .contains("\"genres\": [\"rock\"]"))
+  }
+
   test("GraftExtensions registers without error and its expressions evaluate") {
     // a full --conf spark.sql.extensions integration needs a fresh JVM
     // (getOrCreate reuses the suite-shared session); exercise the wiring
