@@ -273,7 +273,14 @@ object TextOps {
     * fingerprint halves the dedup shuffle (the key is 8 bytes instead
     * of a second full copy of the text). NOT replayable in external
     * SQL (xxhash64 is engine-internal) — equivalence with the exact
-    * key is spec-pinned instead (DedupSpec). */
+    * key is spec-pinned instead (DedupSpec), SCOPED to ASCII text and
+    * the non-ASCII-lowercase scripts where [[dedupKeyNative]] ==
+    * [[dedupKey]]: on the exotic uppercase-maps-into-ASCII class
+    * (U+212A KELVIN SIGN, U+0130 — the pinned divergence in
+    * FunctionsSpec) this fingerprint follows the NATIVE key, so it can
+    * group differently from the regex-keyed exact path there, and a
+    * SQL oracle replaying the regex normalization would mismatch it on
+    * such inputs. */
   def dedupFingerprint(text: Column): Column = xxhash64(dedupKeyNative(text))
 
   /** Polynomial rolling-hash fingerprint of a document (mod 2^31-1, so all
