@@ -222,6 +222,71 @@ object Dedup {
       (acc, c) => acc * 2 + when(c > 0, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** Hamming near-dup pairs over a PACKED-LONG hash column ([[simhash]],
+    * [[graft.ops.Multimodal.withImageDHash]]'s perceptual image hash):
+    * pigeonhole-banded LSH, never all-pairs. The `bits` hash is split
+    * into `bands` contiguous bit ranges; candidates equi-join on (band,
+    * band-value) and verification is one codegen `bit_count(a XOR b)`
+    * per candidate.
+    *
+    * RECALL GUARANTEE (the reason `bands > maxDist` is required): two
+    * hashes within Hamming distance `maxDist` differ in at most
+    * `maxDist` bits, which can dirty at most `maxDist` of the `bands`
+    * ranges — at least one band is IDENTICAL and the pair collides
+    * there. Zero recall loss, unconditionally; contrast with the
+    * probabilistic recall of MinHash banding.
+    *
+    * Skew guard: a band bucket of size s fans out s² candidates (blank
+    * images / boilerplate text all share hashes) — buckets larger than
+    * `maxBucket` are dropped LOUDLY against the guarantee? No: dropping
+    * would silently lose recall, so over-full buckets FAIL the job with
+    * the bucket key instead; raise `maxBucket` deliberately or
+    * pre-dedup exact-equal hashes (identical payloads should collapse
+    * via exact dedup BEFORE a near-dup pass — the documented recipe
+    * order). Returns (id_a, id_b, hamming), id_a < id_b, one row per
+    * pair regardless of how many bands collide. */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 63, bands: Int = 7, maxDist: Int = 3,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+    require(bands >= 1 && bands <= bits, "bands must be in [1, bits]")
+    require(maxDist >= 0 && bands > maxDist,
+      "bands must exceed maxDist — the pigeonhole recall guarantee")
+    val width = (bits + bands - 1) / bands
+    val bandKeys = (0 until bands).map { b =>
+      val bw = math.min(width, bits - b * width)
+      struct(lit(b).as("band"),
+        shiftright(col("h"), b * width).bitwiseAND(lit((1L << bw) - 1))
+          .as("bv"))
+    }
+    // persisted: the guard job and both join sides reference it — the
+    // upstream hash column may be an expensive decode (the dHash path)
+    // that must run ONCE per row, not three times
+    val banded = OpCaches.persist(df
+      .select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("id"), col("h"), explode(array(bandKeys: _*)).as("bk")))
+    // loud fail on over-full buckets (see scaladoc) — one tiny EAGER job
+    // at call time, the connectedComponents execution model
+    val worst = banded.groupBy("bk").agg(count(lit(1)).as("bsize"))
+      .orderBy(col("bsize").desc).limit(1).collect()
+    worst.headOption.foreach { r =>
+      require(r.getLong(1) <= maxBucket,
+        s"hammingNearDupPairs: band bucket ${r.get(0)} holds ${r.getLong(1)} " +
+          s"rows (> maxBucket=$maxBucket) — s² candidate blowup; exact-dedup " +
+          "identical hashes first, or raise maxBucket with cluster memory")
+    }
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -393,6 +393,122 @@ object Multimodal {
       }(enc)
   }
 
+  /** 63-bit perceptual difference hash (dHash) of a JDK-decodable image:
+    * REAL decode, a 10×7 NEAREST-NEIGHBOR sample grid
+    * (`sx = ⌊gx·w/10⌋`, `sy = ⌊gy·h/7⌋` — deterministic integer
+    * arithmetic, so an external oracle replays the hash from the pixel
+    * formula; production dHash usually area-averages, the NN variant is
+    * the exactly-replayable choice, same spirit as the q45 integer
+    * features), gray `(r+g+b)/3` per sample, one bit per horizontally
+    * adjacent comparison (`gray(gx+1) > gray(gx)`, bit `gy·9+gx`). 63
+    * bits — not the textbook 64 — so the packed long stays POSITIVE
+    * under ANSI arithmetic and replays in engines without unsigned
+    * 64-bit (the [[graft.ops.Dedup.simhash]] 60-bit rationale). The
+    * defining property carries over from real dHash: any PER-PIXEL
+    * MONOTONE brightness shift leaves every comparison — and the hash —
+    * unchanged. `None` for payloads ImageIO rejects. */
+  private[graft] def dHash63(bytes: Array[Byte]): Option[Long] = {
+    ensureImageIoMemCache()
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = Array.ofDim[Int](7, 10)
+      var gy = 0
+      while (gy < 7) {
+        var gx = 0
+        while (gx < 10) {
+          val rgb = img.getRGB(gx * w / 10, gy * h / 7)
+          g(gy)(gx) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      gy = 0
+      while (gy < 7) {
+        var gx = 0
+        while (gx < 9) {
+          if (g(gy)(gx + 1) > g(gy)(gx)) hash |= 1L << (gy * 9 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Adds a nullable `dhash` column ([[dHash63]]) to a media table —
+    * map-only, partition-parallel, null for non-decodable payloads.
+    * Compose with [[graft.ops.Dedup.hammingNearDupPairs]] for the
+    * banded image near-dup join (q140). */
+  def withImageDHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType))))
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            dHash63(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+        }
+      }(enc)
+  }
+
+  /** [[synthPng]] with id-linear channels and a uniform brightness
+    * shift — the dHash twin fixture: channels
+    * `r=(3·id+5x+7y) mod 200 + delta` (g/b their own coefficient rows),
+    * `w=(id mod 7)+2`, `h=(id mod 5)+2`. Channels stay ≤ 219, so no
+    * clamping anywhere, and gray shifts by exactly `delta` pointwise
+    * (`3·delta/3` — integer division exact): two renders of one id at
+    * different deltas are DIFFERENT payloads with IDENTICAL dHash, the
+    * brightness-invariance a byte-level hash cannot fake. Unlike
+    * [[synthPng]]'s `m = id mod 256`, the full id feeds the formula, so
+    * distinct ids render distinct images. */
+  private[graft] def synthPngShifted(id: Long, delta: Int): Array[Byte] = {
+    require(delta >= 0 && delta <= 55, "delta must keep channels under 256")
+    val w = (Math.floorMod(id, 7L) + 2L).toInt
+    val h = (Math.floorMod(id, 5L) + 2L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Math.floorMod(3 * id + 5 * x + 7 * y, 200L).toInt + delta
+        val g = Math.floorMod(11 * id + 13 * x + 17 * y, 200L).toInt + delta
+        val b = Math.floorMod(19 * id + 23 * x + 29 * y, 200L).toInt + delta
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[synthPngShifted]] fixtures (id offset applied to
+    * `media_id` so originals and shifted twins can coexist in one
+    * union). */
+  def synthImagesShifted(df: DataFrame, idCol: String, delta: Int,
+      idOffset: Long = 0L): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + idOffset, synthPngShifted(id, delta),
+            Row("image", "png", null, null, null))
+        }
+      }(enc)
+  }
+
   /** Mixed frame-media table for the [[frameSampleReal]] contract
     * (q139): by `id mod 2`, a real animated GIF ([[synthGif]] — the
     * real-decode path) or the [[synthMixed]]-style non-decodable payload

@@ -1626,6 +1626,31 @@ object DataOpsQueries {
         |SELECT id, FALSE, nf, f, NULL, NULL, NULL, LEAST(4, nb - f * 4)
         |FROM vr
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // Perceptual image hash: the 63-bit dHash replayed bit-for-bit from
+    // the synthPngShifted pixel arithmetic (sample grid, adjacent-gray
+    // compares, bit packing); twin invariance TRUE by the monotone-shift
+    // law; n_same_hash = 2x the ids sharing each replayed hash.
+    "q140_image_phash" ->
+      """WITH d AS (SELECT doc_id AS id, (doc_id % 7) + 2 AS w,
+        |    (doc_id % 5) + 2 AS h FROM documents),
+        |bits AS (SELECT id, ty.gy, tx.gx,
+        |  CASE WHEN
+        |    ((3*id + 5*((tx.gx+1)*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*id + 13*((tx.gx+1)*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*id + 23*((tx.gx+1)*w//10) + 29*(ty.gy*h//7)) % 200) // 3
+        |    >
+        |    ((3*id + 5*(tx.gx*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*id + 13*(tx.gx*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*id + 23*(tx.gx*w//10) + 29*(ty.gy*h//7)) % 200) // 3
+        |  THEN (CAST(1 AS BIGINT) << (ty.gy*9 + tx.gx)) ELSE 0 END AS bit
+        |  FROM d, UNNEST(range(0, 7)) AS ty(gy), UNNEST(range(0, 9)) AS tx(gx)),
+        |hs AS (SELECT id, CAST(SUM(bit) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY id),
+        |cnt AS (SELECT dhash, CAST(2 * COUNT(*) AS BIGINT) AS n_same_hash
+        |  FROM hs GROUP BY dhash)
+        |SELECT hs.id AS doc_id, hs.dhash, TRUE AS twin_match,
+        |  cnt.n_same_hash
+        |FROM hs JOIN cnt USING (dhash) ORDER BY doc_id""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2281,6 +2306,44 @@ object DataOpsQueries {
     val media = Multimodal.synthFrameMedia(load(s, dir, "documents"), "doc_id")
     Multimodal.frameSampleReal(media, frameBytes = 4, stride = 2)
       .orderBy("media_id", "frame_idx")
+  }
+
+  /** Perceptual image dedup hash ([[Multimodal.withImageDHash]] — 63-bit
+    * dHash over REAL decoded pixels, nearest-neighbor 10×7 sample grid):
+    * every id renders TWO genuinely different PNG payloads (the twin is
+    * uniformly brightness-shifted +20 per channel) whose decoded dHash
+    * must be IDENTICAL — the monotone-shift invariance that makes a
+    * perceptual hash a dedup key where byte hashes fail. The oracle
+    * replays the full hash from the pixel construction arithmetic
+    * (nested UNNEST over the sample grid, bit = adjacent-gray compare,
+    * packed with << ): a stub cannot fake it — DEFLATE inside the PNG
+    * destroys the byte↔pixel correspondence, and the twin payloads
+    * differ in every pixel. `n_same_hash` (rows sharing the exact hash)
+    * pins the grouping the dedup key induces, id-aliasing collisions
+    * included. The banded hamming JOIN over these hashes
+    * ([[Dedup.hammingNearDupPairs]], pigeonhole zero-recall-loss) is
+    * spec-pinned in OpsSpec. */
+  val q140ImagePhash: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id")
+    val orig = Multimodal.synthImagesShifted(docs, "doc_id", delta = 0)
+    val twin = Multimodal.synthImagesShifted(docs, "doc_id", delta = 20,
+      idOffset = 100000000L)
+    // persisted: the per-base aggregate and the hash-frequency table both
+    // consume it — the decode must run once per payload, not twice
+    val hashes = graft.ops.OpCaches.persist(
+      Multimodal.withImageDHash(orig.unionByName(twin)))
+    val perBase = hashes
+      .select(pmod(col("media_id"), lit(100000000L)).as("doc_id"),
+        (col("media_id") < 100000000L).as("is_orig"), col("dhash"))
+      .groupBy("doc_id")
+      .agg(max(when(col("is_orig"), col("dhash"))).as("dhash"),
+        (count(lit(1)) === 2L && min(col("dhash")) === max(col("dhash")) &&
+          count(col("dhash")) === 2L).as("twin_match"))
+    val counts = hashes.groupBy("dhash").agg(count(lit(1)).as("n_same_hash"))
+    perBase.join(counts, Seq("dhash"))
+      .select(col("doc_id"), col("dhash"), col("twin_match"),
+        col("n_same_hash"))
+      .orderBy("doc_id")
   }
 
   /** Per-language normalized dedup ([[Dedup.exactDedupNormalizedPerGroup]]
@@ -4038,5 +4101,6 @@ object DataOpsQueries {
     "q137_domain_cap_bounded" -> q137DomainCapBounded,
     "q138_incremental_web" -> q138IncrementalWeb,
     "q139_gif_frames" -> q139GifFrames,
+    "q140_image_phash" -> q140ImagePhash,
   )
 }

@@ -527,6 +527,72 @@ class OpsSpec extends AnyFunSuite {
       ceil((pmod(col("media_id"), lit(17L)) + 3L) / 4.0).cast("long")).count() == 0)
   }
 
+  test("hammingNearDupPairs: pigeonhole recall law, exact verify, loud bucket guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = 0x123456789ABCDL // arbitrary 63-bit-safe hash
+    def flip(h: Long, bits: Int*): Long = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val rows = Seq(
+      (1L, base),
+      (2L, flip(base, 5)),          // hamming 1
+      (3L, flip(base, 0, 20, 40)),  // hamming 3 — at the threshold
+      (4L, flip(base, 1, 2, 3, 4)), // hamming 4 — must NOT pair with 1
+      (5L, ~base & ((1L << 63) - 1))) // far away
+    val pairs = Dedup.hammingNearDupPairs(rows.toDF("id", "h"), "id", "h",
+        bits = 63, bands = 7, maxDist = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // every pair within maxDist found (zero recall loss), none beyond
+    assert(pairs.contains((1L, 2L, 1)), pairs)
+    assert(pairs.contains((1L, 3L, 3)), pairs)
+    assert(pairs.contains((2L, 3L, 4)) == false, pairs)
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L), pairs)
+    assert(!pairs.exists(p => p._2 == 5L || p._1 == 5L), pairs)
+    // exhaustive recall check: random-ish hashes, ground truth by brute force
+    val many = (0L until 200L).map(i => (i, (i * 0x9E3779B97F4AL) & ((1L << 63) - 1)))
+    val found = Dedup.hammingNearDupPairs(many.toDF("id", "h"), "id", "h",
+        bits = 63, bands = 7, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = (for {
+      (ia, ha) <- many; (ib, hb) <- many if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(found == truth, s"found=$found truth=$truth")
+    // bands must exceed maxDist, and over-full buckets fail loudly
+    intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(rows.toDF("id", "h"), "id", "h",
+        bands = 3, maxDist = 3))
+    val clones = (0L until 50L).map(i => (i, 42L))
+    val e = intercept[IllegalArgumentException](
+      Dedup.hammingNearDupPairs(clones.toDF("id", "h"), "id", "h",
+        maxBucket = 10))
+    assert(e.getMessage.contains("maxBucket"))
+    OpCaches.releaseAll()
+  }
+
+  test("image dHash: brightness-invariant on real decodes, banded join finds the twins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (0L until 30L).toDF("doc_id")
+    val orig = Multimodal.synthImagesShifted(ids, "doc_id", delta = 0)
+    val twin = Multimodal.synthImagesShifted(ids, "doc_id", delta = 20,
+      idOffset = 1000L)
+    val hashes = Multimodal.withImageDHash(orig.unionByName(twin))
+    // non-decodable payloads hash to null (and are excluded by the join)
+    val junk = Multimodal.withImageDHash(
+      Seq((9999L, Array.fill[Byte](16)(3), null: String))
+        .toDF("media_id", "payload", "x").drop("x"))
+    assert(junk.filter(col("dhash").isNotNull).count() == 0)
+    // every (orig, twin) pair is found at hamming 0 by the banded join
+    val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+      maxDist = 0)
+    val matched = pairs
+      .filter(col("id_b") === col("id_a") + 1000L && col("hamming") === 0)
+      .count()
+    assert(matched == 30L, s"only $matched of 30 twins matched")
+    OpCaches.releaseAll()
+  }
+
   test("curation recipe with near-dup removal drops planted twins") {
     val allGuesses = Seq("en", "de", "fr", "es", "und")
     val curated = Curation.curate(withTwins, "doc_id", "text",
