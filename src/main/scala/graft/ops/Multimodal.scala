@@ -267,7 +267,15 @@ object Multimodal {
     * payload itself is a genuine RIFF/WAVE file that only a real PCM
     * reader can parse back (the header/interleave/endianness handling
     * is what a stub cannot fake). */
-  private[graft] def synthWav(id: Long): Array[Byte] = {
+  private[graft] def synthWav(id: Long): Array[Byte] = synthWavSigned(id, 1)
+
+  /** [[synthWav]] with a polarity sign — `sign = -1` renders the SAME
+    * clip phase-inverted (every 16-bit sample negated; values stay in
+    * [-100, 100], far from the asymmetric -32768 edge, so negation is
+    * exact). Phase inversion is inaudible — the canonical
+    * payload-differs/perceptual-dup fixture for [[audioPHash15]]. */
+  private[graft] def synthWavSigned(id: Long, sign: Int): Array[Byte] = {
+    require(sign == 1 || sign == -1, "sign must be +/-1")
     val channels = (Math.floorMod(id, 2L) + 1L).toInt
     val rates = Array(8000f, 11025f, 16000f, 22050f)
     val rate = rates(Math.floorMod(id, 4L).toInt)
@@ -278,7 +286,7 @@ object Multimodal {
     while (i < nFrames) {
       var ch = 0
       while (ch < channels) {
-        val s = (7 * m + 13 * i + 31 * ch) % 201 - 100
+        val s = sign * ((7 * m + 13 * i + 31 * ch) % 201 - 100)
         val off = (i * channels + ch) * 2
         data(off) = (s & 0xff).toByte         // little-endian 16-bit
         data(off + 1) = ((s >> 8) & 0xff).toByte
@@ -294,6 +302,86 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(stream,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** 15-bit perceptual audio fingerprint of a JDK-decodable 16-bit PCM
+    * clip — the [[dHash63]] playbook on the time axis (the STRUCTURE of
+    * Chromaprint-class fingerprints, with a deterministic integer
+    * energy statistic in place of the spectral transform so an external
+    * oracle replays it exactly): REAL decode, frames binned into 16
+    * equal segments (`seg(i) = ⌊i·16/n⌋` — every segment non-empty for
+    * n ≥ 16), segment energy `e_s = Σ |Σ_ch sample|` (channel SUM, not
+    * mean — integer division on negative mixes rounds differently
+    * across engines), one bit per adjacent-segment energy comparison
+    * (`e_{s+1} > e_s`). Invariance carried over from real audio
+    * fingerprints: POLARITY INVERSION (every sample negated — an
+    * inaudible edit and a different payload byte-for-byte) leaves every
+    * |mono| and the hash unchanged. `None` for payloads the PCM reader
+    * rejects. */
+  private[graft] def audioPHash15(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val pcm16 =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && in.getFrameLength >= 16
+        if (!pcm16) None
+        else {
+          val channels = fmt.getChannels
+          val n = in.getFrameLength.toInt
+          val data = in.readAllBytes()
+          val big = fmt.isBigEndian
+          val e = new Array[Long](16)
+          var i = 0
+          while (i < n) {
+            var mono = 0L
+            var ch = 0
+            while (ch < channels) {
+              val off = (i * channels + ch) * 2
+              val lo = data(off + (if (big) 1 else 0)) & 0xff
+              val hi = data(off + (if (big) 0 else 1)).toInt
+              mono += (hi << 8) | lo
+              ch += 1
+            }
+            e((i * 16 / n).toInt) += math.abs(mono)
+            i += 1
+          }
+          var hash = 0L
+          var s = 0
+          while (s < 15) {
+            if (e(s + 1) > e(s)) hash |= 1L << s
+            s += 1
+          }
+          Some(hash)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Adds a nullable `ahash` column ([[audioPHash15]]) to a media table
+    * — map-only, input columns preserved, null for non-PCM payloads;
+    * the audio sibling of [[withImageDHash]] (compose with
+    * [[graft.ops.Dedup.hammingNearDupPairs]], bits = 15). */
+  def withAudioPHash(media: DataFrame): DataFrame =
+    withPayloadHash(media, "ahash", audioPHash15)
+
+  /** Media table of [[synthWavSigned]] fixtures — the polarity-pair
+    * input for the q141 perceptual-audio-dedup contract. */
+  def synthAudioSigned(df: DataFrame, idCol: String, sign: Int,
+      idOffset: Long = 0L): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + idOffset, synthWavSigned(id, sign),
+            Row("audio", "wav", null, null, null))
+        }
+      }(enc)
   }
 
   /** Media table of [[synthWav]] fixtures, one real WAV per input row —
@@ -440,22 +528,32 @@ object Multimodal {
     }
   }
 
-  /** Adds a nullable `dhash` column ([[dHash63]]) to a media table —
-    * map-only, partition-parallel, null for non-decodable payloads.
-    * Compose with [[graft.ops.Dedup.hammingNearDupPairs]] for the
-    * banded image near-dup join (q140). */
-  def withImageDHash(media: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("dhash", LongType))))
-    media.select(col("media_id"), col("payload"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0),
-            dHash63(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
-        }
-      }(enc)
+  /** Appends a nullable hash column computed per payload, preserving
+    * every input column — the shared shape of [[withImageDHash]] /
+    * [[withAudioPHash]]. Stateless map, so it composes with Structured
+    * Streaming unchanged (the [[graft.streaming.Streams
+    * .imageDedupStream]] twin). */
+  private def withPayloadHash(media: DataFrame, outCol: String,
+      hashOf: Array[Byte] => Option[Long]): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField(outCol, LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+
+          hashOf(r.getAs[Array[Byte]](payloadIdx)).map(Long.box).orNull)
+      }
+    }(enc)
   }
+
+  /** Adds a nullable `dhash` column ([[dHash63]]) to a media table —
+    * map-only, partition-parallel, input columns preserved, null for
+    * non-decodable payloads. Compose with
+    * [[graft.ops.Dedup.hammingNearDupPairs]] for the banded image
+    * near-dup join (q140). */
+  def withImageDHash(media: DataFrame): DataFrame =
+    withPayloadHash(media, "dhash", dHash63)
 
   /** [[synthPng]] with id-linear channels and a uniform brightness
     * shift — the dHash twin fixture: channels

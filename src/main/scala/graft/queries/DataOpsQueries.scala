@@ -1651,6 +1651,27 @@ object DataOpsQueries {
         |SELECT hs.id AS doc_id, hs.dhash, TRUE AS twin_match,
         |  cnt.n_same_hash
         |FROM hs JOIN cnt USING (dhash) ORDER BY doc_id""".stripMargin,
+    // Perceptual audio hash: the 15-bit energy-delta fingerprint
+    // replayed from the synthWav sample arithmetic (segment binning by
+    // i*16//n, |channel-sum| energies, adjacent compares); polarity
+    // twin TRUE by the |.| invariance.
+    "q141_audio_phash" ->
+      """WITH d AS (SELECT doc_id AS id, (doc_id % 50) + 20 AS n,
+        |    (doc_id % 2) + 1 AS c, doc_id % 256 AS m FROM documents),
+        |f AS (SELECT id, n, t.i,
+        |  ((7*m + 13*t.i) % 201 - 100)
+        |  + CASE WHEN c = 2 THEN ((7*m + 13*t.i + 31) % 201 - 100)
+        |    ELSE 0 END AS mono
+        |  FROM d, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        |e AS (SELECT id, (i * 16) // n AS seg, SUM(ABS(mono)) AS e
+        |  FROM f GROUP BY 1, 2),
+        |b AS (SELECT a.id,
+        |  CASE WHEN nx.e > a.e
+        |    THEN (CAST(1 AS BIGINT) << CAST(a.seg AS INT)) ELSE 0 END AS bit
+        |  FROM e a JOIN e nx ON a.id = nx.id AND nx.seg = a.seg + 1)
+        |SELECT id AS doc_id, CAST(SUM(bit) AS BIGINT) AS ahash,
+        |  TRUE AS twin_match
+        |FROM b GROUP BY id ORDER BY doc_id""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2331,7 +2352,8 @@ object DataOpsQueries {
     // persisted: the per-base aggregate and the hash-frequency table both
     // consume it — the decode must run once per payload, not twice
     val hashes = graft.ops.OpCaches.persist(
-      Multimodal.withImageDHash(orig.unionByName(twin)))
+      Multimodal.withImageDHash(orig.unionByName(twin))
+        .select("media_id", "dhash")) // payload dropped at the map boundary
     val perBase = hashes
       .select(pmod(col("media_id"), lit(100000000L)).as("doc_id"),
         (col("media_id") < 100000000L).as("is_orig"), col("dhash"))
@@ -2343,6 +2365,31 @@ object DataOpsQueries {
     perBase.join(counts, Seq("dhash"))
       .select(col("doc_id"), col("dhash"), col("twin_match"),
         col("n_same_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual AUDIO dedup fingerprint ([[Multimodal.withAudioPHash]] —
+    * 15-bit adjacent-segment energy-delta hash over REAL decoded PCM,
+    * the q140 dHash story on the time axis): every id renders TWO
+    * byte-for-byte different WAVs (the twin is polarity-inverted — an
+    * inaudible edit) whose decoded fingerprint must be IDENTICAL. The
+    * oracle replays the full hash from the synthWav sample formula
+    * (segment binning, |mono| energies, adjacent compares, bit
+    * packing); a stub cannot fake it — the values require parsing the
+    * RIFF header, frame interleave, and 16-bit little-endian samples. */
+  val q141AudioPhash: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id")
+    val orig = Multimodal.synthAudioSigned(docs, "doc_id", sign = 1)
+    val inv = Multimodal.synthAudioSigned(docs, "doc_id", sign = -1,
+      idOffset = 100000000L)
+    Multimodal.withAudioPHash(orig.unionByName(inv))
+      .select("media_id", "ahash") // payload dropped at the map boundary
+      .select(pmod(col("media_id"), lit(100000000L)).as("doc_id"),
+        (col("media_id") < 100000000L).as("is_orig"), col("ahash"))
+      .groupBy("doc_id")
+      .agg(max(when(col("is_orig"), col("ahash"))).as("ahash"),
+        (count(lit(1)) === 2L && count(col("ahash")) === 2L &&
+          min(col("ahash")) === max(col("ahash"))).as("twin_match"))
       .orderBy("doc_id")
   }
 
@@ -4102,5 +4149,6 @@ object DataOpsQueries {
     "q138_incremental_web" -> q138IncrementalWeb,
     "q139_gif_frames" -> q139GifFrames,
     "q140_image_phash" -> q140ImagePhash,
+    "q141_audio_phash" -> q141AudioPhash,
   )
 }

@@ -200,6 +200,28 @@ object Streams {
       .drop("__dedup_fp")
   }
 
+  /** Streaming PERCEPTUAL image dedup — the continuous-ingest twin of
+    * the q140 batch grouping ([[graft.ops.Multimodal.withImageDHash]] →
+    * group by hash): the dHash is a stateless per-payload map (real
+    * decode, appended column), so the stream runs the IDENTICAL decode
+    * as batch; dedup is first-seen-wins within the watermark horizon
+    * keyed on the 63-bit hash — state per retained image is ONE long,
+    * never pixels or payload bytes. Re-encodes and brightness edits of
+    * an already-seen image (the dHash invariance class) drop; payloads
+    * the decoder rejects pass through un-deduped (null hash is not a
+    * dedup key — quarantine them upstream if that is wrong for the
+    * pipeline). The banded Hamming JOIN (near-identical, not identical)
+    * stays batch-only by design: a streaming self-join over an
+    * unbounded hash history is not bounded-state expressible — the
+    * lambda split q133's cap documents. */
+  def imageDedupStream(media: DataFrame,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame =
+    graft.ops.Multimodal.withImageDHash(media)
+      .filter(col("dhash").isNotNull)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("dhash")
+
   /** Stateless streaming multi-class PII scrub — the continuous-ingest
     * twin of [[graft.ops.Pii.scrub]]: the identical per-row
     * count-and-redact chain (same `Column` expressions, same class order),

@@ -593,6 +593,31 @@ class OpsSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("audio pHash: polarity-invariant on real PCM decodes, hamming join finds the twins") {
+    val spark2 = spark
+    import spark2.implicits._
+    // direct invariance on the byte level: inverted payload differs,
+    // fingerprint identical
+    for (id <- Seq(0L, 1L, 7L, 49L, 123L)) {
+      val a = Multimodal.synthWavSigned(id, 1)
+      val b = Multimodal.synthWavSigned(id, -1)
+      assert(!java.util.Arrays.equals(a, b), s"id=$id payloads equal")
+      assert(Multimodal.audioPHash15(a) == Multimodal.audioPHash15(b), s"id=$id")
+      assert(Multimodal.audioPHash15(a).isDefined)
+    }
+    // junk bytes -> null hash
+    assert(Multimodal.audioPHash15(Array.fill(64)(9.toByte)).isEmpty)
+    // table-level: every polarity pair found at hamming 0, bits=15
+    val ids = (0L until 25L).toDF("doc_id")
+    val hashes = Multimodal.withAudioPHash(
+      Multimodal.synthAudioSigned(ids, "doc_id", 1).unionByName(
+        Multimodal.synthAudioSigned(ids, "doc_id", -1, idOffset = 1000L)))
+    val pairs = Dedup.hammingNearDupPairs(hashes, "media_id", "ahash",
+      bits = 15, bands = 4, maxDist = 0, maxBucket = 1 << 20)
+    assert(pairs.filter(col("id_b") === col("id_a") + 1000L).count() == 25L)
+    OpCaches.releaseAll()
+  }
+
   test("curation recipe with near-dup removal drops planted twins") {
     val allGuesses = Seq("en", "de", "fr", "es", "und")
     val curated = Curation.curate(withTwins, "doc_id", "text",

@@ -212,6 +212,39 @@ class StreamingSpec extends AnyFunSuite {
       batch.filter(col("doc_id") === 12L).select(cols.map(col): _*).head())
   }
 
+  test("streaming perceptual image dedup: brightness re-encodes drop, hash set matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Multimodal
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Long) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ids = 0L until 10L
+    // originals plus brightness-shifted re-encodes (different payload
+    // bytes, identical dHash) and one non-decodable payload (passes
+    // through un-deduped by contract)
+    val rows = ids.map(i => (i, Multimodal.synthPngShifted(i, 0), at(i))) ++
+      ids.map(i => (i + 1000L, Multimodal.synthPngShifted(i, 20), at(i + 20))) :+
+      ((5000L, Array.fill[Byte](16)(7), at(40)))
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    mem.addData(rows)
+    val q = Streams.imageDedupStream(
+        mem.toDF().toDF("media_id", "payload", "event_time"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("img_dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("img_dedup_stream")
+    // one survivor per perceptual group; the junk row is filtered (null
+    // hash is not a dedup key)
+    assert(out.count() == 10)
+    val streamHashes = out.select("dhash").as[Long].collect().toSet
+    val batchHashes = Multimodal.withImageDHash(
+        rows.toDF("media_id", "payload", "event_time"))
+      .filter(col("dhash").isNotNull)
+      .select("dhash").distinct().as[Long].collect().toSet
+    assert(streamHashes == batchHashes)
+  }
+
   test("streaming bloom decontamination matches the batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
