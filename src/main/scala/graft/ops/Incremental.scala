@@ -131,6 +131,43 @@ object Incremental {
       .drop("__url_fp")
   }
 
+  /** Perceptual image-hash state of a media batch — the [[urlState]]
+    * story for PIXELS: one row per distinct 63-bit dHash (column
+    * `dhash`, [[Multimodal.withImageDHash]] — real decode), so a later
+    * crawl drops RE-ENCODES and brightness edits of already-ingested
+    * images, which byte/URL keys both miss. Non-decodable payloads
+    * contribute no state. 8 bytes per distinct image. */
+  def imageHashState(media: DataFrame): DataFrame =
+    Multimodal.withImageDHash(media)
+      .select(col("dhash")).filter(col("dhash").isNotNull).distinct()
+
+  /** Roll the image-hash state forward with a new media batch. */
+  def updatedImageHashState(state: DataFrame, media: DataFrame): DataFrame =
+    state.unionByName(imageHashState(media)).distinct()
+
+  /** Drop TODAY's images whose perceptual hash was already ingested:
+    * within-day first-seen-wins (smallest id per dHash) + anti-join
+    * against the prior [[imageHashState]] — [[dropSeenUrls]] keyed on
+    * decoded pixels instead of the URL (q142: day-2 brightness
+    * re-encodes of day-1 images drop; genuinely new images survive).
+    * Rows whose payload does not decode KEEP flowing (null hash is not
+    * a dedup key — same contract as the streaming twin). EXACT-hash
+    * equality only; the within-distance cross-run variant is the
+    * batch-side [[Dedup.hammingNearDupPairs]] over
+    * `today.unionByName(historyHashes)`. */
+  def dropSeenImages(today: DataFrame, idCol: String,
+      state: DataFrame): DataFrame = {
+    val withH = Multimodal.withImageDHash(today)
+    val decodable = withH.filter(col("dhash").isNotNull)
+    val winners = decodable.groupBy(col("dhash"))
+      .agg(min(col(idCol)).as(idCol))
+    decodable
+      .join(winners, Seq("dhash", idCol), "left_semi")
+      .join(state, Seq("dhash"), "left_anti")
+      .unionByName(withH.filter(col("dhash").isNull))
+      .drop("dhash")
+  }
+
   /** Persist a [[Bloom]] bit array (+ its hash count) as a one-row
     * parquet table — constant-size decontamination state. */
   def saveBloom(spark: SparkSession, path: String,

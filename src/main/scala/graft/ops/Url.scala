@@ -313,6 +313,18 @@ object Url {
       .drop("__url_parts")
   }
 
+  /** Load a raw publicsuffix.org data file (the `public_suffix_list.dat`
+    * format: one rule per line, `//` comments, blank separators, `*.`
+    * wildcards, `!` exceptions) into the `suffix`-column DataFrame
+    * [[markWithPsl]] consumes. Comment/blank dropping happens again at
+    * compile time ([[PslRules.compile]]) — this filter just keeps the
+    * collected driver list at rule-count size. */
+  def loadPslFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.text(path)
+      .select(trim(col("value")).as("suffix"))
+      .filter(col("suffix") =!= "" && !col("suffix").startsWith("//"))
+
   /** The C4/RefinedWeb keep predicate: absolute http(s), not an asset
     * extension, registered domain not blocklisted. `blockedDomains` is a
     * LITERAL list (rides the plan; fine up to ~10^4 entries) — for a

@@ -1672,6 +1672,38 @@ object DataOpsQueries {
         |SELECT id AS doc_id, CAST(SUM(bit) AS BIGINT) AS ahash,
         |  TRUE AS twin_match
         |FROM b GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Cross-run image dedup: per-render dHash replayed from the q140 bit
+    // arithmetic over the render's BASE id; first-seen-wins per hash.
+    "q142_incremental_images" ->
+      """WITH r AS (
+        |  SELECT doc_id AS mid, 0 AS day, doc_id AS base FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id - 1 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 3),
+        |dd AS (SELECT mid, day, base, (base % 7) + 2 AS w,
+        |  (base % 5) + 2 AS h FROM r),
+        |bits AS (SELECT mid, day,
+        |  CASE WHEN
+        |    ((3*base + 5*((tx.gx+1)*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*base + 13*((tx.gx+1)*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*base + 23*((tx.gx+1)*w//10) + 29*(ty.gy*h//7)) % 200) // 3
+        |    >
+        |    ((3*base + 5*(tx.gx*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*base + 13*(tx.gx*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*base + 23*(tx.gx*w//10) + 29*(ty.gy*h//7)) % 200) // 3
+        |  THEN (CAST(1 AS BIGINT) << (ty.gy*9 + tx.gx)) ELSE 0 END AS bit
+        |  FROM dd, UNNEST(range(0, 7)) AS ty(gy), UNNEST(range(0, 9)) AS tx(gx)),
+        |hs AS (SELECT mid, day, CAST(SUM(bit) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY mid, day),
+        |keep AS (SELECT dhash, MIN(day * 1000000000 + mid) AS ord
+        |  FROM hs GROUP BY dhash)
+        |SELECT CAST(ord % 1000000000 AS BIGINT) AS doc_id,
+        |CAST(ord // 1000000000 AS INT) AS day
+        |FROM keep ORDER BY doc_id""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2390,6 +2422,43 @@ object DataOpsQueries {
       .agg(max(when(col("is_orig"), col("ahash"))).as("ahash"),
         (count(lit(1)) === 2L && count(col("ahash")) === 2L &&
           min(col("ahash")) === max(col("ahash"))).as("twin_match"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-run PERCEPTUAL image dedup ([[Incremental.imageHashState]] →
+    * parquet persist → reload → [[Incremental.dropSeenImages]]) — q138's
+    * recrawl story keyed on decoded PIXELS: day-2 carries brightness
+    * RE-ENCODES of day-1 images (different payload bytes — a byte/URL
+    * key waves every one of them through) that must drop against the
+    * persisted dHash state, plus a deterministic slice of genuinely new
+    * images that must survive. The oracle replays each render's 63-bit
+    * dHash from the pixel construction (the q140 arithmetic over the
+    * render's BASE id) and first-seen-wins as min(day·10^9 + id) per
+    * hash — the q86 invariant, perceptual-keyed. */
+  val q142IncrementalImages: Q = (s, dir) => {
+    import graft.ops.Incremental
+    val docs = load(s, dir, "documents").select("doc_id")
+    val d = col("doc_id")
+    val day1 = Multimodal.synthImagesShifted(
+      docs.filter(pmod(d, lit(2L)) === 0L), "doc_id", delta = 0)
+    // day-2 re-encodes: odd id j renders BASE j-1 at delta 20 (same
+    // dHash as day-1's render of j-1 when that base was rendered)
+    val olds = Multimodal.synthImagesShifted(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) =!= 3L)
+        .select((d - 1L).as("base")), "base", delta = 20, idOffset = 1L)
+    val news = Multimodal.synthImagesShifted(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) === 3L),
+      "doc_id", delta = 0)
+    val day2 = olds.unionByName(news)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_img_state").resolve("state.parquet").toString
+    val empty = s.range(0).select(col("id").as("dhash"))
+    val run1 = Incremental.dropSeenImages(day1, "media_id", empty)
+    Incremental.saveState(Incremental.imageHashState(day1), statePath)
+    val run2 = Incremental.dropSeenImages(day2, "media_id",
+      Incremental.loadState(s, statePath))
+    run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
+      .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
       .orderBy("doc_id")
   }
 
@@ -4150,5 +4219,6 @@ object DataOpsQueries {
     "q139_gif_frames" -> q139GifFrames,
     "q140_image_phash" -> q140ImagePhash,
     "q141_audio_phash" -> q141AudioPhash,
+    "q142_incremental_images" -> q142IncrementalImages,
   )
 }

@@ -146,6 +146,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(run3.select("doc_id").as[Long].collect().toSet == Set(23L))
   }
 
+  test("image recrawl state: re-encodes drop on the perceptual key, junk passes through (q142 invariant)") {
+    val day1 = Multimodal.synthImagesShifted((0L until 12L).toDF("id"), "id",
+      delta = 0)
+    // day-2: brightness re-encodes of day-1 bases 0..5 (different bytes,
+    // same dHash), genuinely new bases 100..102, one junk payload
+    val reenc = Multimodal.synthImagesShifted((0L until 6L).toDF("id"), "id",
+      delta = 20, idOffset = 1000L)
+    // fresh bases ≡ 34 (mod 35) render 8×6 images — a rich sample grid
+    // whose hash cannot collide with the tiny day-1 renders (bases with
+    // degenerate 2-4 pixel grids share sparse hashes by construction;
+    // that IS the dedup key's contract, so the fixture avoids them)
+    val fresh = Multimodal.synthImagesShifted(
+      Seq(34L, 69L, 104L).toDF("id"), "id", delta = 0, idOffset = 1000L)
+    val junk = Seq((9999L, Array.fill[Byte](16)(3),
+        null: String)).toDF("media_id", "payload", "x").drop("x")
+      .withColumn("meta", lit(null).cast(Multimodal.mediaMetaSchema))
+    val day2 = reenc.unionByName(fresh).unionByName(junk)
+    val path = tmp("img_state")
+    Incremental.saveState(Incremental.imageHashState(day1), path)
+    val out = Incremental.dropSeenImages(day2, "media_id",
+      Incremental.loadState(spark, path))
+    val kept = out.select("media_id").as[Long].collect().toSet
+    assert(kept == Set(1034L, 1069L, 1104L, 9999L), kept)
+    // roll-forward: day-3 re-encode of a DAY-2 image drops too
+    val path2 = tmp("img_state2")
+    Incremental.saveState(Incremental.updatedImageHashState(
+      Incremental.loadState(spark, path), day2), path2)
+    val day3 = Multimodal.synthImagesShifted(Seq(69L).toDF("id"), "id",
+      delta = 40, idOffset = 2000L)
+    assert(Incremental.dropSeenImages(day3, "media_id",
+      Incremental.loadState(spark, path2)).count() == 0)
+  }
+
   test("curateWeb(seenUrls): the recrawl drop happens before extraction, survivors unchanged otherwise") {
     def p(t: String) = s"<html><body><p>$t</p></body></html>"
     val T = "the quick brown fox jumps over the lazy dog and runs to " +

@@ -165,6 +165,25 @@ class UrlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Url.PslRules.compile(Seq("*")))
   }
 
+  test("loadPslFile: raw public_suffix_list.dat format round-trips into markWithPsl") {
+    val dat = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(dat,
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |
+        |// ck : https://example.invalid
+        |*.ck
+        |!www.ck
+        |jp
+        |kobe.jp
+        |""".stripMargin)
+    val psl = Url.loadPslFile(spark, dat.toString)
+    assert(psl.count() == 5) // comments and blanks dropped
+    val marked = Url.markWithPsl(
+      Seq("https://a.b.test.ck/x").toDF("url"), "url", psl)
+    assert(marked.select("url_domain").head().getString(0) == "b.test.ck")
+  }
+
   test("markWithPsl: one map stage, no shuffle, guarded collect, blocklist") {
     import org.apache.spark.sql.DataFrame
     val psl: DataFrame = PslFixture.toDF("suffix")
