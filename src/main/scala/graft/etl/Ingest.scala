@@ -83,8 +83,14 @@ object Ingest {
       rawZone: String, genre: Option[String] = None,
       limit: Int = 20): String = {
     Files.createDirectories(Paths.get(rawZone))
-    val name = s"${query.replace(' ', '_')}_${searchType}_" +
-      s"${genre.getOrElse("None")}_$limit.json"
+    // stricter than the reference's replace(' ', '_'): a '/' in the
+    // query ("AC/DC") would resolve as a path separator — crash at best,
+    // escape the raw zone at worst ("../"). Every non-filename-safe
+    // char folds to '_'; space-only queries land on the same name the
+    // reference produces.
+    def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+    val name = s"${safe(query)}_${safe(searchType)}_" +
+      s"${safe(genre.getOrElse("None"))}_$limit.json"
     val path = Paths.get(rawZone, name)
     Files.writeString(path, client.search(query, searchType, genre, limit))
     path.toString

@@ -54,32 +54,55 @@ object SpotifyHttp {
   }
 
   /** Extract the balanced `"items": [ … ]` array nested under the given
-    * top-level key (`"tracks"`, `"artists"`, … — the search-response
-    * unwrap, reference raw.py:127-128). String-aware bracket scan: quotes
-    * and escapes inside item fields never unbalance the depth count. */
+    * key's OBJECT (`"tracks"`, `"artists"`, … — the search-response
+    * unwrap, reference raw.py:127-128). The scan is string-aware
+    * throughout AND scoped: `items` is only accepted as a member NAME of
+    * the key's own object (depth 1 inside it, string-close followed by
+    * `:` `[`), so an items-less `{"tracks": {"total": 0}}` next to an
+    * `{"artists": {"items": […]}}` returns None instead of silently
+    * handing back the wrong entity list, and an `"items"` or `]`
+    * inside a string VALUE can neither start nor cut the array. */
   private[etl] def jsonItemsArray(body: String, key: String): Option[String] = {
-    val kIdx = body.indexOf("\"" + key + "\"")
-    if (kIdx < 0) return None
-    val iIdx = body.indexOf("\"items\"", kIdx)
-    if (iIdx < 0) return None
-    val start = body.indexOf('[', iIdx)
-    if (start < 0) return None
+    val keyMatch = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
+      .findFirstMatchIn(body).getOrElse(return None)
+    var i = keyMatch.end - 1 // the '{' opening the key's object
     var depth = 0
-    var i = start
     var inStr = false
     var esc = false
+    var strStart = -1
+    var arrStart = -1
+    var arrDepth = 0
     while (i < body.length) {
       val c = body.charAt(i)
       if (inStr) {
         if (esc) esc = false
         else if (c == '\\') esc = true
-        else if (c == '"') inStr = false
+        else if (c == '"') {
+          inStr = false
+          if (arrStart < 0 && depth == 1 &&
+              body.substring(strStart, i) == "items") {
+            // member name "items" of the key object: expect ':' then '['
+            var j = i + 1
+            while (j < body.length && body.charAt(j).isWhitespace) j += 1
+            if (j < body.length && body.charAt(j) == ':') {
+              j += 1
+              while (j < body.length && body.charAt(j).isWhitespace) j += 1
+              if (j < body.length && body.charAt(j) == '[') {
+                arrStart = j
+                arrDepth = depth // array brackets count from here
+                i = j - 1        // resume the scan AT the '[' (i += 1 below)
+              }
+            }
+          }
+        }
       } else c match {
-        case '"' => inStr = true
-        case '[' => depth += 1
-        case ']' =>
+        case '"' => inStr = true; strStart = i + 1
+        case '{' | '[' => depth += 1
+        case '}' | ']' =>
           depth -= 1
-          if (depth == 0) return Some(body.substring(start, i + 1))
+          if (arrStart >= 0 && depth == arrDepth)
+            return Some(body.substring(arrStart, i + 1))
+          if (depth == 0) return None // key object closed without items
         case _ =>
       }
       i += 1
@@ -88,6 +111,13 @@ object SpotifyHttp {
   }
 
   final class AuthException(msg: String) extends RuntimeException(msg)
+
+  /** A 200 response whose BODY does not have the expected shape (missing
+    * `{type}s.items`, API contract drift) — deliberately NOT an
+    * [[AuthException]]: callers with auth-specific handling (credential
+    * refresh, re-prompt) must not misdiagnose a data-shape problem as a
+    * credential problem. */
+  final class ApiShapeException(msg: String) extends RuntimeException(msg)
 
   /** Bearer-authed Spotify client over an injectable [[Transport]].
     *
@@ -162,7 +192,8 @@ object SpotifyHttp {
       val body = getOk(
         s"${apiBase}search?q=${enc(q)}&type=${enc(searchType)}&limit=$limit")
       jsonItemsArray(body, searchType + "s").getOrElse(
-        throw new AuthException(s"search: no ${searchType}s.items in response"))
+        throw new ApiShapeException(
+          s"search: no ${searchType}s.items in response"))
     }
 
     /** Follow a paged endpoint's `next` links; returns the raw page bodies

@@ -230,6 +230,18 @@ object Curation {
   def capPerGroupBounded(df: DataFrame, groupCol: String, orderCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "cap must be >= 1")
+    // the keep-set keys on cast(orderCol as long): a non-integral order
+    // column would null out under the cast and the semi join would
+    // silently DROP EVERY ROW (string ids additionally reorder, '9' >
+    // '10' lexicographically) — fail at entry with the fix instead
+    val ot = df.schema(orderCol).dataType
+    require(ot == org.apache.spark.sql.types.LongType ||
+        ot == org.apache.spark.sql.types.IntegerType ||
+        ot == org.apache.spark.sql.types.ShortType ||
+        ot == org.apache.spark.sql.types.ByteType,
+      s"capPerGroupBounded: order column '$orderCol' must be an integral " +
+        s"type (got ${ot.simpleString}) — the bounded keep-set keys on its " +
+        "long value; use capPerGroup for non-integral order columns")
     Sampling.requireFreshColumns(df, "Curation.capPerGroupBounded",
       "__g", "__o", "__w")
     val bottomK = udaf(new graft.functions.BottomKAggregator(k),

@@ -157,7 +157,10 @@ object Incremental {
     * `today.unionByName(historyHashes)`. */
   def dropSeenImages(today: DataFrame, idCol: String,
       state: DataFrame): DataFrame = {
-    val withH = Multimodal.withImageDHash(today)
+    // persisted: three consumers (winners aggregate, semi-join left
+    // side, null-hash union branch) — the real image decode must run
+    // ONCE per payload, not three times (the hammingNearDupPairs rule)
+    val withH = OpCaches.persist(Multimodal.withImageDHash(today))
     val decodable = withH.filter(col("dhash").isNotNull)
     val winners = decodable.groupBy(col("dhash"))
       .agg(min(col(idCol)).as(idCol))

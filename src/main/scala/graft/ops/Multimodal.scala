@@ -345,7 +345,10 @@ object Multimodal {
               mono += (hi << 8) | lo
               ch += 1
             }
-            e((i * 16 / n).toInt) += math.abs(mono)
+            // long multiply: i*16 overflows Int past ~134M frames (a
+            // ~50-minute 44.1 kHz clip), which would AIOOBE into the
+            // NonFatal catch and silently null the fingerprint
+            e((i.toLong * 16 / n).toInt) += math.abs(mono)
             i += 1
           }
           var hash = 0L

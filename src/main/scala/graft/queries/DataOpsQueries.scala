@@ -21,6 +21,31 @@ import org.apache.spark.sql.functions._
 object DataOpsQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-run temp dirs for cross-run-state queries (q136/q138/q142):
+    * unique per invocation (two concurrent sessions must never clobber
+    * each other's state mid-query), all deleted by ONE JVM-exit hook —
+    * registering a hook per invocation would accumulate hooks across
+    * bench laps. Deletion is exit-time, not end-of-query, because the
+    * loaded state is read LAZILY when the caller materializes the
+    * result. */
+  private object TempState {
+    private val dirs =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dirs.forEach { d =>
+        try java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }
+    }))
+    def dir(prefix: String): java.nio.file.Path = {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      dirs.add(d)
+      d
+    }
+  }
+
   /** Embedding dimensionality of the driver's `embeddings` table (fixed 64
     * at every scale factor) — needed statically so the LSH oracle SQL can
     * embed the hyperplane literals. */
@@ -2246,19 +2271,7 @@ object DataOpsQueries {
       .join(graft.ops.CorpusStats
         .heavyHittersByGroup(byDay, "text", "day", 8)
         .withColumnRenamed("summary", "summary8"), Seq("day"))
-    // unique per-run state dir: a fixed path lets two concurrent sessions
-    // clobber each other's state mid-query. The loaded state is read
-    // LAZILY when the caller materializes the result, so deletion is a
-    // JVM-exit hook rather than end-of-query.
-    val stateDir =
-      java.nio.file.Files.createTempDirectory("graft_q136_hh_state")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try java.nio.file.Files.walk(stateDir)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Throwable => () }
-    }))
-    val statePath = stateDir.toString
+    val statePath = TempState.dir("graft_q136_hh_state").toString
     graft.ops.CorpusStats.saveHeavyHittersState(daily, statePath)
     val state = graft.ops.CorpusStats.loadHeavyHittersState(s, statePath)
     val exact = graft.ops.CorpusStats.heavyHittersRollup(state, "summary", 64)
@@ -2323,8 +2336,8 @@ object DataOpsQueries {
     val pages = docs.withColumn("url", url)
     val day1 = pages.filter(m(2) === 0L)
     val day2 = pages.filter(m(2) === 1L)
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_url_state").resolve("state.parquet").toString
+    val statePath =
+      TempState.dir("graft_url_state").resolve("state.parquet").toString
     val emptyState = s.range(0).select(col("id").as("url_fp"))
     val run1 = Incremental.dropSeenUrls(day1, "doc_id", "url", emptyState)
     Incremental.saveState(Incremental.urlState(day1, "url"), statePath)
@@ -2450,8 +2463,8 @@ object DataOpsQueries {
       docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) === 3L),
       "doc_id", delta = 0)
     val day2 = olds.unionByName(news)
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_img_state").resolve("state.parquet").toString
+    val statePath =
+      TempState.dir("graft_img_state").resolve("state.parquet").toString
     val empty = s.range(0).select(col("id").as("dhash"))
     val run1 = Incremental.dropSeenImages(day1, "media_id", empty)
     Incremental.saveState(Incremental.imageHashState(day1), statePath)
@@ -3338,8 +3351,8 @@ object DataOpsQueries {
     val docs = load(s, dir, "documents")
     val day0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
     val day1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_fp_state").resolve("state.parquet").toString
+    val statePath =
+      TempState.dir("graft_fp_state").resolve("state.parquet").toString
     val emptyState = s.range(0).select(col("id").as("fp"))
     val run0 = Incremental.dedupAgainstState(day0, "doc_id", "text", emptyState)
     Incremental.saveState(Incremental.fingerprintState(day0, "text"), statePath)

@@ -178,14 +178,26 @@ object Streams {
       seenUrls: Option[DataFrame] = None): DataFrame = {
     import graft.ops.{Html, Pii, TextOps, Url}
     graft.functions.NativeFunctions.register(pages.sparkSession)
+    // watermark declared ONCE, up front (Spark disallows redefining it
+    // mid-chain): the stateless front stages pass it through, and both
+    // stateful dedups below share the same horizon
     val marked = Url.mark(pages, urlCol, blockedDomains)
       .filter(col("url_keep"))
+      .withWatermark(eventTimeCol, watermark)
     val fresh = seenUrls match {
       case Some(st) => marked
         .withColumn("__url_fp", graft.functions.NativeFunctions
           .graft_fingerprint(col("canonical_url")))
         .join(st.withColumnRenamed("url_fp", "__url_fp"),
           Seq("__url_fp"), "left_anti")
+        // the batch twin (Incremental.dropSeenCanonicalUrls) also dedups
+        // today WITHIN itself — two fetches of one canonical URL in one
+        // run keep one page even when their dynamic content differs (the
+        // content-fingerprint dedup downstream would miss them). Stream
+        // semantics: first-seen-wins within the watermark horizon, state
+        // = 8 bytes per retained URL, BEFORE the HTML parse. Like the
+        // batch path this dedup exists only on the seenUrls seam.
+        .dropDuplicatesWithinWatermark("__url_fp")
         .drop("__url_fp")
       case None => marked
     }
@@ -195,7 +207,6 @@ object Streams {
       .filter(TextOps.qualityScore(col("content")) >= minQuality)
     Pii.scrub(gated, "content")
       .withColumn("__dedup_fp", TextOps.dedupFingerprint(col("content_scrubbed")))
-      .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("__dedup_fp")
       .drop("__dedup_fp")
   }
@@ -216,11 +227,17 @@ object Streams {
     * lambda split q133's cap documents. */
   def imageDedupStream(media: DataFrame,
       eventTimeCol: String = "event_time",
-      watermark: String = "10 minutes"): DataFrame =
-    graft.ops.Multimodal.withImageDHash(media)
-      .filter(col("dhash").isNotNull)
+      watermark: String = "10 minutes"): DataFrame = {
+    val hashed = graft.ops.Multimodal.withImageDHash(media)
+    // null hash is NOT a dedup key: non-decodable payloads bypass the
+    // dedup state entirely and pass through (the batch dropSeenImages
+    // contract) — deduping them would collapse every corrupt payload
+    // onto one survivor
+    hashed.filter(col("dhash").isNotNull)
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("dhash")
+      .unionByName(hashed.filter(col("dhash").isNull))
+  }
 
   /** Stateless streaming multi-class PII scrub — the continuous-ingest
     * twin of [[graft.ops.Pii.scrub]]: the identical per-row

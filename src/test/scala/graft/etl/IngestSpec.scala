@@ -94,11 +94,32 @@ class IngestSpec extends AnyFunSuite {
     val c2 = new SpotifyHttp.HttpSpotifyClient(t2, "cid", "secret")
     assert(c2.search("misfits", "artist") == """[{"id": "a1"}]""")
     assert(t2.log.last._2.contains("search?q=misfits&type=artist&limit=20"))
-    // a response missing the typed items is a loud error, not empty data
+    // a response missing the typed items is a loud SHAPE error (not an
+    // AuthException — auth-specific handlers must not misdiagnose it)
     val t3 = new StubTransport(tok("t1"),
       SpotifyHttp.Response(200, """{"tracks": {"total": 0}}"""))
     val c3 = new SpotifyHttp.HttpSpotifyClient(t3, "cid", "secret")
-    intercept[SpotifyHttp.AuthException](c3.search("x", "track"))
+    intercept[SpotifyHttp.ApiShapeException](c3.search("x", "track"))
+    // …and an items-less tracks object next to an artists items array
+    // must NOT silently hand back artists as track results
+    val t4 = new StubTransport(tok("t1"), SpotifyHttp.Response(200,
+      """{"tracks": {"total": 0}, "artists": {"items": [{"id": "a1"}]}}"""))
+    val c4 = new SpotifyHttp.HttpSpotifyClient(t4, "cid", "secret")
+    intercept[SpotifyHttp.ApiShapeException](c4.search("x", "track"))
+    // an "items" INSIDE a string value of the key object is not a member
+    val t5 = new StubTransport(tok("t1"), SpotifyHttp.Response(200,
+      """{"tracks": {"msg": "no \"items\" here [sic]", "items": [{"id": "t9"}]}}"""))
+    val c5 = new SpotifyHttp.HttpSpotifyClient(t5, "cid", "secret")
+    assert(c5.search("x", "track") == """[{"id": "t9"}]""")
+  }
+
+  test("landSearch: path separators in the query cannot escape the raw zone") {
+    val rawZone = java.nio.file.Files.createTempDirectory("graft_safe").toString
+    val p = Ingest.landSearch(new Ingest.FakeSpotifyClient(),
+      "AC/DC ../sneaky", "track", rawZone)
+    assert(p.endsWith("AC_DC_.._sneaky_track_None_20.json"), p)
+    assert(java.nio.file.Paths.get(p).getParent.toString ==
+      java.nio.file.Paths.get(rawZone).toString)
   }
 
   test("HttpSpotifyClient.search: 401 refresh-retry applies to the search endpoint too") {

@@ -183,12 +183,19 @@ class StreamingSpec extends AnyFunSuite {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_url_stream").resolve("s.parquet").toString
     Incremental.saveState(Incremental.urlState(day1, "url"), statePath)
-    // day-2: one recrawl (different surface form), two new pages —
-    // within-day URLs unique so stream first-seen == batch min-id
+    // day-2: one recrawl (different surface form), two new pages, then a
+    // LATER within-run re-fetch of one of them with DIFFERENT dynamic
+    // content (14 vs 12) — the URL-level dedup on the seenUrls seam must
+    // keep one even though the content fingerprints differ (the
+    // downstream content dedup alone would keep both). The re-fetch
+    // arrives in a second micro-batch so stream first-seen is
+    // deterministic and agrees with batch min-id.
     val rows = Seq(
       (11L, "https://ALPHA.com/a/?utm_source=x", p(T1 + " alpha again"), at(0)),
       (12L, "https://gamma.com/c", p(T1 + " gamma page"), at(1)),
       (13L, "https://delta.com/d", p(T1 + " delta page"), at(2)))
+    val refetch =
+      (14L, "https://GAMMA.com/c/?fbclid=z", p(T1 + " gamma but refreshed"), at(3))
     val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
     mem.addData(rows)
     val state = Incremental.loadState(spark, statePath)
@@ -198,10 +205,12 @@ class StreamingSpec extends AnyFunSuite {
       seenUrls = Some(state))
     val q = stream.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("webcurate_inc_stream").start()
+    q.processAllAvailable()
+    mem.addData(refetch)
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("webcurate_inc_stream")
     val batch = Curation.curateWeb(
-      rows.toDF("doc_id", "url", "html", "event_time"),
+      (rows :+ refetch).toDF("doc_id", "url", "html", "event_time"),
       "doc_id", "url", "html", allowedLangs = Seq("en"), minQuality = 40,
       seenUrls = Some(state))
     assert(streamed.select("doc_id").as[Long].collect().toSet == Set(12L, 13L))
@@ -234,10 +243,13 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("img_dedup_stream").start()
     q.processAllAvailable(); q.stop()
     val out = spark.table("img_dedup_stream")
-    // one survivor per perceptual group; the junk row is filtered (null
-    // hash is not a dedup key)
-    assert(out.count() == 10)
-    val streamHashes = out.select("dhash").as[Long].collect().toSet
+    // one survivor per perceptual group; the junk row PASSES THROUGH
+    // un-deduped (null hash is not a dedup key — the batch
+    // dropSeenImages contract)
+    assert(out.count() == 11)
+    assert(out.filter(col("media_id") === 5000L).count() == 1)
+    val streamHashes = out.filter(col("dhash").isNotNull)
+      .select("dhash").as[Long].collect().toSet
     val batchHashes = Multimodal.withImageDHash(
         rows.toDF("media_id", "payload", "event_time"))
       .filter(col("dhash").isNotNull)

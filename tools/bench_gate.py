@@ -46,7 +46,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load(path):
+def load(path, prefer_close_runs=True):
     """Accepts either the raw Bench JSON line ({"metric":...,"queries":{...}})
     or the driver's wrapper, which embeds that line inside a "tail" field of
     captured stdout.
@@ -58,13 +58,18 @@ def load(path):
     the close run instead. The driver tail truncates to the last ~60
     queries and is recorded under suite load; the close run covers all
     queries of the same build, so the gate compares like with like and
-    sees the full surface."""
+    sees the full surface.
+
+    CAVEAT the substitution note makes visible: the close run reflects the
+    build at round CLOSE. If a BENCH_rNN.json was re-recorded later against
+    a changed build, the stale close run would mask it — pass
+    --no-close-runs to gate on the input files exactly as given."""
     m = re.search(r"BENCH_(r\d+)\.json$", os.path.basename(path))
-    if m:
+    if m and prefer_close_runs:
         close = os.path.join(ROOT, "tools", f"close_run_{m.group(1)}.json")
         if os.path.exists(close):
             print(f"bench_gate: using committed close run for {m.group(1)} "
-                  f"({os.path.relpath(close, ROOT)})")
+                  f"({os.path.relpath(close, ROOT)}; --no-close-runs to disable)")
             path = close
     with open(path) as f:
         data = json.load(f)
@@ -87,6 +92,10 @@ def load(path):
 def main():
     argv = sys.argv[1:]
     args, threshold, min_delta = [], 1.3, 0.5
+    prefer_close = True
+    if "--no-close-runs" in argv:
+        prefer_close = False
+        argv = [a for a in argv if a != "--no-close-runs"]
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -115,7 +124,7 @@ def main():
             print("bench_gate: need at least two BENCH_r*.json files")
             return 0
         prev_path, new_path = benches[-2], benches[-1]
-    prev, new = load(prev_path), load(new_path)
+    prev, new = load(prev_path, prefer_close), load(new_path, prefer_close)
     # Narration scope: only the NEWEST round section of BENCH_NOTES.md
     # (convention: newest "## Round N" first). Matching the whole file
     # would permanently exempt any query ever mentioned in a past round.
