@@ -777,6 +777,47 @@ object Hashing {
       new java.util.zip.Deflater(6, true) // zlib default level, raw stream
   }
 
+  /** Single-pass mojibake repair (the core transform of the ftfy
+    * family): text that is UTF-8 BYTES mis-decoded as Windows-1252 /
+    * Latin-1 ("cafÃ©", "â€”") is re-encoded through cp1252 and strictly
+    * re-decoded as UTF-8; the repair is accepted ONLY when the strict
+    * decode succeeds. Detection rides UTF-8's self-synchronization:
+    * genuine Western text with stray accents ("café — naïve") re-encodes
+    * to bytes that are NOT valid UTF-8 (an é byte followed by ASCII has
+    * no continuation), so it passes through unchanged — the false-fix
+    * risk is a Latin-1 string that happens to be byte-valid multi-byte
+    * UTF-8, vanishingly rare in natural text (the published ftfy
+    * argument). cp1252 rather than Latin-1 because real-world mojibake
+    * renders 0x80–0x9F through the Windows codepage ('â€”' contains
+    * '€' = U+20AC, which plain Latin-1 cannot re-encode). Strings with
+    * cp1252-unencodable characters (CJK, emoji) and pure-ASCII strings
+    * return unchanged without allocating coders. SINGLE pass:
+    * double-encoded mojibake ("ÃƒÂ©") repairs one layer per call —
+    * iterate to fixpoint upstream if the corpus needs it (documented,
+    * spec-pinned). */
+  def fixMojibake(u: UTF8String): UTF8String = {
+    val s = u.toString
+    var i = 0
+    var hasHigh = false
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return u
+    try {
+      val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val bytes = enc.encode(java.nio.CharBuffer.wrap(s))
+      UTF8String.fromString(dec.decode(bytes).toString)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => u
+    }
+  }
+
   /** DEFLATE compression ratio of the UTF-8 bytes, in integer permille
     * (`compressed_len * 1000 / raw_len`; 0 for empty — null never reaches
     * here: [[DeflateRatioExpr]] is a null-intolerant `UnaryExpression`,
@@ -1527,6 +1568,29 @@ case class DedupKeyExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_fix_mojibake(text)`: single-pass ftfy-style mojibake repair
+  * ([[Hashing.fixMojibake]] — see its scaladoc for the accept rule,
+  * cp1252 choice, and single-pass scope). No transparent SQL twin (the
+  * repair is a byte-level re-decode no portable SQL expresses), so the
+  * q143 oracle replays planted fixtures by construction instead. */
+case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_fix_mojibake requires STRING input, got ${child.dataType.simpleString}")
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.fixMojibake(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.fixMojibake($c)")
+  override protected def withNewChildInternal(c: Expression): FixMojibakeExpr =
+    copy(c)
+}
+
 case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes():
@@ -1625,6 +1689,8 @@ object NativeFunctions {
     org.apache.spark.sql.functions.call_function("graft_dedup_key", c)
   def graft_url_parts(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_url_parts", c)
+  def graft_fix_mojibake(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_fix_mojibake", c)
 
   /** Evaluate a registration-time scalar argument (shingle width, merge
     * pair, sketch geometry…). These parameterize the EXPRESSION — they
@@ -1710,6 +1776,8 @@ object NativeFunctions {
       exprs => DeflateRatioExpr(exprs.head)),
     ("graft_dedup_key", "graft.functions.DedupKeyExpr",
       exprs => DedupKeyExpr(exprs.head)),
+    ("graft_fix_mojibake", "graft.functions.FixMojibakeExpr",
+      exprs => FixMojibakeExpr(exprs.head)),
     ("graft_url_parts", "graft.functions.UrlPartsExpr",
       exprs => UrlPartsExpr(exprs.head)),
     ("graft_kmv_union", "graft.functions.KmvUnionExpr", exprs => KmvUnionExpr(exprs(0), exprs(1))),

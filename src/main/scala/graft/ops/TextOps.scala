@@ -256,6 +256,18 @@ object TextOps {
     * see the Hashing scaladoc); this is the key the production paths
     * use. [[dedupKey]] stays as the transparent regex twin the SQL
     * oracles replay. */
+  /** Single-pass ftfy-style mojibake repair (`graft_fix_mojibake` —
+    * [[graft.functions.Hashing.fixMojibake]] holds the accept rule:
+    * cp1252 re-encode + STRICT UTF-8 re-decode, repair only on success,
+    * genuine accented text and CJK pass through unchanged). The standard
+    * text-cleaning stage a web corpus runs BEFORE language ID and
+    * quality scoring — mojibake skews both. Map-only, codegen'd, no SQL
+    * twin (byte-level re-decode); q143 oracles it by construction. */
+  def fixMojibake(text: Column): Column = {
+    graft.functions.NativeFunctions.ensureRegistered()
+    graft.functions.NativeFunctions.graft_fix_mojibake(text)
+  }
+
   def dedupKeyNative(text: Column): Column = {
     graft.functions.NativeFunctions.ensureRegistered()
     graft.functions.NativeFunctions.graft_dedup_key(text)

@@ -1697,6 +1697,20 @@ object DataOpsQueries {
         |SELECT id AS doc_id, CAST(SUM(bit) AS BIGINT) AS ahash,
         |  TRUE AS twin_match
         |FROM b GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Mojibake repair: planted rows gain exactly the CLEAN 13-char
+    // suffix (the engine contracted the 17-char mojibake form), ASCII
+    // rows are untouched; lengths and tails by construction.
+    "q143_mojibake" ->
+      """SELECT doc_id,
+        |doc_id % 3 = 0 AS changed,
+        |CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) + 13
+        |  ELSE length(text) END AS BIGINT) AS n_chars,
+        |CASE WHEN doc_id % 3 = 0
+        |  THEN substring(text || ' café — naïve',
+        |    GREATEST(length(text) - 2, 1), 16)
+        |  ELSE substring(text, GREATEST(length(text) - 15, 1), 16)
+        |END AS tail
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Cross-run image dedup: per-render dHash replayed from the q140 bit
     // arithmetic over the render's BASE id; first-seen-wins per hash.
     "q142_incremental_images" ->
@@ -2472,6 +2486,33 @@ object DataOpsQueries {
       Incremental.loadState(s, statePath))
     run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
       .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
+      .orderBy("doc_id")
+  }
+
+  /** ftfy-style mojibake repair ([[TextOps.fixMojibake]] — cp1252
+    * re-encode + strict UTF-8 re-decode, native codegen): planted rows
+    * carry the text plus a MOJIBAKE suffix (the clean suffix's UTF-8
+    * bytes mis-decoded through windows-1252, constructed
+    * programmatically so no mangled literal lives in source); the fix
+    * must recover exactly the clean form while every untouched ASCII
+    * row passes through byte-identical. The oracle replays lengths and
+    * tails by construction — the +13-char planted delta only comes out
+    * right if the engine's repair really contracted 'Ã©'→'é',
+    * 'â€”'→'—', 'Ã¯'→'ï'. */
+  val q143Mojibake: Q = (s, dir) => {
+    graft.functions.NativeFunctions.register(s)
+    val clean = " café — naïve" // " café — naïve", 13 chars
+    val moji = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    val docs = load(s, dir, "documents").select("doc_id", "text")
+    val planted = when(pmod(col("doc_id"), lit(3L)) === 0L,
+      concat(col("text"), lit(moji))).otherwise(col("text"))
+    val fixed = TextOps.fixMojibake(planted)
+    docs.select(col("doc_id"),
+        (fixed =!= planted).as("changed"),
+        length(fixed).cast("long").as("n_chars"),
+        substring(fixed, greatest(length(fixed) - 15, lit(1)), lit(16))
+          .as("tail"))
       .orderBy("doc_id")
   }
 
@@ -4233,5 +4274,6 @@ object DataOpsQueries {
     "q140_image_phash" -> q140ImagePhash,
     "q141_audio_phash" -> q141AudioPhash,
     "q142_incremental_images" -> q142IncrementalImages,
+    "q143_mojibake" -> q143Mojibake,
   )
 }

@@ -394,4 +394,41 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("graft_deflate_ratio"), e.getMessage)
   }
+
+  test("graft_fix_mojibake: repairs cp1252 mojibake, genuine text passes through") {
+    import spark.implicits._
+    def fix(s: String): String = Seq(s).toDF("t")
+      .select(NativeFunctions.graft_fix_mojibake(col("t"))).head().getString(0)
+    def mangle(clean: String): String = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    // round-trip repair across the common mojibake classes: Latin-1
+    // accents, cp1252 punctuation (—, ‘ ’, €, …), mixed. Out of scope
+    // (and unrecoverable by construction): text whose mojibake passed
+    // through one of cp1252's five UNDEFINED bytes (0x81/8D/8F/90/9D —
+    // e.g. '”' = UTF-8 E2 80 9D): a strict cp1252 decode already
+    // replaced that byte with U+FFFD, destroying the information any
+    // fixer would need (ftfy's "sloppy" decoder exists for exactly
+    // this; the strict variant here keeps the accept rule conservative).
+    for (clean <- Seq("café", "naïve — right", "über; 12°C ±3",
+        "‘smart quotes’ cost €5…", "mixed ascii with é at the end"))
+      assert(fix(mangle(clean)) == clean, clean)
+    // pass-through classes: pure ASCII (fast path), GENUINE accented
+    // text (re-encoded bytes are not valid UTF-8), CJK
+    // (cp1252-unencodable), a lone truncated lead byte
+    for (same <- Seq("plain ascii", "café — naïve", "日本語テスト", "Ã",
+        "price £9 ±2"))
+      assert(fix(same) == same, same)
+    // single-pass contract: double-encoded mojibake repairs ONE layer
+    val once = mangle("é")
+    val twice = mangle(once)
+    assert(fix(twice) == once && fix(once) == "é")
+    // null in, null out; codegen rides the static helper
+    assert(Seq((1, null: String)).toDF("i", "t")
+      .select(NativeFunctions.graft_fix_mojibake(col("t"))).head().isNullAt(0))
+    val plan = spark.read.parquet(docs)
+      .select(NativeFunctions.graft_fix_mojibake(col("text")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(plan.contains("Hashing.fixMojibake"), plan.take(500))
+  }
 }
