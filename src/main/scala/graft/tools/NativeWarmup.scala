@@ -58,6 +58,7 @@ object NativeWarmup {
       "graft_shingle_fps" -> NF.graft_shingle_fps(text, 3),
       "graft_gram_buckets" -> NF.graft_gram_buckets(text, 64),
       "graft_despan" -> NF.graft_despan(text, 4),
+      "graft_fix_mojibake" -> NF.graft_fix_mojibake(text),
       "graft_byte_tokens" -> NF.graft_byte_tokens(text),
       "graft_byte_token_ids" -> NF.graft_byte_token_ids(text),
       "graft_bpe_merge_ids" -> NF.graft_bpe_merge_ids(
