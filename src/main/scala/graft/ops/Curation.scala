@@ -132,7 +132,8 @@ object Curation {
       maxPerDomain: Int = Int.MaxValue,
       minTextLen: Int = 10, maxLinkPct: Int = 30,
       boundedDomainCap: Boolean = false,
-      seenUrls: Option[DataFrame] = None): DataFrame = {
+      seenUrls: Option[DataFrame] = None,
+      fixMojibake: Boolean = false): DataFrame = {
     require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
     val marked = psl match {
       case Some(p) => Url.markWithPsl(pages, urlCol, p, blockedDomains)
@@ -154,7 +155,15 @@ object Curation {
     val extracted = Html.extract(fresh, htmlCol,
       minTextLen = minTextLen, maxLinkPct = maxLinkPct)
       .drop(htmlCol)
-    val gated = extracted
+    // opt-in mojibake repair on the RECOVERED content, BEFORE the gates:
+    // mis-decoded bytes skew both language ID and the quality ratios
+    // (the q143 stage in its natural recipe position). Still one fused
+    // map stage — the repair is a codegen'd per-row expression.
+    val cleaned =
+      if (fixMojibake)
+        extracted.withColumn("content", TextOps.fixMojibake(col("content")))
+      else extracted
+    val gated = cleaned
       .filter(TextOps.langGuess(col("content")).isInCollection(allowedLangs))
       .filter(TextOps.qualityScore(col("content")) >= minQuality)
     val scrubbed = Pii.scrub(gated, "content", piiClasses)

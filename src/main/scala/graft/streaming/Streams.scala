@@ -175,7 +175,8 @@ object Streams {
       blockedDomains: Seq[String] = Nil,
       eventTimeCol: String = "event_time",
       watermark: String = "10 minutes",
-      seenUrls: Option[DataFrame] = None): DataFrame = {
+      seenUrls: Option[DataFrame] = None,
+      fixMojibake: Boolean = false): DataFrame = {
     import graft.ops.{Html, Pii, TextOps, Url}
     graft.functions.NativeFunctions.register(pages.sparkSession)
     // watermark declared ONCE, up front (Spark disallows redefining it
@@ -201,8 +202,14 @@ object Streams {
         .drop("__url_fp")
       case None => marked
     }
-    val gated = Html.extract(fresh, htmlCol)
-      .drop(htmlCol)
+    val extracted = Html.extract(fresh, htmlCol).drop(htmlCol)
+    // opt-in mojibake repair pre-gates — batch-identical expression
+    // (stateless per-row map, the curateWeb recipe position)
+    val cleaned =
+      if (fixMojibake)
+        extracted.withColumn("content", TextOps.fixMojibake(col("content")))
+      else extracted
+    val gated = cleaned
       .filter(TextOps.langGuess(col("content")).isInCollection(allowedLangs))
       .filter(TextOps.qualityScore(col("content")) >= minQuality)
     Pii.scrub(gated, "content")
@@ -237,6 +244,26 @@ object Streams {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("dhash")
       .unionByName(hashed.filter(col("dhash").isNull))
+  }
+
+  /** Streaming PERCEPTUAL audio dedup — [[imageDedupStream]]'s time-axis
+    * sibling over [[graft.ops.Multimodal.withAudioPHash]] (15-bit
+    * energy-delta fingerprint, real PCM decode, polarity-inversion
+    * invariant): first-seen-wins on the fingerprint within the
+    * watermark horizon, one long of state per retained clip,
+    * non-decodable payloads pass through un-deduped by the same
+    * contract. The 15-bit key is deliberately coarse (a fingerprint,
+    * not a content hash) — at corpus scale collisions group genuinely
+    * different clips; use it as the CANDIDATE stage and verify
+    * downstream, or widen the segment count in batch first. */
+  def audioDedupStream(media: DataFrame,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    val hashed = graft.ops.Multimodal.withAudioPHash(media)
+    hashed.filter(col("ahash").isNotNull)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("ahash")
+      .unionByName(hashed.filter(col("ahash").isNull))
   }
 
   /** Stateless streaming multi-class PII scrub — the continuous-ingest

@@ -78,6 +78,35 @@ class PipelineRecipeSpec extends AnyFunSuite {
     assert(noCap.count() == 5) // 1 + all four big.com pages
   }
 
+  test("curateWeb(fixMojibake): recovered content is repaired before the gates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val clean = " the café — a naïve review"
+    val moji = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    val T = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it drinks water in peace today"
+    val pages = Seq(
+      (1L, "https://alpha.com/a", s"<html><body><p>$T$moji</p></body></html>"),
+      (2L, "https://beta.com/b", s"<html><body><p>$T clean page</p></body></html>")
+    ).toDF("doc_id", "url", "html")
+    def run(fix: Boolean) = Curation.curateWeb(pages, "doc_id", "url", "html",
+      allowedLangs = Seq("en"), minQuality = 10, fixMojibake = fix)
+    val fixed = run(fix = true)
+    val raw = run(fix = false)
+    assert(fixed.count() == 2 && raw.count() == 2)
+    val fixedContent = fixed.filter(col("doc_id") === 1L)
+      .select("content_scrubbed").head().getString(0)
+    val rawContent = raw.filter(col("doc_id") === 1L)
+      .select("content_scrubbed").head().getString(0)
+    assert(fixedContent.contains("café — a naïve") && !fixedContent.contains("Ã"),
+      fixedContent)
+    assert(rawContent.contains("cafÃ©"), rawContent)
+    // the clean page is byte-identical through both paths
+    assert(fixed.filter(col("doc_id") === 2L).select("content_scrubbed").head() ==
+      raw.filter(col("doc_id") === 2L).select("content_scrubbed").head())
+  }
+
   test("curateWeb with a PSL: domains group by real suffix rules, blocklist rides them") {
     import spark.implicits._
     def p(t: String) = s"<p>$t</p>"

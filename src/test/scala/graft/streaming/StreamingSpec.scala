@@ -257,6 +257,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamHashes == batchHashes)
   }
 
+  test("streaming perceptual audio dedup: polarity twins drop, junk passes through") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Multimodal
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Long) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ids = 0L until 8L
+    val rows = ids.map(i => (i, Multimodal.synthWavSigned(i, 1), at(i))) ++
+      ids.map(i => (i + 1000L, Multimodal.synthWavSigned(i, -1), at(i + 20))) :+
+      ((5000L, Array.fill[Byte](32)(9), at(40)))
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    mem.addData(rows)
+    val q = Streams.audioDedupStream(
+        mem.toDF().toDF("media_id", "payload", "event_time"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("audio_dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("audio_dedup_stream")
+    // ids 0..7 render distinct fingerprints at this scale; each polarity
+    // twin dedups onto its original, junk passes through
+    val nDistinct = Multimodal.withAudioPHash(
+        rows.toDF("media_id", "payload", "event_time"))
+      .filter(col("ahash").isNotNull)
+      .select("ahash").distinct().count()
+    assert(out.filter(col("ahash").isNotNull).count() == nDistinct)
+    assert(out.filter(col("media_id") === 5000L).count() == 1)
+  }
+
   test("streaming bloom decontamination matches the batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
