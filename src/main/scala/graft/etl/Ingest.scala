@@ -87,8 +87,22 @@ object Ingest {
     // query ("AC/DC") would resolve as a path separator — crash at best,
     // escape the raw zone at worst ("../"). Every non-filename-safe
     // char folds to '_'; space-only queries land on the same name the
-    // reference produces.
-    def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+    // reference produces. Folding is LOSSY beyond spaces ('AC/DC',
+    // 'AC DC' and 'AC_DC' all sanitize to 'AC_DC'), and colliding names
+    // would silently overwrite an earlier query's landed items — so when
+    // sanitization changed anything a space-replace would not, an 8-hex
+    // digest of the RAW string disambiguates the name (deterministic:
+    // day-2 re-runs of the same query still land on the same file, the
+    // reference's re-run contract).
+    def safe(s: String) = {
+      val folded = s.replaceAll("[^A-Za-z0-9._-]", "_")
+      if (folded == s.replace(' ', '_')) folded
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        folded + "-" + md.take(4).map("%02x".format(_)).mkString
+      }
+    }
     val name = s"${safe(query)}_${safe(searchType)}_" +
       s"${safe(genre.getOrElse("None"))}_$limit.json"
     val path = Paths.get(rawZone, name)

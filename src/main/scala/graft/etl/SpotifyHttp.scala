@@ -62,6 +62,15 @@ object SpotifyHttp {
     * `{"artists": {"items": […]}}` returns None instead of silently
     * handing back the wrong entity list, and an `"items"` or `]`
     * inside a string VALUE can neither start nor cut the array. */
+  /** Whether the body carries `"key": { … }` at all — the presence probe
+    * [[HttpSpotifyClient.search]] uses to tell "entity object there but
+    * items-less" (the reference treats that as EMPTY: raw.py's
+    * `.get("items", [])` shape) apart from "entity object missing"
+    * (genuine shape drift — loud [[ApiShapeException]]). */
+  private[etl] def jsonHasKeyObject(body: String, key: String): Boolean =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
+      .findFirstMatchIn(body).isDefined
+
   private[etl] def jsonItemsArray(body: String, key: String): Option[String] = {
     val keyMatch = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
       .findFirstMatchIn(body).getOrElse(return None)
@@ -191,9 +200,16 @@ object SpotifyHttp {
         java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
       val body = getOk(
         s"${apiBase}search?q=${enc(q)}&type=${enc(searchType)}&limit=$limit")
-      jsonItemsArray(body, searchType + "s").getOrElse(
-        throw new ApiShapeException(
-          s"search: no ${searchType}s.items in response"))
+      // items-less entity object ({"tracks": {"total": 0}}) is an EMPTY
+      // result, matching the reference's .get-with-default read of the
+      // same response; only a missing entity object — real shape drift —
+      // fails loudly (ADVICE r13 #5: callers porting reference pipelines
+      // saw hard failures on items-less 200s)
+      jsonItemsArray(body, searchType + "s").getOrElse {
+        if (jsonHasKeyObject(body, searchType + "s")) "[]"
+        else throw new ApiShapeException(
+          s"search: no ${searchType}s object in response")
+      }
     }
 
     /** Follow a paged endpoint's `next` links; returns the raw page bodies

@@ -41,3 +41,36 @@ class BottomKAggregator(k: Int)
 
   override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
 }
+
+/** [[BottomKAggregator]] over (long key, STRING id) pairs — the
+  * non-integral-id path of [[graft.ops.Curation.capPerGroupBounded]]:
+  * string doc ids rank on `(xxhash64(id), id)` (the key is the hash, the
+  * raw id breaks 64-bit collisions), so the buffer stays k pairs per
+  * group with the same bounded-shuffle contract while the EXACT id rides
+  * along for the payload semi join. Pair ordering is Scala's (Long,
+  * String) tuple order — the String leg only decides on a hash collision
+  * between two distinct ids, where Java-lexicographic vs UTF-8-byte
+  * order divergence (non-BMP code points) is a 2^-64-scale event per
+  * colliding pair; the keep set is deterministic either way. */
+class BottomKStrAggregator(k: Int)
+    extends Aggregator[(Long, String), Seq[(Long, String)], Seq[(Long, String)]] {
+  require(k >= 1, "bottom-k needs k >= 1")
+
+  override def zero: Seq[(Long, String)] = Vector.empty
+
+  private def trim(buf: Seq[(Long, String)]): Seq[(Long, String)] =
+    buf.sorted.take(k)
+
+  override def reduce(buf: Seq[(Long, String)], in: (Long, String)): Seq[(Long, String)] =
+    if (buf.size >= k && in._1 > buf.last._1) buf else trim(buf :+ in)
+
+  override def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+    trim(a ++ b)
+
+  override def finish(buf: Seq[(Long, String)]): Seq[(Long, String)] = trim(buf)
+
+  override def bufferEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+
+  override def outputEncoder: Encoder[Seq[(Long, String)]] = bufferEncoder
+}

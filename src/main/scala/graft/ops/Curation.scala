@@ -229,41 +229,73 @@ object Curation {
     * balanced regimes favor the window's single shuffle; skewed regimes
     * favor this. [[curateWeb]] exposes the choice via `boundedDomainCap`.
     *
+    * KEEP-PREFERENCE CONTRACT, by order-column type:
+    *  - INTEGRAL ids (long/int/short/byte): smallest value — identical
+    *    to the window's `orderBy(orderCol)`, row-for-row
+    *    (CurationSamplingSpec pins it).
+    *  - STRING ids (real crawls — r13 verdict #3 closed here): smallest
+    *    `(xxhash64(id), id)` — a DETERMINISTIC uniform-pseudo-random
+    *    keep among the group's rows, NOT lexicographic order.
+    *    Deliberate: ranking raw strings would reorder numerics ('9' >
+    *    '10') and promise an ordering the buffer cannot honor across
+    *    engines; the hash rank keeps the bounded-buffer property, is
+    *    stable across runs/partitionings, and for anti-domination caps
+    *    a uniform keep is the semantics curation actually wants
+    *    (CurationSamplingSpec pins equality with a window ordered the
+    *    same way). Other types: fail at entry — cast to one of the two.
+    *
     * Requirements (documented, not checked — a per-row uniqueness scan
-    * would cost more than the cap): `orderCol` casts to long, is
-    * non-null, and is unique within each group. Ties would keep every
-    * row matching a kept id (the window variant keeps exactly k); null
-    * ids never match the semi join (the window sorts them first). Null
-    * GROUP values are handled: the join is null-safe on the group key,
-    * so the null-domain group is capped like any other. */
+    * would cost more than the cap): `orderCol` is unique within each
+    * group. Ties would keep every row matching a kept id (the window
+    * variant keeps exactly k). NULL order values are filtered out of
+    * the keep-set (they could never match the semi join — ADVICE r13
+    * #4: previously they crashed the typed aggregator's non-nullable
+    * encoder mid-job), so null-id rows DROP, matching the "null ids
+    * never match" documented semantics. Null GROUP values are handled:
+    * the join is null-safe on the group key, so the null-domain group
+    * is capped like any other. */
   def capPerGroupBounded(df: DataFrame, groupCol: String, orderCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "cap must be >= 1")
-    // the keep-set keys on cast(orderCol as long): a non-integral order
-    // column would null out under the cast and the semi join would
-    // silently DROP EVERY ROW (string ids additionally reorder, '9' >
-    // '10' lexicographically) — fail at entry with the fix instead
-    val ot = df.schema(orderCol).dataType
-    require(ot == org.apache.spark.sql.types.LongType ||
-        ot == org.apache.spark.sql.types.IntegerType ||
-        ot == org.apache.spark.sql.types.ShortType ||
-        ot == org.apache.spark.sql.types.ByteType,
-      s"capPerGroupBounded: order column '$orderCol' must be an integral " +
-        s"type (got ${ot.simpleString}) — the bounded keep-set keys on its " +
-        "long value; use capPerGroup for non-integral order columns")
     Sampling.requireFreshColumns(df, "Curation.capPerGroupBounded",
       "__g", "__o", "__w")
-    val bottomK = udaf(new graft.functions.BottomKAggregator(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
-    val keep = df
-      .select(col(groupCol).as("__g"), col(orderCol).cast("long").as("__o"))
-      .groupBy(col("__g"))
-      .agg(bottomK(col("__o"), col("__o")).as("__w"))
-      .select(col("__g"), explode(col("__w")).as("__e"))
-      .select(col("__g"), col("__e._1").as("__o"))
-    df.join(keep,
-      col(orderCol).cast("long") === col("__o") && col(groupCol) <=> col("__g"),
-      "left_semi")
+    val ot = df.schema(orderCol).dataType
+    val integral = ot == org.apache.spark.sql.types.LongType ||
+      ot == org.apache.spark.sql.types.IntegerType ||
+      ot == org.apache.spark.sql.types.ShortType ||
+      ot == org.apache.spark.sql.types.ByteType
+    require(integral || ot == org.apache.spark.sql.types.StringType,
+      s"capPerGroupBounded: order column '$orderCol' must be integral " +
+        s"(keep = smallest value) or string (keep = smallest (xxhash64, " +
+        s"value)), got ${ot.simpleString} — cast it to one, or use " +
+        "capPerGroup")
+    if (integral) {
+      val bottomK = udaf(new graft.functions.BottomKAggregator(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+      val keep = df
+        .select(col(groupCol).as("__g"), col(orderCol).cast("long").as("__o"))
+        .filter(col("__o").isNotNull)
+        .groupBy(col("__g"))
+        .agg(bottomK(col("__o"), col("__o")).as("__w"))
+        .select(col("__g"), explode(col("__w")).as("__e"))
+        .select(col("__g"), col("__e._1").as("__o"))
+      df.join(keep,
+        col(orderCol).cast("long") === col("__o") && col(groupCol) <=> col("__g"),
+        "left_semi")
+    } else {
+      val bottomK = udaf(new graft.functions.BottomKStrAggregator(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String)]())
+      val keep = df
+        .select(col(groupCol).as("__g"), col(orderCol).as("__o"))
+        .filter(col("__o").isNotNull)
+        .groupBy(col("__g"))
+        .agg(bottomK(xxhash64(col("__o")), col("__o")).as("__w"))
+        .select(col("__g"), explode(col("__w")).as("__e"))
+        .select(col("__g"), col("__e._2").as("__o"))
+      df.join(keep,
+        col(orderCol) === col("__o") && col(groupCol) <=> col("__g"),
+        "left_semi")
+    }
   }
 
   /** Semantic (embedding-space) deduplication: documents whose embeddings

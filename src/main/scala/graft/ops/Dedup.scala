@@ -44,14 +44,25 @@ object Dedup {
     * instead of OOM — the same skew lands on a single reducer under the
     * join formulation too, with more bytes in flight.
     *
-    * This exact-key form is the ORACLE twin (the key is replayable in
-    * external SQL). Production pipelines should prefer
-    * [[exactDedupNormalizedByFingerprint]], whose shuffle carries an
-    * 8-byte key instead of a second full copy of the text. */
+    * KEY DEFINITION (unified round 14): ALL four normalized-dedup
+    * variants — this one, the fingerprint form, and both per-group
+    * forms — compute the key through the ONE compiled byte kernel
+    * ([[TextOps.dedupKeyNative]]), so no pair of them can ever group
+    * differently (the U+212A/U+0130 exact-vs-fingerprint divergence
+    * class the r13 ADVICE scoped is gone by construction). The regex
+    * formulation ([[TextOps.dedupKey]]) survives ONLY as the
+    * transparent twin external-SQL oracles replay; it equals the native
+    * kernel on ASCII and on every script whose lowercase stays
+    * non-ASCII (FunctionsSpec pins both the equality and the one exotic
+    * uppercase-maps-into-ASCII exception).
+    *
+    * Prefer [[exactDedupNormalizedByFingerprint]] at scale: same key,
+    * but the shuffle carries 8 bytes instead of a second full copy of
+    * the text. */
   def exactDedupNormalized(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
     dedupByKey(df, "exactDedupNormalized",
-      TextOps.dedupKey(col(textCol)), idCol)
+      TextOps.dedupKeyNative(col(textCol)), idCol)
 
   /** The production variant of [[exactDedupNormalized]]: identical
     * semantics up to xxhash64 collisions (expected false merges
@@ -75,16 +86,17 @@ object Dedup {
     * `(group, key)`, so identical texts in DIFFERENT groups never
     * collapse (a translation-pair corpus keeps both sides) while
     * within-group mutants still do. Same one-scan/one-shuffle shape as
-    * [[exactDedupNormalized]]; `byFingerprint = true` swaps in the
-    * 8-byte production key ([[exactDedupNormalizedByFingerprint]]'s
-    * collision contract, which the composite group key further
-    * tightens: collisions only matter within one group). */
+    * [[exactDedupNormalized]] — and the same unified native key
+    * definition; `byFingerprint = true` swaps in the 8-byte production
+    * key ([[exactDedupNormalizedByFingerprint]]'s collision contract,
+    * which the composite group key further tightens: collisions only
+    * matter within one group). */
   def exactDedupNormalizedPerGroup(df: DataFrame, textCol: String,
       idCol: String, groupCol: String,
       byFingerprint: Boolean = false): DataFrame =
     dedupByKey(df, "exactDedupNormalizedPerGroup",
       if (byFingerprint) TextOps.dedupFingerprint(col(textCol))
-      else TextOps.dedupKey(col(textCol)),
+      else TextOps.dedupKeyNative(col(textCol)),
       idCol, partitionCols = Seq(col(groupCol)))
 
   /** Shared keep-min-id + group-size window over an arbitrary key
@@ -248,17 +260,7 @@ object Dedup {
   def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
       bits: Int = 63, bands: Int = 7, maxDist: Int = 3,
       maxBucket: Int = 1 << 16): DataFrame = {
-    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
-    require(bands >= 1 && bands <= bits, "bands must be in [1, bits]")
-    require(maxDist >= 0 && bands > maxDist,
-      "bands must exceed maxDist — the pigeonhole recall guarantee")
-    val width = (bits + bands - 1) / bands
-    val bandKeys = (0 until bands).map { b =>
-      val bw = math.min(width, bits - b * width)
-      struct(lit(b).as("band"),
-        shiftright(col("h"), b * width).bitwiseAND(lit((1L << bw) - 1))
-          .as("bv"))
-    }
+    val bandKeys = hammingBandKeys(col("h"), bits, bands, maxDist)
     // persisted: the guard job and both join sides reference it — the
     // upstream hash column may be an expensive decode (the dHash path)
     // that must run ONCE per row, not three times
@@ -285,6 +287,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** The (band, band-value) key structs behind [[hammingNearDupPairs]]
+    * (and the cross-run within-distance image state,
+    * [[graft.ops.Incremental.dropSeenImagesWithinDist]] — the two MUST
+    * band identically or the state join silently loses the pigeonhole
+    * guarantee). Bits are split into `bands` contiguous ranges of width
+    * `⌈bits/bands⌉` or `⌊bits/bands⌋` — EVENLY distributed, never the
+    * naive uniform-ceil split whose trailing bands go EMPTY whenever
+    * `(bands−1)·⌈bits/bands⌉ ≥ bits` (bits=15/bands=7 — the audio
+    * default — put width 0 and NEGATIVE-shift wrap in bands 5–6, so
+    * every row collided in one universal bucket: ADVICE r13 #1). Every
+    * band has width ≥ 1 for any `bands ≤ bits`, keeping the pigeonhole
+    * recall proof unconditional. */
+  private[graft] def hammingBandKeys(h: Column, bits: Int, bands: Int,
+      maxDist: Int): Seq[Column] = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+    require(bands >= 1 && bands <= bits, "bands must be in [1, bits]")
+    require(maxDist >= 0 && bands > maxDist,
+      "bands must exceed maxDist — the pigeonhole recall guarantee")
+    val base = bits / bands
+    val rem = bits % bands
+    val offsets = (0 until bands).scanLeft(0) { (off, b) =>
+      off + base + (if (b < rem) 1 else 0)
+    }
+    (0 until bands).map { b =>
+      val bw = base + (if (b < rem) 1 else 0)
+      struct(lit(b).as("band"),
+        shiftright(h, offsets(b)).bitwiseAND(lit((1L << bw) - 1)).as("bv"))
+    }
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */

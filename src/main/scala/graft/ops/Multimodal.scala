@@ -365,7 +365,9 @@ object Multimodal {
   /** Adds a nullable `ahash` column ([[audioPHash15]]) to a media table
     * — map-only, input columns preserved, null for non-PCM payloads;
     * the audio sibling of [[withImageDHash]] (compose with
-    * [[graft.ops.Dedup.hammingNearDupPairs]], bits = 15). */
+    * [[graft.ops.Dedup.hammingNearDupPairs]], bits = 15 — fine at the
+    * default bands = 7 too: band widths distribute evenly, 3+2·6, every
+    * band non-empty, see [[graft.ops.Dedup.hammingBandKeys]]). */
   def withAudioPHash(media: DataFrame): DataFrame =
     withPayloadHash(media, "ahash", audioPHash15)
 

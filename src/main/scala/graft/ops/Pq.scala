@@ -75,8 +75,20 @@ object Pq {
   /** (min distance, argmin code) struct for subspace j — the shared core
     * of [[encode]] (takes the argmin) and [[reconSe]] (takes the min:
     * the squared reconstruction error IS the distance to the chosen
-    * centroid). */
-  private def best(model: PqModel, vec: Column, j: Int): Column = {
+    * centroid). One native argmin kernel per subspace
+    * ([[graft.functions.ArgminL2Expr]]): the m × codes unrolled
+    * `array_min(array(struct(l2sq(slice…))))` tree this replaces is the
+    * exact expression shape whose generated hashAgg methods overflowed
+    * the 64 KB limit in the r13 judge run (PqSpec, twice) — bit-identical
+    * results, PqSpec pins the equality against [[bestComposed]]. */
+  private def best(model: PqModel, vec: Column, j: Int): Column =
+    graft.functions.NativeFunctions.graft_argmin_l2(
+      slice(vec, j * model.subDim + 1, model.subDim),
+      model.codebooks(j).flatten, model.subDim)
+
+  /** The composed per-subspace argmin — spec-equality reference only
+    * (the 64 KB-overflow shape; see [[best]]). */
+  private[graft] def bestComposed(model: PqModel, vec: Column, j: Int): Column = {
     val sub = slice(vec, j * model.subDim + 1, model.subDim)
     array_min(array(model.codebooks(j).zipWithIndex.map { case (c, i) =>
       struct(l2sqLit(sub, c).as("d"), lit(i).as("i"))

@@ -54,6 +54,8 @@ object NativeWarmup {
       "graft_cms_est" -> NF.graft_cms_est(col("id"), Array.fill(128)(1L), 64, 2),
       "graft_winnow" -> NF.graft_winnow(text, 4, 5),
       "graft_l2sq" -> NF.graft_l2sq(vec, centroid),
+      "graft_argmin_l2" -> NF.graft_argmin_l2(vec,
+        centroid ++ centroid.map(_ + 0.5), 8).getField("i"),
       "graft_hplane_sig" -> NF.graft_hplane_sig(vec, 8, 8, 42),
       "graft_shingle_fps" -> NF.graft_shingle_fps(text, 3),
       "graft_gram_buckets" -> NF.graft_gram_buckets(text, 64),

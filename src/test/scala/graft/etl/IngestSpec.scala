@@ -94,18 +94,25 @@ class IngestSpec extends AnyFunSuite {
     val c2 = new SpotifyHttp.HttpSpotifyClient(t2, "cid", "secret")
     assert(c2.search("misfits", "artist") == """[{"id": "a1"}]""")
     assert(t2.log.last._2.contains("search?q=misfits&type=artist&limit=20"))
-    // a response missing the typed items is a loud SHAPE error (not an
-    // AuthException — auth-specific handlers must not misdiagnose it)
+    // an items-less entity object is an EMPTY result, like the
+    // reference's .get("items", []) read of the same 200 (ADVICE r13 #5)
     val t3 = new StubTransport(tok("t1"),
       SpotifyHttp.Response(200, """{"tracks": {"total": 0}}"""))
     val c3 = new SpotifyHttp.HttpSpotifyClient(t3, "cid", "secret")
-    intercept[SpotifyHttp.ApiShapeException](c3.search("x", "track"))
+    assert(c3.search("x", "track") == "[]")
     // …and an items-less tracks object next to an artists items array
-    // must NOT silently hand back artists as track results
+    // must NOT silently hand back artists as track results — empty, not
+    // the wrong entity list
     val t4 = new StubTransport(tok("t1"), SpotifyHttp.Response(200,
       """{"tracks": {"total": 0}, "artists": {"items": [{"id": "a1"}]}}"""))
     val c4 = new SpotifyHttp.HttpSpotifyClient(t4, "cid", "secret")
-    intercept[SpotifyHttp.ApiShapeException](c4.search("x", "track"))
+    assert(c4.search("x", "track") == "[]")
+    // the ENTITY OBJECT itself missing is still a loud SHAPE error (not
+    // an AuthException — auth-specific handlers must not misdiagnose it)
+    val t4b = new StubTransport(tok("t1"), SpotifyHttp.Response(200,
+      """{"artists": {"items": [{"id": "a1"}]}}"""))
+    val c4b = new SpotifyHttp.HttpSpotifyClient(t4b, "cid", "secret")
+    intercept[SpotifyHttp.ApiShapeException](c4b.search("x", "track"))
     // an "items" INSIDE a string value of the key object is not a member
     val t5 = new StubTransport(tok("t1"), SpotifyHttp.Response(200,
       """{"tracks": {"msg": "no \"items\" here [sic]", "items": [{"id": "t9"}]}}"""))
@@ -117,9 +124,24 @@ class IngestSpec extends AnyFunSuite {
     val rawZone = java.nio.file.Files.createTempDirectory("graft_safe").toString
     val p = Ingest.landSearch(new Ingest.FakeSpotifyClient(),
       "AC/DC ../sneaky", "track", rawZone)
-    assert(p.endsWith("AC_DC_.._sneaky_track_None_20.json"), p)
+    // lossy folds ('/' → '_') carry the raw query's 8-hex digest so
+    // distinct queries cannot land on one file (ADVICE r13 #3); the fold
+    // itself still keeps the name inside the raw zone
+    assert(p.matches(".*AC_DC_.._sneaky-[0-9a-f]{8}_track_None_20\\.json"), p)
     assert(java.nio.file.Paths.get(p).getParent.toString ==
       java.nio.file.Paths.get(rawZone).toString)
+    // determinism: the same query re-lands on the same file (day-2 re-run
+    // contract), and the collision class is actually split
+    val p2 = Ingest.landSearch(new Ingest.FakeSpotifyClient(),
+      "AC/DC ../sneaky", "track", rawZone)
+    assert(p2 == p)
+    val pSpace = Ingest.landSearch(new Ingest.FakeSpotifyClient(),
+      "AC DC .. sneaky", "track", rawZone)
+    val pSlash = Ingest.landSearch(new Ingest.FakeSpotifyClient(),
+      "AC/DC ../sneaky2", "track", rawZone)
+    assert(Set(p, pSpace, pSlash).size == 3, s"$p / $pSpace / $pSlash")
+    // space-only queries keep the reference's exact name (no digest)
+    assert(pSpace.endsWith("AC_DC_.._sneaky_track_None_20.json"), pSpace)
   }
 
   test("HttpSpotifyClient.search: 401 refresh-retry applies to the search endpoint too") {

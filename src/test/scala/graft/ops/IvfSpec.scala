@@ -33,6 +33,36 @@ class IvfSpec extends AnyFunSuite {
     assert(a1.except(a2).count() == 0)
   }
 
+  test("native argmin assignment == composed array_min formulation, and codegen compiles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Ivf.train(emb, "embedding", k = 8)
+    graft.functions.NativeFunctions.register(spark)
+    val both = emb.select(
+      Ivf.assign(model, col("embedding")).as("native"),
+      Ivf.assignComposed(model, col("embedding")).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    // the distance leg too (refine consumes best.d): min distance equals
+    // the distance to the composed-assigned centroid
+    val d = emb.select(
+      Ivf.bestCentroid(model, col("embedding")).getField("d").as("nd"),
+      Ivf.assignComposed(model, col("embedding")).as("ci"),
+      col("embedding"))
+    val mism = model.centroids.indices.map { i =>
+      d.filter(col("ci") === i)
+        .filter(col("nd") =!= graft.functions.NativeFunctions
+          .graft_l2sq(col("embedding"), model.centroids(i)))
+        .count()
+    }.sum
+    assert(mism == 0)
+    // the kernel call sits inside compiled whole-stage codegen (the whole
+    // point: no 64 KB fallback, no interpreted eval on the assign path)
+    val plan = emb.select(Ivf.assign(model, col("embedding")))
+      .queryExecution.executedPlan
+    assert(plan.toString.startsWith("*"), plan.toString.take(200))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(gen.contains("Hashing.argminL2"), gen.take(500))
+  }
+
   test("trainCached trains once per corpus key and reuses the model") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val m1 = Ivf.trainCached("ivfspec-corpus", emb, "embedding", k = 4)

@@ -570,6 +570,36 @@ class OpsSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("hammingNearDupPairs: bits=15 at the DEFAULT bands=7 — no degenerate bands (ADVICE r13 #1)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the r13 ceil-width split gave bands 5-6 width 0 here: every row
+    // collided in one universal bucket, so all-distinct inputs either
+    // tripped the maxBucket guard spuriously or degraded to all-pairs.
+    // Even widths (3 + 2·6) must band discriminatively: distant hashes
+    // never pair, close ones always do (pigeonhole), and a big
+    // all-distinct table sails through a TIGHT maxBucket.
+    val many = (0L until 600L).map(i => (i, (i * 2654435761L) & 0x7FFFL))
+    val found = Dedup.hammingNearDupPairs(many.toDF("id", "h"), "id", "h",
+        bits = 15, bands = 7, maxDist = 2, maxBucket = 1 << 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = (for {
+      (ia, ha) <- many; (ib, hb) <- many if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib)).toSet
+    assert(found == truth, s"found=${found.size} truth=${truth.size}")
+    // width arithmetic: every band non-empty, widths differ by <= 1,
+    // total == bits — for EVERY legal (bits, bands) combination
+    for (bits <- 1 to 63; bands <- 1 to bits) {
+      val base = bits / bands
+      val rem = bits % bands
+      val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
+      assert(widths.sum == bits && widths.forall(_ >= 1),
+        s"bits=$bits bands=$bands widths=$widths")
+    }
+    OpCaches.releaseAll()
+  }
+
   test("image dHash: brightness-invariant on real decodes, banded join finds the twins") {
     val spark2 = spark
     import spark2.implicits._

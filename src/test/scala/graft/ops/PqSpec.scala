@@ -36,6 +36,28 @@ class PqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("native per-subspace argmin == composed formulation (codes and distances)") {
+    graft.functions.NativeFunctions.register(spark)
+    // one subspace per plan: the FULL m × codes composed unroll is the
+    // very 64 KB-overflow shape the native kernel exists to retire —
+    // comparing it whole would re-create the codegen fallback this suite
+    // must stay free of; per-subspace trees compile, and ∀j equality is
+    // the same guarantee
+    (0 until model.m).foreach { j =>
+      val native = Pq.encode(model, col("embedding"))(j).as("n")
+      val composed = Pq.bestComposed(model, col("embedding"), j)
+        .getField("i").cast("int").as("c")
+      assert(emb.select(native, composed)
+        .filter(col("n") =!= col("c")).count() == 0, s"subspace $j codes")
+      val nd = graft.functions.NativeFunctions.graft_argmin_l2(
+        slice(col("embedding"), j * model.subDim + 1, model.subDim),
+        model.codebooks(j).flatten, model.subDim).getField("d").as("nd")
+      val cd = Pq.bestComposed(model, col("embedding"), j).getField("d").as("cd")
+      assert(emb.select(nd, cd)
+        .filter(col("nd") =!= col("cd")).count() == 0, s"subspace $j dist")
+    }
+  }
+
   test("reconstruction error: 16-code codebooks beat the 1-code null quantizer") {
     val nullM = Pq.train(emb, "embedding", codes = 1)
     val r = emb.agg(
