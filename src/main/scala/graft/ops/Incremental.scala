@@ -152,9 +152,8 @@ object Incremental {
     * re-encodes of day-1 images drop; genuinely new images survive).
     * Rows whose payload does not decode KEEP flowing (null hash is not
     * a dedup key — same contract as the streaming twin). EXACT-hash
-    * equality only; the within-distance cross-run variant is the
-    * batch-side [[Dedup.hammingNearDupPairs]] over
-    * `today.unionByName(historyHashes)`. */
+    * equality only; for drifted re-encodes (1–3 flipped bits) use the
+    * banded [[imageBandState]] + [[dropSeenImagesWithinDist]] pair. */
   def dropSeenImages(today: DataFrame, idCol: String,
       state: DataFrame): DataFrame = {
     // persisted: three consumers (winners aggregate, semi-join left
@@ -169,6 +168,141 @@ object Incremental {
       .join(state, Seq("dhash"), "left_anti")
       .unionByName(withH.filter(col("dhash").isNull))
       .drop("dhash")
+  }
+
+  /** BANDED perceptual image-hash state — [[imageHashState]] widened for
+    * WITHIN-DISTANCE recrawl dedup (r13 verdict #1: the exact-hash state
+    * waves through a day-2 re-encode whose dHash drifted 1–3 bits, the
+    * very case dHash exists for): one row per (band, band_value, dhash)
+    * of each distinct retained hash, banded EXACTLY like
+    * [[Dedup.hammingBandKeys]] (same bits/bands split — the state and
+    * the probe MUST band identically or the pigeonhole guarantee
+    * silently dies; both call the one shared helper). State size:
+    * `bands` rows × ~20 B per distinct image (band int + two longs) —
+    * ~140 B/image at the 63/7 defaults, still O(distinct images), never
+    * O(pixels). `bands > maxDist` is required HERE, at state build, so
+    * a mismatched probe cannot even be constructed against it. */
+  def imageBandState(media: DataFrame, bits: Int = 63, bands: Int = 7,
+      maxDist: Int = 3): DataFrame =
+    bandState(imageHashState(media), "dhash", bits, bands, maxDist)
+
+  /** Roll the banded image-hash state forward with a new media batch. */
+  def updatedImageBandState(state: DataFrame, media: DataFrame,
+      bits: Int = 63, bands: Int = 7, maxDist: Int = 3): DataFrame =
+    state.unionByName(imageBandState(media, bits, bands, maxDist)).distinct()
+
+  private def bandState(hashes: DataFrame, hashCol: String, bits: Int,
+      bands: Int, maxDist: Int): DataFrame =
+    hashes
+      .select(col(hashCol).as("h"),
+        explode(array(Dedup.hammingBandKeys(col(hashCol), bits, bands,
+          maxDist): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bv").as("bv"),
+        col("h").as(hashCol))
+      .distinct()
+
+  /** Drop TODAY's images whose perceptual hash is WITHIN `maxDist` bits
+    * of any hash in the banded state — [[dropSeenImages]] upgraded from
+    * exact-key to near-key, closing the drifted-re-encode recall gap
+    * (q144). Plan shape, today-proportional throughout:
+    *
+    *   1. decode ONCE ([[graft.ops.Multimodal.withImageDHash]],
+    *      OpCaches-persisted — the same three-consumer rule as the exact
+    *      path);
+    *   2. within-day EXACT first-seen-wins (min id per dhash — the
+    *      [[dropSeenImages]] contract; within-day NEAR-dedup is the
+    *      batch [[Dedup.hammingNearDupPairs]] composition, deliberately
+    *      not folded in here: cross-run state answers "seen BEFORE?",
+    *      not "duplicate WITHIN today");
+    *   3. banded equi-join of today's (band, bv) keys against the state
+    *      — by pigeonhole (bands > maxDist) every state hash within
+    *      `maxDist` shares at least one band key, ZERO recall loss —
+    *      then one codegen `bit_count(xor)` verify per candidate;
+    *   4. anti-join the matched ids, null-hash rows pass through
+    *      (non-decodable payloads are never dedup keys).
+    *
+    * Exact re-encounters are distance 0 ≤ maxDist, so this SUBSUMES the
+    * exact-state drop. Skew guard ([[Dedup.hammingNearDupPairs]]'s
+    * reasoning, state-sided): a state band bucket larger than
+    * `maxBucket` fans every colliding today-row out against it —
+    * over-full buckets FAIL loudly (dropping them would silently lose
+    * the recall guarantee); exact-dedup identical hashes upstream or
+    * raise `maxBucket` deliberately. `bits`/`bands` must equal the
+    * state's build parameters. */
+  def dropSeenImagesWithinDist(today: DataFrame, idCol: String,
+      state: DataFrame, maxDist: Int = 3, bits: Int = 63, bands: Int = 7,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    val st = OpCaches.persist(state.select(
+      col("band"), col("bv"), col("dhash").as("__st_h")))
+    val worst = st.groupBy("band", "bv").agg(count(lit(1)).as("bsize"))
+      .orderBy(col("bsize").desc).limit(1).collect()
+    worst.headOption.foreach { r =>
+      require(r.getLong(2) <= maxBucket,
+        s"dropSeenImagesWithinDist: state band bucket (${r.get(0)}, " +
+          s"${r.get(1)}) holds ${r.getLong(2)} hashes (> maxBucket=" +
+          s"$maxBucket) — candidate blowup; exact-dedup identical hashes " +
+          "into the state or raise maxBucket with cluster memory")
+    }
+    val withH = OpCaches.persist(Multimodal.withImageDHash(today))
+    val decodable = withH.filter(col("dhash").isNotNull)
+    val winners = decodable.groupBy(col("dhash"))
+      .agg(min(col(idCol)).as(idCol))
+    val afterDay = decodable.join(winners, Seq("dhash", idCol), "left_semi")
+    val seen = afterDay
+      .select(col(idCol).as("__id"), col("dhash").as("__h"),
+        explode(array(Dedup.hammingBandKeys(col("dhash"), bits, bands,
+          maxDist): _*)).as("bk"))
+      .select(col("__id"), col("__h"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .join(st, Seq("band", "bv"))
+      .filter(bit_count(col("__h").bitwiseXOR(col("__st_h"))) <= maxDist)
+      .select(col("__id").as(idCol))
+      .distinct()
+    afterDay
+      .join(seen, Seq(idCol), "left_anti")
+      .unionByName(withH.filter(col("dhash").isNull))
+      .drop("dhash")
+  }
+
+  /** Perceptual AUDIO fingerprint state — [[imageHashState]]'s time-axis
+    * sibling over [[Multimodal.withAudioPHash]] (15-bit energy-delta
+    * hash, real PCM decode, polarity-inversion invariant): one row per
+    * distinct fingerprint, 8 bytes each, so a later ingest drops
+    * re-encodes and polarity flips of already-ingested clips that
+    * byte/URL keys both miss (r13 verdict #3). Non-decodable payloads
+    * contribute no state. The 15-bit key is deliberately coarse (a
+    * FINGERPRINT, not a content hash — [[graft.streaming.Streams
+    * .audioDedupStream]]'s collision caveat applies doubly across runs:
+    * at corpus scale treat the drop set as candidates, or widen the
+    * segment count upstream). */
+  def audioHashState(media: DataFrame): DataFrame =
+    Multimodal.withAudioPHash(media)
+      .select(col("ahash")).filter(col("ahash").isNotNull).distinct()
+
+  /** Roll the audio-fingerprint state forward with a new media batch. */
+  def updatedAudioHashState(state: DataFrame, media: DataFrame): DataFrame =
+    state.unionByName(audioHashState(media)).distinct()
+
+  /** Drop TODAY's clips whose fingerprint was already ingested —
+    * [[dropSeenImages]] keyed on decoded PCM instead of pixels (q145):
+    * within-day first-seen-wins (smallest id per ahash) + anti-join
+    * against the prior [[audioHashState]]; payloads the PCM reader
+    * rejects KEEP flowing (null hash is not a dedup key — the
+    * [[graft.streaming.Streams.audioDedupStream]] twin's contract, so
+    * stream and batch agree row-for-row on the same rows). */
+  def dropSeenAudio(today: DataFrame, idCol: String,
+      state: DataFrame): DataFrame = {
+    // persisted: three consumers (winners aggregate, semi-join left
+    // side, null-hash union branch) — one real PCM decode per payload
+    val withH = OpCaches.persist(Multimodal.withAudioPHash(today))
+    val decodable = withH.filter(col("ahash").isNotNull)
+    val winners = decodable.groupBy(col("ahash"))
+      .agg(min(col(idCol)).as(idCol))
+    decodable
+      .join(winners, Seq("ahash", idCol), "left_semi")
+      .join(state, Seq("ahash"), "left_anti")
+      .unionByName(withH.filter(col("ahash").isNull))
+      .drop("ahash")
   }
 
   /** Persist a [[Bloom]] bit array (+ its hash count) as a one-row

@@ -505,32 +505,37 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val g = Array.ofDim[Int](7, 10)
-      var gy = 0
-      while (gy < 7) {
-        var gx = 0
-        while (gx < 10) {
-          val rgb = img.getRGB(gx * w / 10, gy * h / 7)
-          g(gy)(gx) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          gx += 1
-        }
-        gy += 1
+    if (img == null) None else Some(dHashOfImage(img))
+  }
+
+  /** The [[dHash63]] grid/compare/pack over an ALREADY-decoded frame —
+    * shared by the single-image path and the per-frame sequence
+    * fingerprint ([[videoSeqHash]]), so a GIF's frame 0 hashes
+    * identically whether it arrives as a still or as an animation. */
+  private def dHashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Int](7, 10)
+    var gy = 0
+    while (gy < 7) {
+      var gx = 0
+      while (gx < 10) {
+        val rgb = img.getRGB(gx * w / 10, gy * h / 7)
+        g(gy)(gx) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        gx += 1
       }
-      var hash = 0L
-      gy = 0
-      while (gy < 7) {
-        var gx = 0
-        while (gx < 9) {
-          if (g(gy)(gx + 1) > g(gy)(gx)) hash |= 1L << (gy * 9 + gx)
-          gx += 1
-        }
-        gy += 1
-      }
-      Some(hash)
+      gy += 1
     }
+    var hash = 0L
+    gy = 0
+    while (gy < 7) {
+      var gx = 0
+      while (gx < 9) {
+        if (g(gy)(gx + 1) > g(gy)(gx)) hash |= 1L << (gy * 9 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
   }
 
   /** Appends a nullable hash column computed per payload, preserving
@@ -591,6 +596,64 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** [[synthPngShifted]] with an additional `bump` on the CORNER pixel
+    * (w−1, h−1) — the DRIFTED-re-encode fixture (q144): the uniform
+    * `delta` leaves the dHash unchanged (monotone invariance) while the
+    * corner bump perturbs only the sample-grid cells that map to that
+    * pixel, flipping AT MOST 3 comparison bits (the corner row classes
+    * `⌊gy·h/7⌋ = h−1` contribute one boundary compare each — 3 rows at
+    * h=2, fewer for taller images) and possibly 0 (when the affected
+    * compares already pointed the bump's way). Either way the render
+    * lands WITHIN Hamming distance 3 of the unbumped base — inside
+    * [[graft.ops.Incremental.dropSeenImagesWithinDist]]'s default
+    * horizon, and strictly OUTSIDE the exact-hash state's reach
+    * whenever ≥ 1 bit flips. Channels stay ≤ 199+delta+bump ≤ 254 for
+    * delta ≤ 25/bump ≤ 30 (no clamping), so the decoded gray shift is
+    * exact integer arithmetic an external oracle replays. */
+  private[graft] def synthPngShiftedBumped(id: Long, delta: Int,
+      bump: Int): Array[Byte] = {
+    require(delta >= 0 && delta <= 25 && bump >= 0 && bump <= 30,
+      "delta/bump must keep channels under 256")
+    val w = (Math.floorMod(id, 7L) + 2L).toInt
+    val h = (Math.floorMod(id, 5L) + 2L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b0 = if (x == w - 1 && y == h - 1) bump else 0
+        val r = Math.floorMod(3 * id + 5 * x + 7 * y, 200L).toInt + delta + b0
+        val g = Math.floorMod(11 * id + 13 * x + 17 * y, 200L).toInt + delta + b0
+        val b = Math.floorMod(19 * id + 23 * x + 29 * y, 200L).toInt + delta + b0
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[synthPngShiftedBumped]] fixtures — the q144
+    * drifted-re-encode input. */
+  def synthImagesShiftedBumped(df: DataFrame, idCol: String, delta: Int,
+      bump: Int, idOffset: Long = 0L): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + idOffset, synthPngShiftedBumped(id, delta, bump),
+            Row("image", "png", null, null, null))
+        }
+      }(enc)
   }
 
   /** Media table of [[synthPngShifted]] fixtures (id offset applied to
@@ -799,6 +862,186 @@ object Multimodal {
         }
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ORDER-SENSITIVE sequence fingerprint of a multi-frame payload —
+    * the animation-dedup key single-image dHash and byte keys both miss
+    * (a re-encoded or brightness-edited animation differs in every
+    * byte AND in frame 0 alone tells nothing about the rest):
+    * `(n_frames, dHash(first), dHash(middle), dHash(last))` over REAL
+    * decoded frames ([[dHashOfImage]] per frame — frame `⌊n/2⌋` is the
+    * middle, so trims and re-orders move at least one anchor).
+    * Frame-by-frame incremental read like [[imageFrames]] (truncated
+    * streams keep their intact prefix); `None` when no installed
+    * reader claims the bytes (true video — the documented JDK stub
+    * boundary). Per-pixel MONOTONE brightness shifts leave all three
+    * anchor hashes unchanged — the [[dHash63]] invariance, per frame. */
+  private[graft] def videoSeqHash(bytes: Array[Byte])
+      : Option[(Int, Long, Long, Long)] =
+    try {
+      ensureImageIoMemCache()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val hashes = Vector.newBuilder[Long]
+            var n = 0
+            var done = false
+            while (!done) {
+              val img =
+                try reader.read(n)
+                catch {
+                  case _: IndexOutOfBoundsException => null
+                  case scala.util.control.NonFatal(_) if n > 0 => null
+                }
+              if (img == null) done = true
+              else {
+                hashes += dHashOfImage(img)
+                n += 1
+              }
+            }
+            val hs = hashes.result()
+            if (hs.isEmpty) None
+            else Some((hs.length, hs.head, hs(hs.length / 2), hs.last))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Adds nullable `n_frames` / `h_first` / `h_mid` / `h_last` columns
+    * ([[videoSeqHash]]) to a media table — map-only, partition-parallel,
+    * input columns preserved, all four null for payloads no reader
+    * claims. Compose with [[videoSeqNearDups]] (or any banded Hamming
+    * join over one anchor) for animation near-dup detection (q146). */
+  def withVideoSeqHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("n_frames", IntegerType),
+      StructField("h_first", LongType),
+      StructField("h_mid", LongType),
+      StructField("h_last", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        videoSeqHash(r.getAs[Array[Byte]](payloadIdx)) match {
+          // Seq[Any]: a bare Seq(n, f, m, l) weak-LUBs Int with the
+          // Longs and silently widens n — the encoder then rejects the
+          // boxed Long where the schema says INT
+          case Some((n, f, m, l)) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](n, f, m, l))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Animation near-dup pairs over the sequence fingerprint: candidates
+    * from the banded Hamming join on the FIRST-frame anchor
+    * ([[graft.ops.Dedup.hammingNearDupPairs]] — pigeonhole recall, never
+    * all-pairs), verified on the full sequence: equal frame counts and
+    * every anchor within `maxDist` bits. Catches re-encoded/
+    * brightness-edited animations; a trimmed copy changes `n_frames`
+    * (and the middle/last anchors) and is NOT a sequence-dup — by
+    * design, the fingerprint is order- and length-sensitive. Returns
+    * (id_a, id_b, d_first, d_mid, d_last), id_a < id_b. */
+  def videoSeqNearDups(media: DataFrame, idCol: String = "media_id",
+      maxDist: Int = 3, maxBucket: Int = 1 << 16): DataFrame = {
+    import graft.ops.{Dedup, OpCaches}
+    val h = OpCaches.persist(withVideoSeqHash(media)
+      .filter(col("h_first").isNotNull)
+      .select(col(idCol).cast("long").as("sid"), col("n_frames"),
+        col("h_first"), col("h_mid"), col("h_last")))
+    val cands = Dedup.hammingNearDupPairs(
+      h.select(col("sid"), col("h_first")), "sid", "h_first",
+      bits = 63, bands = 7, maxDist = maxDist, maxBucket = maxBucket)
+      .select(col("id_a"), col("id_b"), col("hamming").as("d_first"))
+    cands
+      .join(h.select(col("sid").as("id_a"), col("n_frames").as("nf_a"),
+        col("h_mid").as("m_a"), col("h_last").as("l_a")), Seq("id_a"))
+      .join(h.select(col("sid").as("id_b"), col("n_frames").as("nf_b"),
+        col("h_mid").as("m_b"), col("h_last").as("l_b")), Seq("id_b"))
+      .filter(col("nf_a") === col("nf_b"))
+      .select(col("id_a"), col("id_b"), col("d_first"),
+        bit_count(col("m_a").bitwiseXOR(col("m_b"))).cast("int").as("d_mid"),
+        bit_count(col("l_a").bitwiseXOR(col("l_b"))).cast("int").as("d_last"))
+      .filter(col("d_mid") <= maxDist && col("d_last") <= maxDist)
+  }
+
+  /** [[synthGif]] with id-LINEAR gray and a uniform brightness shift —
+    * the [[synthPngShifted]] playbook with a time axis (the q146
+    * fixture): frame f's pixel (x, y) holds gray
+    * `(3·id + 5x + 7y + 11f) mod 200 + delta`, dims
+    * `w = (id mod 5)+2`, `h = (id mod 4)+2`, `nf = (id mod 6)+2`.
+    * Gray stays ≤ 254 for delta ≤ 55 (no clamping), so two renders of
+    * one id at different deltas are byte-for-byte different GIFs with
+    * IDENTICAL per-frame dHashes; the full id feeds the formula, so
+    * distinct ids render distinct animations. Same indexed-gray
+    * palette + interlace-off encoding as [[synthGif]] (the JDK
+    * interlace bug workaround documented there). */
+  private[graft] def synthGifShifted(id: Long, delta: Int): Array[Byte] = {
+    require(delta >= 0 && delta <= 55, "delta must keep gray under 255")
+    ensureImageIoMemCache()
+    val nFrames = (Math.floorMod(id, 6L) + 2L).toInt
+    val w = (Math.floorMod(id, 5L) + 2L).toInt
+    val h = (Math.floorMod(id, 4L) + 2L).toInt
+    val pal = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0,
+              Math.floorMod(3 * id + 5 * x + 7 * y + 11 * f, 200L).toInt + delta)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Media table of [[synthGifShifted]] fixtures (id offset so originals
+    * and shifted twins coexist in one union — the [[synthImagesShifted]]
+    * convention on the time axis). */
+  def synthGifsShifted(df: DataFrame, idCol: String, delta: Int,
+      idOffset: Long = 0L): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + idOffset, synthGifShifted(id, delta),
+            Row("image", "gif", null, null, null))
+        }
+      }(enc)
+  }
 
   /** Output schema of [[frameSampleReal]]: one row per SAMPLED frame.
     * Real-decoded rows carry frame dimensions + the exact gray sum

@@ -1743,6 +1743,111 @@ object DataOpsQueries {
         |SELECT CAST(ord % 1000000000 AS BIGINT) AS doc_id,
         |CAST(ord // 1000000000 AS INT) AS day
         |FROM keep ORDER BY doc_id""".stripMargin,
+    // Cross-run WITHIN-DISTANCE image dedup: every render's dHash
+    // replayed from the q140 bit arithmetic over its BASE id (+ the
+    // corner-bump term for day-2 drifts), the drop rule replayed
+    // EXHAUSTIVELY as bit_count(xor) <= 3 against day-1's distinct
+    // hashes — the engine's banded join is recall-lossless (pigeonhole),
+    // so the two must agree row-for-row.
+    "q144_incremental_images_near" ->
+      """WITH r AS (
+        |  SELECT doc_id AS mid, 0 AS day, doc_id AS base, 0 AS bump
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id - 1, 90 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id, 0 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 3),
+        |dd AS (SELECT mid, day, base, bump, (base % 7) + 2 AS w,
+        |  (base % 5) + 2 AS h FROM r),
+        |bits AS (SELECT mid, day,
+        |  CASE WHEN
+        |    ((3*base + 5*((tx.gx+1)*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*base + 13*((tx.gx+1)*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*base + 23*((tx.gx+1)*w//10) + 29*(ty.gy*h//7)) % 200
+        |     + CASE WHEN (tx.gx+1)*w//10 = w-1 AND ty.gy*h//7 = h-1
+        |         THEN bump ELSE 0 END) // 3
+        |    >
+        |    ((3*base + 5*(tx.gx*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*base + 13*(tx.gx*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*base + 23*(tx.gx*w//10) + 29*(ty.gy*h//7)) % 200
+        |     + CASE WHEN tx.gx*w//10 = w-1 AND ty.gy*h//7 = h-1
+        |         THEN bump ELSE 0 END) // 3
+        |  THEN (CAST(1 AS BIGINT) << (ty.gy*9 + tx.gx)) ELSE 0 END AS bit
+        |  FROM dd, UNNEST(range(0, 7)) AS ty(gy), UNNEST(range(0, 9)) AS tx(gx)),
+        |hs AS (SELECT mid, day, CAST(SUM(bit) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY mid, day),
+        |win1 AS (SELECT dhash, MIN(mid) AS mid FROM hs WHERE day = 0
+        |  GROUP BY dhash),
+        |win2 AS (SELECT dhash, MIN(mid) AS mid FROM hs WHERE day = 1
+        |  GROUP BY dhash),
+        |d1 AS (SELECT DISTINCT dhash FROM hs WHERE day = 0),
+        |drop2 AS (SELECT DISTINCT w2.dhash FROM win2 w2
+        |  JOIN d1 ON bit_count(xor(w2.dhash, d1.dhash)) <= 3)
+        |SELECT mid AS doc_id, 0 AS day FROM win1
+        |UNION ALL
+        |SELECT mid, 1 FROM win2
+        |WHERE dhash NOT IN (SELECT dhash FROM drop2)
+        |ORDER BY doc_id""".stripMargin,
+    // Cross-run audio dedup: each render's 15-bit fingerprint replayed
+    // from the q141 sample arithmetic over its BASE id (|mono| cancels
+    // the day-2 polarity flip); first-seen-wins per fingerprint.
+    "q145_incremental_audio" ->
+      """WITH r AS (
+        |  SELECT doc_id AS mid, 0 AS day, doc_id AS base FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id - 1 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 3),
+        |d AS (SELECT mid, day, (base % 50) + 20 AS n,
+        |  (base % 2) + 1 AS c, base % 256 AS m FROM r),
+        |f AS (SELECT mid, day, n, t.i,
+        |  ((7*m + 13*t.i) % 201 - 100)
+        |  + CASE WHEN c = 2 THEN ((7*m + 13*t.i + 31) % 201 - 100)
+        |    ELSE 0 END AS mono
+        |  FROM d, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        |e AS (SELECT mid, day, (i * 16) // n AS seg, SUM(ABS(mono)) AS e
+        |  FROM f GROUP BY 1, 2, 3),
+        |b AS (SELECT a.mid, a.day,
+        |  CASE WHEN nx.e > a.e
+        |    THEN (CAST(1 AS BIGINT) << CAST(a.seg AS INT)) ELSE 0 END AS bit
+        |  FROM e a JOIN e nx ON a.mid = nx.mid AND a.day = nx.day
+        |    AND nx.seg = a.seg + 1),
+        |hs AS (SELECT mid, day, CAST(SUM(bit) AS BIGINT) AS ahash
+        |  FROM b GROUP BY mid, day),
+        |keep AS (SELECT ahash, MIN(day * 1000000000 + mid) AS ord
+        |  FROM hs GROUP BY ahash)
+        |SELECT CAST(ord % 1000000000 AS BIGINT) AS doc_id,
+        |CAST(ord // 1000000000 AS INT) AS day
+        |FROM keep ORDER BY doc_id""".stripMargin,
+    // Video-sequence fingerprint: the three anchor dHashes replayed from
+    // the synthGifShifted gray arithmetic at frames 0, nf//2, nf-1
+    // (single gray channel — the indexed palette stores the sample
+    // verbatim); twin TRUE by per-frame monotone invariance.
+    "q146_video_seq" ->
+      """WITH d AS (SELECT doc_id AS id, (doc_id % 5) + 2 AS w,
+        |    (doc_id % 4) + 2 AS h, (doc_id % 6) + 2 AS nf FROM documents),
+        |fr AS (SELECT id, w, h, nf, t.k,
+        |  CASE t.k WHEN 0 THEN 0 WHEN 1 THEN nf // 2 ELSE nf - 1 END AS f
+        |  FROM d, UNNEST([0, 1, 2]) AS t(k)),
+        |bits AS (SELECT id, k,
+        |  CASE WHEN (3*id + 5*((tx.gx+1)*w//10) + 7*(ty.gy*h//7) + 11*f) % 200
+        |         >  (3*id + 5*(tx.gx*w//10) + 7*(ty.gy*h//7) + 11*f) % 200
+        |  THEN (CAST(1 AS BIGINT) << (ty.gy*9 + tx.gx)) ELSE 0 END AS bit
+        |  FROM fr, UNNEST(range(0, 7)) AS ty(gy), UNNEST(range(0, 9)) AS tx(gx)),
+        |hs AS (SELECT id, k, CAST(SUM(bit) AS BIGINT) AS hsh
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT d.id AS doc_id, CAST(nf AS INT) AS n_frames,
+        |  MAX(CASE WHEN k = 0 THEN hsh END) AS h_first,
+        |  MAX(CASE WHEN k = 1 THEN hsh END) AS h_mid,
+        |  MAX(CASE WHEN k = 2 THEN hsh END) AS h_last,
+        |  TRUE AS twin_match
+        |FROM d JOIN hs ON d.id = hs.id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2513,6 +2618,128 @@ object DataOpsQueries {
         length(fixed).cast("long").as("n_chars"),
         substring(fixed, greatest(length(fixed) - 15, lit(1)), lit(16))
           .as("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-run WITHIN-DISTANCE perceptual image dedup
+    * ([[Incremental.imageBandState]] → parquet persist → reload →
+    * [[Incremental.dropSeenImagesWithinDist]]) — q142's recall gap
+    * closed (r13 verdict #1): day-2 carries DRIFTED re-encodes of day-1
+    * images (brightness-shifted AND corner-bumped —
+    * [[Multimodal.synthPngShiftedBumped]], 0–3 flipped dHash bits, so
+    * the EXACT-hash state would wave the ≥1-bit drifts through) that
+    * must drop against the banded state's Hamming-≤3 horizon, plus a
+    * slice of genuinely new images. The oracle replays every render's
+    * 63-bit dHash from the pixel construction (the q140 arithmetic over
+    * the render's BASE id, bump term included) and the drop rule
+    * directly as `bit_count(xor(h2, h1)) <= 3` over the distinct hash
+    * sets — the pigeonhole banding is recall-lossless by construction,
+    * so the engine's banded plan must equal the oracle's exhaustive
+    * rule exactly. */
+  val q144IncrementalImagesNear: Q = (s, dir) => {
+    import graft.ops.Incremental
+    val docs = load(s, dir, "documents").select("doc_id")
+    val d = col("doc_id")
+    val day1 = Multimodal.synthImagesShifted(
+      docs.filter(pmod(d, lit(2L)) === 0L), "doc_id", delta = 0)
+    // day-2 drifted re-encodes: odd id j renders BASE j-1 brightness
+    // +20 AND corner-bumped +30 — within Hamming 3 of day-1's render
+    val drift = Multimodal.synthImagesShiftedBumped(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) =!= 3L)
+        .select((d - 1L).as("base")), "base", delta = 20, bump = 30,
+      idOffset = 1L)
+    val news = Multimodal.synthImagesShifted(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) === 3L),
+      "doc_id", delta = 0)
+    val day2 = drift.unionByName(news)
+    val statePath =
+      TempState.dir("graft_imgband_state").resolve("state.parquet").toString
+    val emptyState = s.range(0).select(
+      col("id").cast("int").as("band"), col("id").as("bv"),
+      col("id").as("dhash"))
+    val run1 = Incremental.dropSeenImagesWithinDist(day1, "media_id",
+      emptyState)
+    Incremental.saveState(Incremental.imageBandState(day1), statePath)
+    val run2 = Incremental.dropSeenImagesWithinDist(day2, "media_id",
+      Incremental.loadState(s, statePath))
+    run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
+      .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-run perceptual AUDIO dedup ([[Incremental.audioHashState]] →
+    * parquet persist → reload → [[Incremental.dropSeenAudio]]) — q142's
+    * recrawl story on the time axis (r13 verdict #3): day-2 carries
+    * POLARITY-INVERTED re-encodes of day-1 clips (every sample negated —
+    * byte-for-byte different payloads a byte key waves through, an
+    * inaudible edit the 15-bit energy fingerprint is invariant to) that
+    * must drop against the persisted state, plus a slice of new clips.
+    * The oracle replays each render's fingerprint from the synthWav
+    * sample arithmetic over the render's BASE id (the q141 SQL — |mono|
+    * makes the sign cancel) and first-seen-wins as min(day·10^9 + id)
+    * per fingerprint — the q86 invariant, audio-keyed. */
+  val q145IncrementalAudio: Q = (s, dir) => {
+    import graft.ops.Incremental
+    val docs = load(s, dir, "documents").select("doc_id")
+    val d = col("doc_id")
+    val day1 = Multimodal.synthAudioSigned(
+      docs.filter(pmod(d, lit(2L)) === 0L), "doc_id", sign = 1)
+    val reenc = Multimodal.synthAudioSigned(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) =!= 3L)
+        .select((d - 1L).as("base")), "base", sign = -1, idOffset = 1L)
+    val news = Multimodal.synthAudioSigned(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) === 3L),
+      "doc_id", sign = 1)
+    val day2 = reenc.unionByName(news)
+    val statePath =
+      TempState.dir("graft_audio_state").resolve("state.parquet").toString
+    val empty = s.range(0).select(col("id").as("ahash"))
+    val run1 = Incremental.dropSeenAudio(day1, "media_id", empty)
+    Incremental.saveState(Incremental.audioHashState(day1), statePath)
+    val run2 = Incremental.dropSeenAudio(day2, "media_id",
+      Incremental.loadState(s, statePath))
+    run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
+      .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
+      .orderBy("doc_id")
+  }
+
+  /** Video-sequence perceptual fingerprint ([[Multimodal.withVideoSeqHash]]
+    * — per-frame 63-bit dHash over REAL decoded GIF frames, anchored at
+    * (first, middle, last) plus the frame count; r13 verdict #5): every
+    * id renders TWO byte-for-byte different animations (the twin is
+    * uniformly brightness-shifted +15 per frame) whose sequence
+    * fingerprints must be IDENTICAL — the per-frame monotone invariance,
+    * extended along the time axis, that catches re-encoded animation
+    * dupes where single-image dHash (frame 0 only) and byte keys both
+    * miss. The oracle replays all three anchor hashes from the
+    * synthGifShifted gray arithmetic (nested UNNEST over the sample grid
+    * at frames 0, ⌊nf/2⌋, nf−1) — a stub cannot fake them: LZW
+    * decompression destroys the byte↔sample correspondence and the twin
+    * differs in every pixel. The banded sequence near-dup join
+    * ([[Multimodal.videoSeqNearDups]]) is spec-pinned in OpsSpec. */
+  val q146VideoSeq: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id")
+    val orig = Multimodal.synthGifsShifted(docs, "doc_id", delta = 0)
+    val twin = Multimodal.synthGifsShifted(docs, "doc_id", delta = 15,
+      idOffset = 100000000L)
+    val hashes = Multimodal.withVideoSeqHash(orig.unionByName(twin))
+      .select("media_id", "n_frames", "h_first", "h_mid", "h_last")
+    hashes
+      .select(pmod(col("media_id"), lit(100000000L)).as("doc_id"),
+        (col("media_id") < 100000000L).as("is_orig"),
+        col("n_frames"), col("h_first"), col("h_mid"), col("h_last"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("is_orig"), col("n_frames"))).as("n_frames"),
+        max(when(col("is_orig"), col("h_first"))).as("h_first"),
+        max(when(col("is_orig"), col("h_mid"))).as("h_mid"),
+        max(when(col("is_orig"), col("h_last"))).as("h_last"),
+        (count(lit(1)) === 2L &&
+          count(col("h_first")) === 2L &&
+          min(col("n_frames")) === max(col("n_frames")) &&
+          min(col("h_first")) === max(col("h_first")) &&
+          min(col("h_mid")) === max(col("h_mid")) &&
+          min(col("h_last")) === max(col("h_last"))).as("twin_match"))
       .orderBy("doc_id")
   }
 
@@ -4275,5 +4502,8 @@ object DataOpsQueries {
     "q141_audio_phash" -> q141AudioPhash,
     "q142_incremental_images" -> q142IncrementalImages,
     "q143_mojibake" -> q143Mojibake,
+    "q144_incremental_images_near" -> q144IncrementalImagesNear,
+    "q145_incremental_audio" -> q145IncrementalAudio,
+    "q146_video_seq" -> q146VideoSeq,
   )
 }

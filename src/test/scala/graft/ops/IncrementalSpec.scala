@@ -179,6 +179,117 @@ class IncrementalSpec extends AnyFunSuite {
       Incremental.loadState(spark, path2)).count() == 0)
   }
 
+  test("banded image state: drifted re-encodes drop within maxDist, distant images survive (q144 invariant)") {
+    // crafted 10x7 grays: w=10/h=7 makes the dHash sample grid the
+    // pixel grid itself, so every comparison bit is directly authored
+    def grayPng(g: Array[Array[Int]]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(10, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 7; x <- 0 until 10) {
+        val v = g(y)(x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = Array.tabulate(7, 10)((y, x) => (10 * x + 3 * y) % 200)
+    // drift: one interior cell bumped — flips at most its two adjacent
+    // comparisons (1-2 bits)
+    val drifted = base.map(_.clone)
+    drifted(3)(4) += 60
+    // far: reversed gradient — many bits away
+    val far = Array.tabulate(7, 10)((y, x) => (200 - 10 * x - 3 * y) % 200)
+    val h0 = Multimodal.dHash63(grayPng(base)).get
+    val hD = Multimodal.dHash63(grayPng(drifted)).get
+    val hF = Multimodal.dHash63(grayPng(far)).get
+    val dDrift = java.lang.Long.bitCount(h0 ^ hD)
+    assert(dDrift >= 1 && dDrift <= 3, s"drift fixture moved $dDrift bits")
+    assert(java.lang.Long.bitCount(h0 ^ hF) > 3, "far fixture too close")
+    def media(rows: (Long, Array[Byte])*) =
+      rows.toSeq.toDF("media_id", "payload")
+        .withColumn("meta", lit(null).cast(Multimodal.mediaMetaSchema))
+    val day1 = media(1L -> grayPng(base))
+    val path = tmp("imgband_state")
+    Incremental.saveState(Incremental.imageBandState(day1), path)
+    val day2 = media(
+      11L -> grayPng(drifted),   // within 3 bits: DROP (exact state missed it)
+      12L -> grayPng(far),       // beyond 3 bits: survives
+      13L -> grayPng(base),      // exact re-encounter (distance 0): DROP
+      14L -> Array.fill[Byte](16)(3)) // junk: null hash, passes through
+    val out = Incremental.dropSeenImagesWithinDist(day2, "media_id",
+      Incremental.loadState(spark, path))
+    assert(out.select("media_id").as[Long].collect().toSet == Set(12L, 14L))
+    // the EXACT-hash state would have waved the drifted re-encode through
+    val exactPath = tmp("img_exact_state")
+    Incremental.saveState(Incremental.imageHashState(day1), exactPath)
+    val exactOut = Incremental.dropSeenImages(day2, "media_id",
+      Incremental.loadState(spark, exactPath))
+    assert(exactOut.select("media_id").as[Long].collect().toSet ==
+      Set(11L, 12L, 14L))
+    // roll-forward: a day-3 drift of the DAY-2 survivor drops too
+    val path2 = tmp("imgband_state2")
+    Incremental.saveState(Incremental.updatedImageBandState(
+      Incremental.loadState(spark, path), day2), path2)
+    val farDrift = far.map(_.clone)
+    farDrift(2)(6) += 60
+    assert(java.lang.Long.bitCount(
+      hF ^ Multimodal.dHash63(grayPng(farDrift)).get) <= 3)
+    val day3 = media(21L -> grayPng(farDrift))
+    assert(Incremental.dropSeenImagesWithinDist(day3, "media_id",
+      Incremental.loadState(spark, path2)).count() == 0)
+    // over-full state bucket fails loudly (silent dropping would lose
+    // the pigeonhole recall guarantee)
+    val fatState = (0L until 20L).map(i => (0, 0L, i << 10))
+      .toDF("band", "bv", "dhash")
+    val e = intercept[IllegalArgumentException](
+      Incremental.dropSeenImagesWithinDist(day2, "media_id", fatState,
+        maxBucket = 5))
+    assert(e.getMessage.contains("maxBucket"))
+    OpCaches.releaseAll()
+  }
+
+  test("audio recrawl state: polarity re-encodes drop on the fingerprint, junk passes (q145 invariant)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // day-1: ids 0..9, positive polarity
+    val day1 = Multimodal.synthAudioSigned((0L until 10L).toDF("id"), "id",
+      sign = 1)
+    // day-2: polarity-inverted re-encodes of bases 0..5 (different bytes,
+    // same fingerprint) + genuinely NEW clips, chosen so their
+    // fingerprint is truly unseen (the 15-bit key is coarse — pick by
+    // driver-side hash, not by hope)
+    val day1Hashes = (0L until 10L)
+      .flatMap(id => Multimodal.audioPHash15(Multimodal.synthWav(id))).toSet
+    val freshIds = (100L until 200L).filter(id =>
+      Multimodal.audioPHash15(Multimodal.synthWav(id))
+        .exists(!day1Hashes.contains(_))).take(2)
+    assert(freshIds.size == 2, "no fresh-fingerprint ids in [100, 200)")
+    val reenc = Multimodal.synthAudioSigned((0L until 6L).toDF("id"), "id",
+      sign = -1, idOffset = 1000L)
+    val fresh = Multimodal.synthAudioSigned(freshIds.toDF("id"), "id",
+      sign = 1, idOffset = 1000L)
+    val junk = Seq((9999L, Array.fill[Byte](32)(7),
+        null: String)).toDF("media_id", "payload", "x").drop("x")
+      .withColumn("meta", lit(null).cast(Multimodal.mediaMetaSchema))
+    val day2 = reenc.unionByName(fresh).unionByName(junk)
+    val path = tmp("audio_state")
+    Incremental.saveState(Incremental.audioHashState(day1), path)
+    val out = Incremental.dropSeenAudio(day2, "media_id",
+      Incremental.loadState(spark, path))
+    val kept = out.select("media_id").as[Long].collect().toSet
+    assert(kept == (freshIds.map(_ + 1000L).toSet + 9999L), kept)
+    // roll-forward: a day-3 polarity flip of a DAY-2 clip drops too
+    val path2 = tmp("audio_state2")
+    Incremental.saveState(Incremental.updatedAudioHashState(
+      Incremental.loadState(spark, path), day2), path2)
+    val day3 = Multimodal.synthAudioSigned(Seq(freshIds.head).toDF("id"),
+      "id", sign = -1, idOffset = 2000L)
+    assert(Incremental.dropSeenAudio(day3, "media_id",
+      Incremental.loadState(spark, path2)).count() == 0)
+    OpCaches.releaseAll()
+  }
+
   test("curateWeb(seenUrls): the recrawl drop happens before extraction, survivors unchanged otherwise") {
     def p(t: String) = s"<html><body><p>$t</p></body></html>"
     val T = "the quick brown fox jumps over the lazy dog and runs to " +
