@@ -9,9 +9,23 @@ Usage:
 With no file arguments, picks the two highest-numbered BENCH_r*.json in
 the repo root.
 
-Flagging rule (both conditions must hold — r9 verdict's gate redesign):
-  1. ratio new/prev > max(--threshold, measured same-build amplitude)
-  2. absolute delta new-prev > --min-delta seconds
+Flagging rule (all conditions must hold — r9 gate redesign + r14 epoch
+normalization):
+  1. EPOCH-NORMALIZED ratio (new/prev divided by the median new/prev
+     ratio across the shared set) > max(--threshold, measured
+     same-build amplitude)
+  2. epoch-normalized delta new - prev*median > --min-delta seconds
+
+The median normalization is the r13 verdict's #4: three rounds running,
+the top adjudication burden was uniform machine-epoch drift (r13: the
+bit-identical canary q96 ran 1.2-1.5x slower than its historical band,
+dragging q133/q117/q115 over the raw threshold with zero code change).
+The suite IS the canary: a build-wide multiplicative shift moves the
+MEDIAN per-query ratio, and dividing it out leaves only structural
+outliers. A genuine single-query regression barely moves the median of
+140+ queries, so it still flags. Normalization needs >= 20 shared
+queries (below that the median is too noisy; raw ratios apply).
+Run --selftest to prove both properties on synthetic data.
 
 The per-query amplitude comes from tools/bench_noise.json — a MEASURED
 table (max/min over >=3 full-suite runs of one build on one machine),
@@ -60,19 +74,42 @@ def load(path, prefer_close_runs=True):
     queries of the same build, so the gate compares like with like and
     sees the full surface.
 
-    CAVEAT the substitution note makes visible: the close run reflects the
-    build at round CLOSE. If a BENCH_rNN.json was re-recorded later against
-    a changed build, the stale close run would mask it — pass
-    --no-close-runs to gate on the input files exactly as given."""
+    STALENESS GUARD (ADVICE r13 #2 — the substitution must not mask a
+    re-recorded BENCH file): the close run is only used when the BENCH
+    file's query set is a subset of the close run's. A BENCH file
+    re-recorded against a changed build carries queries the stale close
+    run has never seen (every round adds queries), so the mismatch fails
+    the substitution LOUDLY and the gate grades the input as given.
+    Pass --no-close-runs to disable substitution entirely."""
     m = re.search(r"BENCH_(r\d+)\.json$", os.path.basename(path))
+    close = None
     if m and prefer_close_runs:
-        close = os.path.join(ROOT, "tools", f"close_run_{m.group(1)}.json")
-        if os.path.exists(close):
-            print(f"bench_gate: using committed close run for {m.group(1)} "
-                  f"({os.path.relpath(close, ROOT)}; --no-close-runs to disable)")
-            path = close
+        cand = os.path.join(ROOT, "tools", f"close_run_{m.group(1)}.json")
+        if os.path.exists(cand):
+            close = cand
     with open(path) as f:
         data = json.load(f)
+    if close is not None:
+        bench_qs = set(_queries_of(data, path))
+        with open(close) as f:
+            close_data = json.load(f)
+        close_qs = set(_queries_of(close_data, close))
+        if bench_qs and not bench_qs <= close_qs:
+            extra = sorted(bench_qs - close_qs)[:5]
+            print(f"bench_gate: NOT substituting stale close run for "
+                  f"{m.group(1)}: {os.path.basename(path)} carries queries "
+                  f"the close run lacks ({', '.join(extra)}...) — the BENCH "
+                  f"file was re-recorded against a newer build; gating on "
+                  f"it as given")
+        else:
+            print(f"bench_gate: using committed close run for {m.group(1)} "
+                  f"({os.path.relpath(close, ROOT)}; --no-close-runs to disable)")
+            data = close_data
+    return {k: v for k, v in _queries_of(data, path).items() if v >= 0}
+
+
+def _queries_of(data, path):
+    """Per-query seconds from a raw Bench line or a driver wrapper."""
     if "queries" not in data and "tail" in data:
         tail = data["tail"]
         start = tail.rfind('{"metric"')
@@ -86,11 +123,40 @@ def load(path, prefer_close_runs=True):
             if not pairs:
                 raise ValueError(f"{path}: no embedded bench JSON found in 'tail'")
             data = {"queries": {q: float(v) for q, v in pairs}}
-    return {k: v for k, v in data.get("queries", {}).items() if v >= 0}
+    return dict(data.get("queries", {}))
+
+
+def selftest():
+    """Prove the epoch-normalization properties on synthetic data:
+    a uniform 1.3x slowdown (pure machine epoch) must produce ZERO
+    flags, while a single-query 2x regression on an otherwise-flat
+    build must still flag. Exit 0 iff both hold."""
+    import tempfile
+    n = 60
+    prev = {f"q{i:03d}_synth": 1.0 + (i % 7) * 0.5 for i in range(n)}
+    uniform = {q: v * 1.3 for q, v in prev.items()}
+    spike = dict(prev)
+    spike["q007_synth"] = prev["q007_synth"] * 2.0
+    results = []
+    for name, new, expect_fail in [("uniform-1.3x", uniform, False),
+                                   ("single-2x", spike, True)]:
+        with tempfile.TemporaryDirectory() as d:
+            pp, np_ = os.path.join(d, "prev.json"), os.path.join(d, "new.json")
+            json.dump({"queries": prev}, open(pp, "w"))
+            json.dump({"queries": new}, open(np_, "w"))
+            code = gate(pp, np_)
+        ok = (code != 0) == expect_fail
+        results.append(ok)
+        verdict = "OK" if ok else (
+            "WRONG — expected " + ("flag" if expect_fail else "no flag"))
+        print(f"selftest {name}: exit {code} ({verdict})")
+    return 0 if all(results) else 1
 
 
 def main():
     argv = sys.argv[1:]
+    if "--selftest" in argv:
+        return selftest()
     args, threshold, min_delta = [], 1.3, 0.5
     prefer_close = True
     if "--no-close-runs" in argv:
@@ -124,6 +190,11 @@ def main():
             print("bench_gate: need at least two BENCH_r*.json files")
             return 0
         prev_path, new_path = benches[-2], benches[-1]
+    return gate(prev_path, new_path, threshold, min_delta, prefer_close)
+
+
+def gate(prev_path, new_path, threshold=1.3, min_delta=0.5,
+         prefer_close=True):
     prev, new = load(prev_path, prefer_close), load(new_path, prefer_close)
     # Narration scope: only the NEWEST round section of BENCH_NOTES.md
     # (convention: newest "## Round N" first). Matching the whole file
@@ -162,18 +233,32 @@ def main():
                 adjudicated[e["query"]] = e.get("verdict", "noise")
 
     print(f"bench_gate: {os.path.basename(prev_path)} -> {os.path.basename(new_path)} "
-          f"(ratio > max({threshold}x, measured amplitude) AND delta > {min_delta}s)")
+          f"(epoch-normalized ratio > max({threshold}x, measured amplitude) "
+          f"AND normalized delta > {min_delta}s)")
     shared = sorted(set(prev) & set(new))
     tp = sum(prev[q] for q in shared)
     tn = sum(new[q] for q in shared)
     if tp > 0:
         print(f"shared {len(shared)} queries: {tp:.2f}s -> {tn:.2f}s "
               f"({(tn - tp) / tp:+.1%} vs prev)")
+    # Epoch normalization (r13 verdict #4): the median per-query ratio
+    # captures build-wide multiplicative drift (thermal/load/JIT epoch of
+    # the machine); dividing it out leaves structural outliers only.
+    # Needs enough shared queries for a stable median.
+    ratios = sorted(new[q] / prev[q] for q in shared if prev[q] > 0)
+    epoch = 1.0
+    if len(ratios) >= 20:
+        mid = len(ratios) // 2
+        epoch = (ratios[mid] if len(ratios) % 2 == 1
+                 else (ratios[mid - 1] + ratios[mid]) / 2)
+        print(f"epoch ratio (median of {len(ratios)} shared): {epoch:.3f}x "
+              f"— flags are normalized by it")
     silent = []
     for q in shared:
-        ratio = new[q] / prev[q] if prev[q] > 0 else float("inf")
+        raw = new[q] / prev[q] if prev[q] > 0 else float("inf")
+        ratio = raw / epoch
         eff = max(threshold, noise.get(q, 1.0))
-        if ratio > eff and new[q] - prev[q] > min_delta:
+        if ratio > eff and new[q] - prev[q] * epoch > min_delta:
             narrated = q.split("_")[0] in notes
             if narrated:
                 tag = "narrated"
@@ -183,7 +268,7 @@ def main():
                 tag = "SILENT"
             amp = f", amplitude {noise[q]:.2f}x" if q in noise else ""
             print(f"  REGRESSION {q}: {prev[q]:.2f}s -> {new[q]:.2f}s "
-                  f"({ratio:.2f}x{amp}) [{tag}]")
+                  f"({raw:.2f}x raw, {ratio:.2f}x normalized{amp}) [{tag}]")
             if not narrated and q not in adjudicated:
                 silent.append(q)
     added = sorted(set(new) - set(prev))
