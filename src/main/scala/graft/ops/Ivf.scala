@@ -22,6 +22,20 @@ object Ivf {
 
   case class IvfModel(centroids: Array[Array[Double]])
 
+  /** Cell count that keeps the EXPECTED cell size constant as the corpus
+    * grows — the configuration the ScaleDrill measured (BENCH_NOTES r14):
+    * SemDeDup-style intra-cell work is Σ s_c², so a FIXED k goes
+    * superlinear per corpus decade (measured 1.24–1.34) while k ∝ n stays
+    * under linear (0.72) with flat memory. `targetCellSize` defaults to
+    * the suite profile (sf0.1's 2k vectors / 32 cells ≈ 62... the drill's
+    * 625-per-cell k-scaled leg is the validated large-corpus point);
+    * `minK` keeps small corpora at the tuned suite cell count. */
+  def kForCorpus(nRows: Long, targetCellSize: Int = 625,
+      minK: Int = 32): Int = {
+    require(targetCellSize >= 1 && minK >= 1)
+    math.max(minK, math.min(1 << 20, nRows / targetCellSize)).toInt
+  }
+
   /** Train centroids on a seeded, partition-parallel sample of the vectors.
     *
     * The sample uses `df.sample(fraction, seed)` — each partition filters

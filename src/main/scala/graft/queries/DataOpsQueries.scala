@@ -3967,10 +3967,13 @@ object DataOpsQueries {
     * representative law this variant adds). */
   val q104SemdedupIvf: Q = (s, dir) => {
     val emb = load(s, dir, "embeddings")
-    // k = 32 (vs the probe index's 8): SemDeDup wants MANY SMALL cells —
-    // candidate pairs are Σ s_c², so 4× the cells ≈ ¼ the pairs, and the
-    // cell-key join spreads over 32 keys instead of 8 (bench: 6.1→2.9s)
-    val model = graft.ops.Ivf.trainCached(s"$dir/embeddings#dedup", emb, "embedding", k = 32)
+    // cell count ∝ corpus (k = 32 at every suite SF — kForCorpus floors
+    // there): SemDeDup wants MANY SMALL cells — candidate pairs are
+    // Σ s_c², so a fixed k goes superlinear per corpus decade (ScaleDrill
+    // measured 1.24–1.34 vs 0.72 with k ∝ n; BENCH_NOTES r14). The
+    // count() is one metadata-cheap pass amortized by trainCached.
+    val k = graft.ops.Ivf.kForCorpus(emb.count())
+    val model = graft.ops.Ivf.trainCached(s"$dir/embeddings#dedup", emb, "embedding", k = k)
     val twins = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
     val all = emb.unionByName(twins)
     val survivors = graft.ops.SemDedup.semanticDedupIvf(
