@@ -305,6 +305,84 @@ object Incremental {
       .drop("ahash")
   }
 
+  /** Video-sequence fingerprint state — the cross-run story for
+    * ANIMATIONS ([[Multimodal.videoSeqHash]]): one row per distinct
+    * `(n_frames, h_first, h_mid, h_last)` of the batch's decodable
+    * multi-frame payloads, ~28 B per distinct animation. Stored RAW
+    * (unbanded): [[dropSeenVideoSeqs]] bands BOTH sides at probe time
+    * with the one shared splitter, so the state stays 4 columns and the
+    * banding parameters live with the probe, not the snapshot. */
+  def videoSeqState(media: DataFrame): DataFrame =
+    Multimodal.withVideoSeqHash(media)
+      .filter(col("h_first").isNotNull)
+      .select(col("n_frames"), col("h_first"), col("h_mid"), col("h_last"))
+      .distinct()
+
+  /** Roll the video-sequence state forward with a new media batch. */
+  def updatedVideoSeqState(state: DataFrame, media: DataFrame): DataFrame =
+    state.unionByName(videoSeqState(media)).distinct()
+
+  /** Drop TODAY's animations whose sequence fingerprint matches the
+    * state within `maxDist` bits PER ANCHOR (equal frame counts, each of
+    * first/middle/last within Hamming `maxDist` — the
+    * [[Multimodal.videoSeqNearDups]] verify, applied across runs): day-2
+    * re-encodes and brightness/drift edits of already-ingested
+    * animations drop, trims and genuinely new animations survive (q147).
+    * Plan shape = [[dropSeenImagesWithinDist]] with a three-anchor
+    * verify: decode ONCE, within-day exact first-seen-wins on the full
+    * fingerprint tuple, pigeonhole-banded equi-join on the FIRST-frame
+    * anchor (recall-lossless for bands > maxDist), codegen `bit_count`
+    * verify on all three anchors, anti-join; payloads no reader claims
+    * pass through. State-side band buckets over `maxBucket` fail
+    * LOUDLY (the recall-guarantee contract). */
+  def dropSeenVideoSeqs(today: DataFrame, idCol: String,
+      state: DataFrame, maxDist: Int = 3, bits: Int = 63, bands: Int = 7,
+      maxBucket: Int = 1 << 16): DataFrame = {
+    val st = OpCaches.persist(state.select(
+      col("n_frames").as("__st_nf"), col("h_first").as("__st_f"),
+      col("h_mid").as("__st_m"), col("h_last").as("__st_l"),
+      explode(array(Dedup.hammingBandKeys(col("h_first"), bits, bands,
+        maxDist): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bv").as("bv"),
+        col("__st_nf"), col("__st_f"), col("__st_m"), col("__st_l")))
+    val worst = st.groupBy("band", "bv").agg(count(lit(1)).as("bsize"))
+      .orderBy(col("bsize").desc).limit(1).collect()
+    worst.headOption.foreach { r =>
+      require(r.getLong(2) <= maxBucket,
+        s"dropSeenVideoSeqs: state band bucket (${r.get(0)}, ${r.get(1)}) " +
+          s"holds ${r.getLong(2)} fingerprints (> maxBucket=$maxBucket) — " +
+          "candidate blowup; exact-dedup identical fingerprints into the " +
+          "state or raise maxBucket with cluster memory")
+    }
+    val withH = OpCaches.persist(Multimodal.withVideoSeqHash(today))
+    val decodable = withH.filter(col("h_first").isNotNull)
+    val winners = decodable
+      .groupBy(col("n_frames"), col("h_first"), col("h_mid"), col("h_last"))
+      .agg(min(col(idCol)).as(idCol))
+    val afterDay = decodable.join(winners,
+      Seq("n_frames", "h_first", "h_mid", "h_last", idCol), "left_semi")
+    def near(a: Column, b: Column) =
+      bit_count(a.bitwiseXOR(b)) <= maxDist
+    val seen = afterDay
+      .select(col(idCol).as("__id"), col("n_frames").as("__nf"),
+        col("h_first").as("__f"), col("h_mid").as("__m"),
+        col("h_last").as("__l"),
+        explode(array(Dedup.hammingBandKeys(col("h_first"), bits, bands,
+          maxDist): _*)).as("bk"))
+      .select(col("__id"), col("__nf"), col("__f"), col("__m"), col("__l"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+      .join(st, Seq("band", "bv"))
+      .filter(col("__nf") === col("__st_nf") &&
+        near(col("__f"), col("__st_f")) && near(col("__m"), col("__st_m")) &&
+        near(col("__l"), col("__st_l")))
+      .select(col("__id").as(idCol))
+      .distinct()
+    afterDay
+      .join(seen, Seq(idCol), "left_anti")
+      .unionByName(withH.filter(col("h_first").isNull))
+      .drop("n_frames", "h_first", "h_mid", "h_last")
+  }
+
   /** Persist a [[Bloom]] bit array (+ its hash count) as a one-row
     * parquet table — constant-size decontamination state. */
   def saveBloom(spark: SparkSession, path: String,

@@ -1024,6 +1024,80 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[synthGifShifted]] with an additional `bump` on FRAME 0's corner
+    * pixel (w−1, h−1) — the drifted-animation-re-encode fixture (q147,
+    * the [[synthPngShiftedBumped]] playbook on the time axis): the
+    * uniform delta leaves every frame hash unchanged while the frame-0
+    * corner bump drifts ONLY the first-frame anchor by 0–3 comparison
+    * bits (middle/last anchors sample frames ≥ 1 for every nf ≥ 2) —
+    * inside [[graft.ops.Incremental.dropSeenVideoSeqs]]'s default
+    * Hamming horizon, outside an exact-fingerprint key whenever ≥ 1 bit
+    * flips. Gray stays ≤ 199+delta+bump ≤ 254 for delta ≤ 25 / bump ≤
+    * 30 (no clamping), fully oracle-replayable. */
+  private[graft] def synthGifShiftedBumped(id: Long, delta: Int,
+      bump: Int): Array[Byte] = {
+    require(delta >= 0 && delta <= 25 && bump >= 0 && bump <= 30,
+      "delta/bump must keep gray under 255")
+    ensureImageIoMemCache()
+    val nFrames = (Math.floorMod(id, 6L) + 2L).toInt
+    val w = (Math.floorMod(id, 5L) + 2L).toInt
+    val h = (Math.floorMod(id, 4L) + 2L).toInt
+    val pal = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b0 = if (f == 0 && x == w - 1 && y == h - 1) bump else 0
+            img.getRaster.setSample(x, y, 0,
+              Math.floorMod(3 * id + 5 * x + 7 * y + 11 * f, 200L).toInt
+                + delta + b0)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Media table of [[synthGifShiftedBumped]] fixtures — the q147
+    * drifted-animation input. */
+  def synthGifsShiftedBumped(df: DataFrame, idCol: String, delta: Int,
+      bump: Int, idOffset: Long = 0L): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + idOffset, synthGifShiftedBumped(id, delta, bump),
+            Row("image", "gif", null, null, null))
+        }
+      }(enc)
+  }
+
   /** Media table of [[synthGifShifted]] fixtures (id offset so originals
     * and shifted twins coexist in one union — the [[synthImagesShifted]]
     * convention on the time axis). */

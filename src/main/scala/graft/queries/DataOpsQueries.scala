@@ -1848,6 +1848,60 @@ object DataOpsQueries {
         |  TRUE AS twin_match
         |FROM d JOIN hs ON d.id = hs.id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Cross-run video-sequence dedup: all three anchor dHashes replayed
+    // per render from the gray construction over its BASE id (bump on
+    // frame 0's corner for day-2 drifts), drop rule replayed
+    // exhaustively (equal nf + per-anchor bit_count <= 3) against
+    // day-1's distinct fingerprints.
+    "q147_incremental_video" ->
+      """WITH r AS (
+        |  SELECT doc_id AS mid, 0 AS day, doc_id AS base, 0 AS bump
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id - 1, 30 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id, 0 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 3),
+        |dd AS (SELECT mid, day, base, bump, (base % 5) + 2 AS w,
+        |  (base % 4) + 2 AS h, (base % 6) + 2 AS nf FROM r),
+        |fr AS (SELECT mid, day, base, bump, w, h, nf, t.k,
+        |  CASE t.k WHEN 0 THEN 0 WHEN 1 THEN nf // 2 ELSE nf - 1 END AS f
+        |  FROM dd, UNNEST([0, 1, 2]) AS t(k)),
+        |bits AS (SELECT mid, day, k,
+        |  CASE WHEN
+        |    ((3*base + 5*((tx.gx+1)*w//10) + 7*(ty.gy*h//7) + 11*f) % 200
+        |     + CASE WHEN f = 0 AND (tx.gx+1)*w//10 = w-1
+        |         AND ty.gy*h//7 = h-1 THEN bump ELSE 0 END)
+        |    >
+        |    ((3*base + 5*(tx.gx*w//10) + 7*(ty.gy*h//7) + 11*f) % 200
+        |     + CASE WHEN f = 0 AND tx.gx*w//10 = w-1
+        |         AND ty.gy*h//7 = h-1 THEN bump ELSE 0 END)
+        |  THEN (CAST(1 AS BIGINT) << (ty.gy*9 + tx.gx)) ELSE 0 END AS bit
+        |  FROM fr, UNNEST(range(0, 7)) AS ty(gy), UNNEST(range(0, 9)) AS tx(gx)),
+        |hs0 AS (SELECT mid, day, k, CAST(SUM(bit) AS BIGINT) AS hsh
+        |  FROM bits GROUP BY 1, 2, 3),
+        |hs AS (SELECT h.mid, h.day, MAX(dd.nf) AS nf,
+        |    MAX(CASE WHEN k = 0 THEN hsh END) AS h0,
+        |    MAX(CASE WHEN k = 1 THEN hsh END) AS h1,
+        |    MAX(CASE WHEN k = 2 THEN hsh END) AS h2
+        |  FROM hs0 h JOIN dd ON h.mid = dd.mid AND h.day = dd.day
+        |  GROUP BY 1, 2),
+        |win1 AS (SELECT nf, h0, h1, h2, MIN(mid) AS mid FROM hs
+        |  WHERE day = 0 GROUP BY 1, 2, 3, 4),
+        |win2 AS (SELECT nf, h0, h1, h2, MIN(mid) AS mid FROM hs
+        |  WHERE day = 1 GROUP BY 1, 2, 3, 4),
+        |d1 AS (SELECT DISTINCT nf, h0, h1, h2 FROM hs WHERE day = 0),
+        |drop2 AS (SELECT DISTINCT w2.mid FROM win2 w2
+        |  JOIN d1 ON w2.nf = d1.nf
+        |    AND bit_count(xor(w2.h0, d1.h0)) <= 3
+        |    AND bit_count(xor(w2.h1, d1.h1)) <= 3
+        |    AND bit_count(xor(w2.h2, d1.h2)) <= 3)
+        |SELECT mid AS doc_id, 0 AS day FROM win1
+        |UNION ALL
+        |SELECT mid, 1 FROM win2
+        |WHERE mid NOT IN (SELECT mid FROM drop2)
+        |ORDER BY doc_id""".stripMargin,
     // Mixed-media dispatch: per-type verdict values replayed from the
     // construction formulas — image rows are the q45 pixel arithmetic,
     // audio rows the q127 PCM arithmetic, non-decodable rows the stub's
@@ -2740,6 +2794,47 @@ object DataOpsQueries {
           min(col("h_first")) === max(col("h_first")) &&
           min(col("h_mid")) === max(col("h_mid")) &&
           min(col("h_last")) === max(col("h_last"))).as("twin_match"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-run VIDEO-sequence dedup ([[Incremental.videoSeqState]] →
+    * parquet persist → reload → [[Incremental.dropSeenVideoSeqs]]) —
+    * the q144 recrawl story for ANIMATIONS: day-2 carries re-encodes of
+    * day-1 animations that are brightness-shifted AND first-frame
+    * corner-drifted ([[Multimodal.synthGifShiftedBumped]] — 0–3 flipped
+    * bits on the first-frame anchor only, so an exact fingerprint key
+    * would wave the ≥1-bit drifts through) that must drop against the
+    * persisted state's per-anchor Hamming-≤3 / equal-frame-count rule,
+    * plus a slice of genuinely new animations. The oracle replays all
+    * three anchor hashes per render from the gray construction (bump
+    * term on frame 0) and the drop rule exhaustively over the distinct
+    * day-1 fingerprints — banding is recall-lossless, so banded ==
+    * exhaustive. */
+  val q147IncrementalVideo: Q = (s, dir) => {
+    import graft.ops.Incremental
+    val docs = load(s, dir, "documents").select("doc_id")
+    val d = col("doc_id")
+    val day1 = Multimodal.synthGifsShifted(
+      docs.filter(pmod(d, lit(2L)) === 0L), "doc_id", delta = 0)
+    val drift = Multimodal.synthGifsShiftedBumped(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) =!= 3L)
+        .select((d - 1L).as("base")), "base", delta = 20, bump = 30,
+      idOffset = 1L)
+    val news = Multimodal.synthGifsShifted(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) === 3L),
+      "doc_id", delta = 0)
+    val day2 = drift.unionByName(news)
+    val statePath =
+      TempState.dir("graft_vid_state").resolve("state.parquet").toString
+    val empty = s.range(0).select(
+      col("id").cast("int").as("n_frames"), col("id").as("h_first"),
+      col("id").as("h_mid"), col("id").as("h_last"))
+    val run1 = Incremental.dropSeenVideoSeqs(day1, "media_id", empty)
+    Incremental.saveState(Incremental.videoSeqState(day1), statePath)
+    val run2 = Incremental.dropSeenVideoSeqs(day2, "media_id",
+      Incremental.loadState(s, statePath))
+    run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
+      .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
       .orderBy("doc_id")
   }
 
@@ -4508,5 +4603,6 @@ object DataOpsQueries {
     "q144_incremental_images_near" -> q144IncrementalImagesNear,
     "q145_incremental_audio" -> q145IncrementalAudio,
     "q146_video_seq" -> q146VideoSeq,
+    "q147_incremental_video" -> q147IncrementalVideo,
   )
 }

@@ -290,6 +290,71 @@ class IncrementalSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("video recrawl state: drifted animation re-encodes drop, fresh/trimmed-length survive (q147 invariant)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def seq(id: Long, delta: Int) =
+      Multimodal.videoSeqHash(Multimodal.synthGifShifted(id, delta)).get
+    def seqB(id: Long, delta: Int, bump: Int) =
+      Multimodal.videoSeqHash(
+        Multimodal.synthGifShiftedBumped(id, delta, bump)).get
+    // the drift fixture's law: bump moves ONLY the first-frame anchor,
+    // by at most 3 bits; mid/last anchors and frame count are unchanged
+    for (id <- 0L until 10L) {
+      val (n0, f0, m0, l0) = seq(id, 0)
+      val (n1, f1, m1, l1) = seqB(id, 20, 30)
+      assert(n0 == n1 && m0 == m1 && l0 == l1, s"id=$id non-first anchor moved")
+      assert(java.lang.Long.bitCount(f0 ^ f1) <= 3, s"id=$id drift > 3 bits")
+    }
+    val day1 = Multimodal.synthGifsShifted((0L until 10L).toDF("id"), "id",
+      delta = 0)
+    // fresh ids: within-distance freshness verified DRIVER-side against
+    // the actual drop rule (anchors are coarse on tiny grids — pick, not
+    // hope; the q145 convention)
+    val day1Seqs = (0L until 10L).map(seq(_, 0))
+    def isFresh(id: Long): Boolean = {
+      val (n, f, m, l) = seq(id, 0)
+      !day1Seqs.exists { case (n1, f1, m1, l1) =>
+        n1 == n && java.lang.Long.bitCount(f ^ f1) <= 3 &&
+          java.lang.Long.bitCount(m ^ m1) <= 3 &&
+          java.lang.Long.bitCount(l ^ l1) <= 3
+      }
+    }
+    val freshIds = (100L until 400L).filter(isFresh).take(2)
+    assert(freshIds.size == 2, "no fresh-fingerprint animation ids found")
+    val drift = Multimodal.synthGifsShiftedBumped((0L until 6L).toDF("id"),
+      "id", delta = 20, bump = 30, idOffset = 1000L)
+    val fresh = Multimodal.synthGifsShifted(freshIds.toDF("id"), "id",
+      delta = 0, idOffset = 1000L)
+    val junk = Seq((9999L, Array.fill[Byte](24)(5)))
+      .toDF("media_id", "payload")
+      .withColumn("meta", lit(null).cast(Multimodal.mediaMetaSchema))
+    val day2 = drift.unionByName(fresh).unionByName(junk)
+    val path = tmp("vid_state")
+    Incremental.saveState(Incremental.videoSeqState(day1), path)
+    val out = Incremental.dropSeenVideoSeqs(day2, "media_id",
+      Incremental.loadState(spark, path))
+    val kept = out.select("media_id").as[Long].collect().toSet
+    assert(kept == (freshIds.map(_ + 1000L).toSet + 9999L), kept)
+    // roll-forward: a day-3 drift of a DAY-2 animation drops too
+    val path2 = tmp("vid_state2")
+    Incremental.saveState(Incremental.updatedVideoSeqState(
+      Incremental.loadState(spark, path), day2), path2)
+    val day3 = Multimodal.synthGifsShiftedBumped(
+      Seq(freshIds.head).toDF("id"), "id", delta = 10, bump = 20,
+      idOffset = 2000L)
+    assert(Incremental.dropSeenVideoSeqs(day3, "media_id",
+      Incremental.loadState(spark, path2)).count() == 0)
+    // over-full state band bucket fails loudly
+    val fatState = (0L until 20L).map(i => (3, 0L, i << 20, i << 21))
+      .toDF("n_frames", "h_first", "h_mid", "h_last")
+    val e = intercept[IllegalArgumentException](
+      Incremental.dropSeenVideoSeqs(day2, "media_id", fatState,
+        maxBucket = 5))
+    assert(e.getMessage.contains("maxBucket"))
+    OpCaches.releaseAll()
+  }
+
   test("curateWeb(seenUrls): the recrawl drop happens before extraction, survivors unchanged otherwise") {
     def p(t: String) = s"<html><body><p>$t</p></body></html>"
     val T = "the quick brown fox jumps over the lazy dog and runs to " +
