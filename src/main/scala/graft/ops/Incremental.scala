@@ -231,26 +231,40 @@ object Incremental {
     * state's build parameters. */
   def dropSeenImagesWithinDist(today: DataFrame, idCol: String,
       state: DataFrame, maxDist: Int = 3, bits: Int = 63, bands: Int = 7,
-      maxBucket: Int = 1 << 16): DataFrame = {
+      maxBucket: Int = 1 << 16): DataFrame =
+    dropSeenHashWithinDist("dropSeenImagesWithinDist",
+      Multimodal.withImageDHash(today), idCol, "dhash", state,
+      maxDist, bits, bands, maxBucket)
+
+  /** The shared within-distance cross-run drop over any packed-long
+    * perceptual hash column — the [[dropSeenImagesWithinDist]] plan
+    * (decode once, within-day exact first-seen-wins, pigeonhole-banded
+    * state join, bit_count verify, anti-join, null-hash pass-through),
+    * generic in the hash column so the audio sibling is one line. The
+    * state carries (band, bv, `hashCol`) built with the SAME
+    * [[Dedup.hammingBandKeys]] split. */
+  private def dropSeenHashWithinDist(op: String, withH0: DataFrame,
+      idCol: String, hashCol: String, state: DataFrame, maxDist: Int,
+      bits: Int, bands: Int, maxBucket: Int): DataFrame = {
     val st = OpCaches.persist(state.select(
-      col("band"), col("bv"), col("dhash").as("__st_h")))
+      col("band"), col("bv"), col(hashCol).as("__st_h")))
     val worst = st.groupBy("band", "bv").agg(count(lit(1)).as("bsize"))
       .orderBy(col("bsize").desc).limit(1).collect()
     worst.headOption.foreach { r =>
       require(r.getLong(2) <= maxBucket,
-        s"dropSeenImagesWithinDist: state band bucket (${r.get(0)}, " +
+        s"$op: state band bucket (${r.get(0)}, " +
           s"${r.get(1)}) holds ${r.getLong(2)} hashes (> maxBucket=" +
           s"$maxBucket) — candidate blowup; exact-dedup identical hashes " +
           "into the state or raise maxBucket with cluster memory")
     }
-    val withH = OpCaches.persist(Multimodal.withImageDHash(today))
-    val decodable = withH.filter(col("dhash").isNotNull)
-    val winners = decodable.groupBy(col("dhash"))
+    val withH = OpCaches.persist(withH0)
+    val decodable = withH.filter(col(hashCol).isNotNull)
+    val winners = decodable.groupBy(col(hashCol))
       .agg(min(col(idCol)).as(idCol))
-    val afterDay = decodable.join(winners, Seq("dhash", idCol), "left_semi")
+    val afterDay = decodable.join(winners, Seq(hashCol, idCol), "left_semi")
     val seen = afterDay
-      .select(col(idCol).as("__id"), col("dhash").as("__h"),
-        explode(array(Dedup.hammingBandKeys(col("dhash"), bits, bands,
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        explode(array(Dedup.hammingBandKeys(col(hashCol), bits, bands,
           maxDist): _*)).as("bk"))
       .select(col("__id"), col("__h"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
@@ -260,9 +274,41 @@ object Incremental {
       .distinct()
     afterDay
       .join(seen, Seq(idCol), "left_anti")
-      .unionByName(withH.filter(col("dhash").isNull))
-      .drop("dhash")
+      .unionByName(withH.filter(col(hashCol).isNull))
+      .drop(hashCol)
   }
+
+  /** Banded WIDE audio-fingerprint state — [[imageBandState]] for sound
+    * over [[Multimodal.withAudioPHashWide]]'s 31-bit fingerprint (the
+    * 15-bit key is too coarse for near-matching: every value has 15
+    * one-bit neighbors out of only 32k — see [[Multimodal.audioPHash31]]).
+    * One row per (band, band_value, ahash31) of each distinct retained
+    * fingerprint; `bands > maxDist` enforced at build. */
+  def audioBandState(media: DataFrame, bits: Int = 31, bands: Int = 7,
+      maxDist: Int = 2): DataFrame =
+    bandState(Multimodal.withAudioPHashWide(media)
+      .select(col("ahash31")).filter(col("ahash31").isNotNull).distinct(),
+      "ahash31", bits, bands, maxDist)
+
+  /** Roll the banded audio state forward with a new media batch. */
+  def updatedAudioBandState(state: DataFrame, media: DataFrame,
+      bits: Int = 31, bands: Int = 7, maxDist: Int = 2): DataFrame =
+    state.unionByName(audioBandState(media, bits, bands, maxDist)).distinct()
+
+  /** Drop TODAY's clips whose WIDE fingerprint is within `maxDist` bits
+    * of any fingerprint in the banded audio state —
+    * [[dropSeenImagesWithinDist]] for sound (q148): re-encodes whose
+    * energy profile drifted a bit or two (level tweaks on a segment,
+    * lossy re-encode wobble) drop where the exact key waves them
+    * through; polarity flips are distance 0 by the |mono| invariance.
+    * Same recall/guard/pass-through contracts as the image path;
+    * `bits`/`bands` must match the state build. */
+  def dropSeenAudioWithinDist(today: DataFrame, idCol: String,
+      state: DataFrame, maxDist: Int = 2, bits: Int = 31, bands: Int = 7,
+      maxBucket: Int = 1 << 16): DataFrame =
+    dropSeenHashWithinDist("dropSeenAudioWithinDist",
+      Multimodal.withAudioPHashWide(today), idCol, "ahash31", state,
+      maxDist, bits, bands, maxBucket)
 
   /** Perceptual AUDIO fingerprint state — [[imageHashState]]'s time-axis
     * sibling over [[Multimodal.withAudioPHash]] (15-bit energy-delta

@@ -319,6 +319,26 @@ object Multimodal {
     * |mono| and the hash unchanged. `None` for payloads the PCM reader
     * rejects. */
   private[graft] def audioPHash15(bytes: Array[Byte]): Option[Long] =
+    audioPHashSegs(bytes, 16)
+
+  /** [[audioPHash15]] widened to 32 segments → a 31-bit fingerprint —
+    * fine enough that WITHIN-DISTANCE matching is meaningful (15 bits
+    * put every hash within 1 bit of 15 neighbors out of 32k values —
+    * hopeless for a near-key at corpus scale; 31 bits give 2^31 values
+    * with 31 one-bit neighbors). Clips shorter than 32 frames leave
+    * trailing/interleaved segments EMPTY (energy 0) — deterministic and
+    * oracle-replayable, but prefer ≥ 32-frame clips for discriminative
+    * hashes. Same polarity-inversion invariance ([[audioPHash15]]'s
+    * |mono|). The cross-run within-distance state rides this
+    * ([[graft.ops.Incremental.dropSeenAudioWithinDist]], q148). */
+  private[graft] def audioPHash31(bytes: Array[Byte]): Option[Long] =
+    audioPHashSegs(bytes, 32)
+
+  /** The shared energy-delta fingerprint core: `segs` equal frame bins,
+    * one bit per adjacent-segment energy comparison → a (segs−1)-bit
+    * packed long. Bit-identical to the pre-r14 inline 16-segment code
+    * for segs = 16. */
+  private def audioPHashSegs(bytes: Array[Byte], segs: Int): Option[Long] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -333,7 +353,7 @@ object Multimodal {
           val n = in.getFrameLength.toInt
           val data = in.readAllBytes()
           val big = fmt.isBigEndian
-          val e = new Array[Long](16)
+          val e = new Array[Long](segs)
           var i = 0
           while (i < n) {
             var mono = 0L
@@ -345,15 +365,15 @@ object Multimodal {
               mono += (hi << 8) | lo
               ch += 1
             }
-            // long multiply: i*16 overflows Int past ~134M frames (a
-            // ~50-minute 44.1 kHz clip), which would AIOOBE into the
-            // NonFatal catch and silently null the fingerprint
-            e((i.toLong * 16 / n).toInt) += math.abs(mono)
+            // long multiply: i*segs overflows Int past ~67M frames (a
+            // ~25-minute 44.1 kHz clip at segs=32), which would AIOOBE
+            // into the NonFatal catch and silently null the fingerprint
+            e((i.toLong * segs / n).toInt) += math.abs(mono)
             i += 1
           }
           var hash = 0L
           var s = 0
-          while (s < 15) {
+          while (s < segs - 1) {
             if (e(s + 1) > e(s)) hash |= 1L << s
             s += 1
           }
@@ -370,6 +390,69 @@ object Multimodal {
     * band non-empty, see [[graft.ops.Dedup.hammingBandKeys]]). */
   def withAudioPHash(media: DataFrame): DataFrame =
     withPayloadHash(media, "ahash", audioPHash15)
+
+  /** Adds a nullable `ahash31` column ([[audioPHash31]]) — the WIDE
+    * fingerprint the within-distance cross-run audio state keys on. */
+  def withAudioPHashWide(media: DataFrame): DataFrame =
+    withPayloadHash(media, "ahash31", audioPHash31)
+
+  /** [[synthWav]] with an additive `bump` on FRAME 0's samples (every
+    * channel) — the drifted-audio-re-encode fixture (q148, the
+    * [[synthPngShiftedBumped]] playbook for sound): the bump changes
+    * only segment 0's energy, so the [[audioPHash31]] fingerprint moves
+    * by AT MOST the single adjacent compare bit 0 (and possibly 0 bits
+    * when the compare already pointed the bump's way) — inside the
+    * within-distance drop horizon, outside an exact-hash key whenever
+    * the bit flips. Samples stay in [-100+.., 100+bump] ≪ 32767, so no
+    * clipping; fully oracle-replayable (mono(0) = base + channels·bump). */
+  private[graft] def synthWavBumped(id: Long, bump: Int): Array[Byte] = {
+    require(bump >= 0 && bump <= 1000, "bump must stay far from 16-bit range")
+    val channels = (Math.floorMod(id, 2L) + 1L).toInt
+    val rates = Array(8000f, 11025f, 16000f, 22050f)
+    val rate = rates(Math.floorMod(id, 4L).toInt)
+    val nFrames = (Math.floorMod(id, 50L) + 20L).toInt
+    val m = Math.floorMod(id, 256L).toInt
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      var ch = 0
+      while (ch < channels) {
+        val s = (7 * m + 13 * i + 31 * ch) % 201 - 100 +
+          (if (i == 0) bump else 0)
+        val off = (i * channels + ch) * 2
+        data(off) = (s & 0xff).toByte
+        data(off + 1) = ((s >> 8) & 0xff).toByte
+        ch += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[synthWavBumped]] fixtures — the q148
+    * drifted-re-encode input. */
+  def synthAudioBumped(df: DataFrame, idCol: String, bump: Int,
+      idOffset: Long = 0L): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaSchema))))
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id + idOffset, synthWavBumped(id, bump),
+            Row("audio", "wav", null, null, null))
+        }
+      }(enc)
+  }
 
   /** Media table of [[synthWavSigned]] fixtures — the polarity-pair
     * input for the q141 perceptual-audio-dedup contract. */

@@ -1848,6 +1848,56 @@ object DataOpsQueries {
         |  TRUE AS twin_match
         |FROM d JOIN hs ON d.id = hs.id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Cross-run within-distance audio dedup: each render's 31-bit
+    // energy-delta fingerprint replayed over a 32-segment spine (empty
+    // segments = 0 via LEFT JOIN), frame-0 bump term for day-2 drifts,
+    // drop rule replayed exhaustively as bit_count(xor) <= 2 against
+    // day-1's distinct fingerprints.
+    "q148_incremental_audio_near" ->
+      """WITH r AS (
+        |  SELECT doc_id AS mid, 0 AS day, doc_id AS base, 0 AS bump
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id - 1, 40 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id, 0 FROM documents
+        |  WHERE doc_id % 2 = 1 AND doc_id % 7 = 3),
+        |d AS (SELECT mid, day, bump, (base % 50) + 20 AS n,
+        |  (base % 2) + 1 AS c, base % 256 AS m FROM r),
+        |f AS (SELECT mid, day, n, t.i,
+        |  ((7*m + 13*t.i) % 201 - 100)
+        |  + CASE WHEN c = 2 THEN ((7*m + 13*t.i + 31) % 201 - 100)
+        |    ELSE 0 END
+        |  + CASE WHEN t.i = 0 THEN c * bump ELSE 0 END AS mono
+        |  FROM d, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        |e0 AS (SELECT mid, day, (i * 32) // n AS seg, SUM(ABS(mono)) AS e
+        |  FROM f GROUP BY 1, 2, 3),
+        |spine AS (SELECT mid, day, t.sg FROM r,
+        |  UNNEST(range(0, 32)) AS t(sg)),
+        |e AS (SELECT spine.mid, spine.day, spine.sg,
+        |    COALESCE(e0.e, 0) AS e
+        |  FROM spine LEFT JOIN e0 ON spine.mid = e0.mid
+        |    AND spine.day = e0.day AND spine.sg = e0.seg),
+        |b AS (SELECT a.mid, a.day,
+        |  CASE WHEN nx.e > a.e
+        |    THEN (CAST(1 AS BIGINT) << CAST(a.sg AS INT)) ELSE 0 END AS bit
+        |  FROM e a JOIN e nx ON a.mid = nx.mid AND a.day = nx.day
+        |    AND nx.sg = a.sg + 1),
+        |hs AS (SELECT mid, day, CAST(SUM(bit) AS BIGINT) AS h
+        |  FROM b GROUP BY 1, 2),
+        |win1 AS (SELECT h, MIN(mid) AS mid FROM hs WHERE day = 0
+        |  GROUP BY h),
+        |win2 AS (SELECT h, MIN(mid) AS mid FROM hs WHERE day = 1
+        |  GROUP BY h),
+        |d1 AS (SELECT DISTINCT h FROM hs WHERE day = 0),
+        |drop2 AS (SELECT DISTINCT w2.h FROM win2 w2
+        |  JOIN d1 ON bit_count(xor(w2.h, d1.h)) <= 2)
+        |SELECT mid AS doc_id, 0 AS day FROM win1
+        |UNION ALL
+        |SELECT mid, 1 FROM win2
+        |WHERE h NOT IN (SELECT h FROM drop2)
+        |ORDER BY doc_id""".stripMargin,
     // Cross-run video-sequence dedup: all three anchor dHashes replayed
     // per render from the gray construction over its BASE id (bump on
     // frame 0's corner for day-2 drifts), drop rule replayed
@@ -2832,6 +2882,46 @@ object DataOpsQueries {
     val run1 = Incremental.dropSeenVideoSeqs(day1, "media_id", empty)
     Incremental.saveState(Incremental.videoSeqState(day1), statePath)
     val run2 = Incremental.dropSeenVideoSeqs(day2, "media_id",
+      Incremental.loadState(s, statePath))
+    run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
+      .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-run WITHIN-DISTANCE audio dedup ([[Incremental.audioBandState]]
+    * → parquet persist → reload → [[Incremental.dropSeenAudioWithinDist]])
+    * — q144's drift story for SOUND, on the WIDE 31-bit fingerprint
+    * ([[Multimodal.audioPHash31]], 32 energy segments — the 15-bit key
+    * is too coarse to near-match): day-2 carries DRIFTED re-encodes of
+    * day-1 clips ([[Multimodal.synthWavBumped]] — frame-0 level bump,
+    * moves only adjacent-compare bit 0, so 0–1 flipped bits: inside the
+    * Hamming-≤2 horizon, outside the exact key whenever the bit flips)
+    * plus genuinely new clips. The oracle replays each render's 31-bit
+    * hash over a full 32-segment spine (short clips leave segments
+    * empty — energy 0, replayed with a LEFT JOIN + COALESCE) and the
+    * drop rule exhaustively; banding is recall-lossless, so banded ==
+    * exhaustive. */
+  val q148IncrementalAudioNear: Q = (s, dir) => {
+    import graft.ops.Incremental
+    val docs = load(s, dir, "documents").select("doc_id")
+    val d = col("doc_id")
+    val day1 = Multimodal.synthAudio(docs.filter(pmod(d, lit(2L)) === 0L),
+      "doc_id")
+    val drift = Multimodal.synthAudioBumped(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) =!= 3L)
+        .select((d - 1L).as("base")), "base", bump = 40, idOffset = 1L)
+    val news = Multimodal.synthAudio(
+      docs.filter(pmod(d, lit(2L)) === 1L && pmod(d, lit(7L)) === 3L),
+      "doc_id")
+    val day2 = drift.unionByName(news)
+    val statePath =
+      TempState.dir("graft_audioband_state").resolve("state.parquet").toString
+    val empty = s.range(0).select(
+      col("id").cast("int").as("band"), col("id").as("bv"),
+      col("id").as("ahash31"))
+    val run1 = Incremental.dropSeenAudioWithinDist(day1, "media_id", empty)
+    Incremental.saveState(Incremental.audioBandState(day1), statePath)
+    val run2 = Incremental.dropSeenAudioWithinDist(day2, "media_id",
       Incremental.loadState(s, statePath))
     run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
       .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
@@ -4604,5 +4694,6 @@ object DataOpsQueries {
     "q145_incremental_audio" -> q145IncrementalAudio,
     "q146_video_seq" -> q146VideoSeq,
     "q147_incremental_video" -> q147IncrementalVideo,
+    "q148_incremental_audio_near" -> q148IncrementalAudioNear,
   )
 }

@@ -266,6 +266,30 @@ object Streams {
       .unionByName(hashed.filter(col("ahash").isNull))
   }
 
+  /** Streaming VIDEO-SEQUENCE dedup — [[imageDedupStream]] extended
+    * along the time axis over [[graft.ops.Multimodal.withVideoSeqHash]]
+    * (per-frame real-decode dHash, (n_frames, first, mid, last)
+    * anchors): first-seen-wins within the watermark horizon keyed on
+    * the FULL 4-tuple fingerprint — re-encoded/brightness-edited
+    * animations (the per-frame monotone invariance class) drop, trims
+    * survive (different frame count ⇒ different key, the
+    * order/length-sensitive contract), payloads no reader claims pass
+    * through un-deduped. State per retained animation = one int +
+    * three longs (~28 B), never frames or payload bytes. The
+    * WITHIN-DISTANCE sequence join ([[graft.ops.Multimodal
+    * .videoSeqNearDups]] / [[graft.ops.Incremental.dropSeenVideoSeqs]])
+    * stays batch/cross-run by design — a streaming self-join over an
+    * unbounded fingerprint history is not bounded-state expressible. */
+  def videoDedupStream(media: DataFrame,
+      eventTimeCol: String = "event_time",
+      watermark: String = "10 minutes"): DataFrame = {
+    val hashed = graft.ops.Multimodal.withVideoSeqHash(media)
+    hashed.filter(col("h_first").isNotNull)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("n_frames", "h_first", "h_mid", "h_last")
+      .unionByName(hashed.filter(col("h_first").isNull))
+  }
+
   /** Stateless streaming multi-class PII scrub — the continuous-ingest
     * twin of [[graft.ops.Pii.scrub]]: the identical per-row
     * count-and-redact chain (same `Column` expressions, same class order),

@@ -290,6 +290,81 @@ class IncrementalSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("wide-audio band state: drifted re-encodes drop within maxDist, the 15-bit/exact paths miss them (q148 invariant)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the drift fixture's law: a frame-0 level bump moves ONLY adjacent
+    // compare bit 0 of the 31-bit fingerprint (0-1 bits)
+    for (id <- 0L until 12L) {
+      val h0 = Multimodal.audioPHash31(Multimodal.synthWav(id)).get
+      val h1 = Multimodal.audioPHash31(Multimodal.synthWavBumped(id, 40)).get
+      assert(java.lang.Long.bitCount(h0 ^ h1) <= 1, s"id=$id drift > 1 bit")
+      // polarity inversion stays distance 0 on the wide hash too
+      assert(Multimodal.audioPHash31(
+        Multimodal.synthWavSigned(id, -1)).get == h0, s"id=$id polarity")
+    }
+    val day1 = Multimodal.synthAudio((0L until 10L).toDF("id"), "id")
+    // drifted re-encodes of bases whose drift ACTUALLY flips the bit
+    // (bump can land on an already-true compare — pick driver-side)
+    val driftedBases = (0L until 10L).filter { id =>
+      Multimodal.audioPHash31(Multimodal.synthWav(id)).get !=
+        Multimodal.audioPHash31(Multimodal.synthWavBumped(id, 40)).get
+    }
+    assert(driftedBases.nonEmpty, "no base drifts under bump=40")
+    val day1Wide = (0L until 10L).map(i =>
+      Multimodal.audioPHash31(Multimodal.synthWav(i)).get).toSet
+    def isFresh(id: Long): Boolean = {
+      val h = Multimodal.audioPHash31(Multimodal.synthWav(id)).get
+      !day1Wide.exists(h1 => java.lang.Long.bitCount(h ^ h1) <= 2)
+    }
+    val freshIds = (100L until 600L).filter(isFresh).take(2)
+    assert(freshIds.size == 2, "no fresh wide-fingerprint ids found")
+    val drift = Multimodal.synthAudioBumped(driftedBases.toDF("id"), "id",
+      bump = 40, idOffset = 1000L)
+    val fresh = Multimodal.synthAudio(freshIds.toDF("id"), "id")
+      .withColumn("media_id", col("media_id") + 1000L)
+    val junk = Seq((9999L, Array.fill[Byte](32)(7)))
+      .toDF("media_id", "payload")
+      .withColumn("meta", lit(null).cast(Multimodal.mediaMetaSchema))
+    val day2 = drift.unionByName(fresh).unionByName(junk)
+    val path = tmp("audioband_state")
+    Incremental.saveState(Incremental.audioBandState(day1), path)
+    val out = Incremental.dropSeenAudioWithinDist(day2, "media_id",
+      Incremental.loadState(spark, path))
+    val kept = out.select("media_id").as[Long].collect().toSet
+    assert(kept == (freshIds.map(_ + 1000L).toSet + 9999L), kept)
+    // the EXACT-hash audio state would have waved the drifted renders
+    // through (that is the recall gap this state closes)
+    val exactPath = tmp("audio_exact_state2")
+    Incremental.saveState(Incremental.audioHashState(day1), exactPath)
+    val exactKept = Incremental.dropSeenAudio(day2, "media_id",
+        Incremental.loadState(spark, exactPath))
+      .select("media_id").as[Long].collect().toSet
+    // drifted renders whose bumped 15-BIT hash matches NO day-1 hash
+    // survive the exact path (within-day first-seen-wins applied
+    // driver-side, so 15-bit collisions cannot flake the expectation);
+    // every one of them must be IN exactKept and OUT of the wide kept
+    val day1H15 = (0L until 10L).map(i =>
+      Multimodal.audioPHash15(Multimodal.synthWav(i)).get).toSet
+    val surviving15 = driftedBases
+      .map(b => b -> Multimodal.audioPHash15(
+        Multimodal.synthWavBumped(b, 40)).get)
+      .filter { case (_, h) => !day1H15.contains(h) }
+      .groupBy(_._2).map { case (_, grp) => grp.map(_._1).min + 1000L }
+      .toSet
+    assert(surviving15.subsetOf(exactKept), s"$surviving15 vs $exactKept")
+    assert(surviving15.intersect(kept).isEmpty)
+    // roll-forward: a day-3 drift of a DAY-2 clip drops too
+    val path2 = tmp("audioband_state2")
+    Incremental.saveState(Incremental.updatedAudioBandState(
+      Incremental.loadState(spark, path), day2), path2)
+    val day3 = Multimodal.synthAudioBumped(Seq(freshIds.head).toDF("id"),
+      "id", bump = 40, idOffset = 2000L)
+    assert(Incremental.dropSeenAudioWithinDist(day3, "media_id",
+      Incremental.loadState(spark, path2)).count() == 0)
+    OpCaches.releaseAll()
+  }
+
   test("video recrawl state: drifted animation re-encodes drop, fresh/trimmed-length survive (q147 invariant)") {
     val spark2 = spark
     import spark2.implicits._

@@ -286,6 +286,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("media_id") === 5000L).count() == 1)
   }
 
+  test("streaming video-sequence dedup: re-encoded animations drop, trims and junk pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.ops.Multimodal
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(m: Long) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ids = 0L until 8L
+    // originals + brightness-shifted re-encodes (different bytes,
+    // identical sequence fingerprint) + junk
+    val rows = ids.map(i => (i, Multimodal.synthGifShifted(i, 0), at(i))) ++
+      ids.map(i => (i + 1000L, Multimodal.synthGifShifted(i, 15), at(i + 20))) :+
+      ((5000L, Array.fill[Byte](24)(3), at(40)))
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    mem.addData(rows)
+    val q = Streams.videoDedupStream(
+        mem.toDF().toDF("media_id", "payload", "event_time"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("video_dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("video_dedup_stream")
+    // stream==batch: survivors carry exactly the batch-distinct
+    // fingerprint set; junk passes through un-deduped
+    val batch = Multimodal.withVideoSeqHash(
+        rows.toDF("media_id", "payload", "event_time"))
+      .filter(col("h_first").isNotNull)
+      .select("n_frames", "h_first", "h_mid", "h_last").distinct()
+    assert(out.filter(col("h_first").isNotNull).count() == batch.count())
+    assert(out.filter(col("h_first").isNotNull)
+      .select("n_frames", "h_first", "h_mid", "h_last")
+      .exceptAll(batch).count() == 0)
+    assert(out.filter(col("media_id") === 5000L).count() == 1)
+  }
+
   test("streaming bloom decontamination matches the batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
