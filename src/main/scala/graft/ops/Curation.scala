@@ -531,4 +531,72 @@ object Curation {
     docs.select(col(idCol), col(domainCol), tokensCol.cast("long")
         .as("n_tokens"), explode(withPartial).as("epoch"))
   }
+
+  /** The COMPOSED media-curation recipe — [[curateWeb]]'s sibling for a
+    * MIXED media table (binary `payload` + any metadata columns), the
+    * front end a multimodal training corpus runs before captioning/
+    * feature extraction ever sees a byte:
+    *
+    *   1. SIZE GATE — `octet_length ≥ minBytes` (truncated fetches,
+    *      tracking pixels); pure codegen filter.
+    *   2. BYTE-EXACT dedup — first-seen-wins on `xxhash64(payload)`:
+    *      identical payloads collapse BEFORE any decode runs (a mirror
+    *      re-crawl is the dominant duplicate class and costs one 8-byte
+    *      shuffle key here vs a real decode later).
+    *   3. ONE decode pass ([[Multimodal.withPerceptualHashes]] —
+    *      image-first dispatch, `dhash` XOR `ahash31` per decodable
+    *      payload) feeding per-modality PERCEPTUAL dedup: first-seen-wins
+    *      on the 63-bit image dHash / 31-bit audio fingerprint, so
+    *      re-encodes and brightness/polarity edits collapse where byte
+    *      keys cannot. Payloads neither reader claims pass through
+    *      (null hash is never a dedup key — the [[graft.ops.Incremental]]
+    *      contract, recipe-wide).
+    *   4. optional CROSS-RUN drops — the banded within-distance states
+    *      ([[graft.ops.Incremental.imageBandState]] /
+    *      [[graft.ops.Incremental.audioBandState]]) drop drifted
+    *      re-encounters of anything a PRIOR run already retained.
+    *
+    * Scale shape: two 8-byte-keyed shuffles (byte key, perceptual key)
+    * plus the optional banded state joins — the decode is the one CPU
+    * stage and runs ONCE per surviving payload (OpCaches-persisted for
+    * its three consumers). Returns the surviving rows (hash columns
+    * dropped) plus `media_kind` ∈ image/audio/other. */
+  def curateMedia(media: DataFrame, idCol: String, minBytes: Long = 1L,
+      seenImageBands: Option[DataFrame] = None,
+      seenAudioBands: Option[DataFrame] = None,
+      imageMaxDist: Int = 3, audioMaxDist: Int = 2,
+      bands: Int = 7, maxBucket: Int = 1 << 16): DataFrame = {
+    require(minBytes >= 0, "minBytes must be >= 0")
+    Sampling.requireFreshColumns(media, "Curation.curateMedia",
+      "dhash", "ahash31", "media_kind", "__bh")
+    val gated = media.filter(octet_length(col("payload")) >= minBytes)
+    val byteWin = gated
+      .select(xxhash64(col("payload")).as("__bh"), col(idCol))
+      .groupBy("__bh").agg(min(col(idCol)).as(idCol))
+    val afterBytes = gated
+      .withColumn("__bh", xxhash64(col("payload")))
+      .join(byteWin, Seq("__bh", idCol), "left_semi")
+      .drop("__bh")
+    val hashed = OpCaches.persist(
+      Multimodal.withPerceptualHashes(afterBytes))
+    def perceptualKeep(hashCol: String) = {
+      val w = hashed.filter(col(hashCol).isNotNull)
+      val winners = w.groupBy(col(hashCol)).agg(min(col(idCol)).as(idCol))
+      w.join(winners, Seq(hashCol, idCol), "left_semi")
+    }
+    val imgs0 = perceptualKeep("dhash")
+    val imgs = seenImageBands.fold(imgs0)(st =>
+      Incremental.dropSeenHashWithinDist("curateMedia.image", imgs0, idCol,
+        "dhash", st, imageMaxDist, 63, bands, maxBucket))
+    val auds0 = perceptualKeep("ahash31")
+    val auds = seenAudioBands.fold(auds0)(st =>
+      Incremental.dropSeenHashWithinDist("curateMedia.audio", auds0, idCol,
+        "ahash31", st, audioMaxDist, 31, bands, maxBucket))
+    val others = hashed.filter(col("dhash").isNull && col("ahash31").isNull)
+    def finish(df: DataFrame, kind: String) =
+      df.drop("dhash", "ahash31").withColumn("media_kind", lit(kind))
+    finish(imgs, "image")
+      .unionByName(finish(auds, "audio"))
+      .unionByName(finish(others, "other"))
+  }
 }

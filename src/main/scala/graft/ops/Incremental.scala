@@ -243,7 +243,7 @@ object Incremental {
     * generic in the hash column so the audio sibling is one line. The
     * state carries (band, bv, `hashCol`) built with the SAME
     * [[Dedup.hammingBandKeys]] split. */
-  private def dropSeenHashWithinDist(op: String, withH0: DataFrame,
+  private[ops] def dropSeenHashWithinDist(op: String, withH0: DataFrame,
       idCol: String, hashCol: String, state: DataFrame, maxDist: Int,
       bits: Int, bands: Int, maxBucket: Int): DataFrame = {
     val st = OpCaches.persist(state.select(

@@ -648,6 +648,33 @@ object Multimodal {
   def withImageDHash(media: DataFrame): DataFrame =
     withPayloadHash(media, "dhash", dHash63)
 
+  /** Adds BOTH perceptual hash columns (`dhash` — [[dHash63]], `ahash31`
+    * — [[audioPHash31]]) in ONE partition-parallel pass over a MIXED
+    * media table — the [[JdkCodec]] dispatch story for dedup keys: each
+    * payload is probed image-first (magic bytes make the wrong-modality
+    * reject cheap), so exactly one of the two columns is non-null for
+    * decodable media and both are null for payloads no JDK reader
+    * claims. The one decode per payload is what
+    * [[graft.ops.Curation.curateMedia]] rides. */
+  def withPerceptualHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("dhash", LongType), StructField("ahash31", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        dHash63(bytes) match {
+          case Some(h) => Row.fromSeq(r.toSeq ++ Seq(Long.box(h), null))
+          case None => audioPHash31(bytes) match {
+            case Some(a) => Row.fromSeq(r.toSeq ++ Seq(null, Long.box(a)))
+            case None => Row.fromSeq(r.toSeq ++ Seq(null, null))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** [[synthPng]] with id-linear channels and a uniform brightness
     * shift — the dHash twin fixture: channels
     * `r=(3·id+5x+7y) mod 200 + delta` (g/b their own coefficient rows),

@@ -1848,6 +1848,56 @@ object DataOpsQueries {
         |  TRUE AS twin_match
         |FROM d JOIN hs ON d.id = hs.id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Composed media curation: image survivors = min id per replayed
+    // dHash (q140 arithmetic), audio = min id per replayed 31-bit
+    // fingerprint (q148 spine, no bump), junk = min id per byte class
+    // (construction mods) above the size gate — origs always beat
+    // offset twins, so every perceptual group keeps its original.
+    "q149_media_curation" ->
+      """WITH imgd AS (SELECT doc_id AS id, (doc_id % 7) + 2 AS w,
+        |    (doc_id % 5) + 2 AS h FROM documents WHERE doc_id % 3 = 0),
+        |ibits AS (SELECT id,
+        |  CASE WHEN
+        |    ((3*id + 5*((tx.gx+1)*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*id + 13*((tx.gx+1)*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*id + 23*((tx.gx+1)*w//10) + 29*(ty.gy*h//7)) % 200) // 3
+        |    >
+        |    ((3*id + 5*(tx.gx*w//10) + 7*(ty.gy*h//7)) % 200
+        |     + (11*id + 13*(tx.gx*w//10) + 17*(ty.gy*h//7)) % 200
+        |     + (19*id + 23*(tx.gx*w//10) + 29*(ty.gy*h//7)) % 200) // 3
+        |  THEN (CAST(1 AS BIGINT) << (ty.gy*9 + tx.gx)) ELSE 0 END AS bit
+        |  FROM imgd, UNNEST(range(0, 7)) AS ty(gy), UNNEST(range(0, 9)) AS tx(gx)),
+        |ihs AS (SELECT id, CAST(SUM(bit) AS BIGINT) AS dh
+        |  FROM ibits GROUP BY id),
+        |ikeep AS (SELECT MIN(id) AS doc_id FROM ihs GROUP BY dh),
+        |ad AS (SELECT doc_id AS id, (doc_id % 50) + 20 AS n,
+        |  (doc_id % 2) + 1 AS c, doc_id % 256 AS m FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |af AS (SELECT id, n, t.i,
+        |  ((7*m + 13*t.i) % 201 - 100)
+        |  + CASE WHEN c = 2 THEN ((7*m + 13*t.i + 31) % 201 - 100)
+        |    ELSE 0 END AS mono
+        |  FROM ad, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+        |ae0 AS (SELECT id, (i * 32) // n AS seg, SUM(ABS(mono)) AS e
+        |  FROM af GROUP BY 1, 2),
+        |aspine AS (SELECT id, t.sg FROM ad, UNNEST(range(0, 32)) AS t(sg)),
+        |ae AS (SELECT aspine.id, aspine.sg, COALESCE(ae0.e, 0) AS e
+        |  FROM aspine LEFT JOIN ae0 ON aspine.id = ae0.id
+        |    AND aspine.sg = ae0.seg),
+        |ab AS (SELECT a.id,
+        |  CASE WHEN nx.e > a.e
+        |    THEN (CAST(1 AS BIGINT) << CAST(a.sg AS INT)) ELSE 0 END AS bit
+        |  FROM ae a JOIN ae nx ON a.id = nx.id AND nx.sg = a.sg + 1),
+        |ahs AS (SELECT id, CAST(SUM(bit) AS BIGINT) AS ah
+        |  FROM ab GROUP BY id),
+        |akeep AS (SELECT MIN(id) AS doc_id FROM ahs GROUP BY ah),
+        |jkeep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id % 3 = 2 AND (doc_id % 17) + 3 >= 5
+        |  GROUP BY doc_id % 199, doc_id % 17)
+        |SELECT doc_id, 'image' AS media_kind FROM ikeep
+        |UNION ALL SELECT doc_id, 'audio' FROM akeep
+        |UNION ALL SELECT doc_id, 'other' FROM jkeep
+        |ORDER BY doc_id""".stripMargin,
     // Cross-run within-distance audio dedup: each render's 31-bit
     // energy-delta fingerprint replayed over a 32-segment spine (empty
     // segments = 0 via LEFT JOIN), frame-0 bump term for day-2 drifts,
@@ -2925,6 +2975,42 @@ object DataOpsQueries {
       Incremental.loadState(s, statePath))
     run1.select(col("media_id").as("doc_id"), lit(0).as("day"))
       .unionByName(run2.select(col("media_id").as("doc_id"), lit(1).as("day")))
+      .orderBy("doc_id")
+  }
+
+  /** The COMPOSED media-curation recipe ([[graft.ops.Curation.curateMedia]]
+    * — size gate → byte-exact dedup → ONE decode pass → per-modality
+    * perceptual dedup), run end-to-end over a constructed MIXED table:
+    * images with brightness twins (different bytes, equal dHash — must
+    * collapse perceptually), audio with polarity twins (different
+    * bytes, equal 31-bit fingerprint — ditto), and junk payloads with
+    * BYTE-IDENTICAL twins (must collapse at the byte stage and pass the
+    * decoders untouched) plus a sub-threshold slice the size gate
+    * drops. The oracle replays the ENTIRE chain: the image dHash by the
+    * q140 pixel arithmetic, the audio fingerprint by the q148
+    * 32-segment spine, junk classes by the construction mods, each
+    * stage's first-seen-wins as MIN(id) per key. */
+  val q149MediaCuration: Q = (s, dir) => {
+    val docs = load(s, dir, "documents").select("doc_id")
+    val d = col("doc_id")
+    val off = 100000000L
+    val imgIds = docs.filter(pmod(d, lit(3L)) === 0L)
+    val audIds = docs.filter(pmod(d, lit(3L)) === 1L)
+    val junkIds = docs.filter(pmod(d, lit(3L)) === 2L)
+    val img = Multimodal.synthImagesShifted(imgIds, "doc_id", delta = 0)
+    val imgTwin = Multimodal.synthImagesShifted(imgIds, "doc_id",
+      delta = 20, idOffset = off)
+    val aud = Multimodal.synthAudioSigned(audIds, "doc_id", sign = 1)
+    val audTwin = Multimodal.synthAudioSigned(audIds, "doc_id", sign = -1,
+      idOffset = off)
+    // ids ≡ 2 (mod 3) land in synthMixed's non-decodable arm; the twin
+    // re-lands the SAME payload under an offset id — the byte-exact class
+    val junk = Multimodal.synthMixed(junkIds, "doc_id")
+    val junkTwin = junk.withColumn("media_id", col("media_id") + off)
+    val media = img.unionByName(imgTwin).unionByName(aud)
+      .unionByName(audTwin).unionByName(junk).unionByName(junkTwin)
+    graft.ops.Curation.curateMedia(media, "media_id", minBytes = 5)
+      .select(col("media_id").as("doc_id"), col("media_kind"))
       .orderBy("doc_id")
   }
 
@@ -4695,5 +4781,6 @@ object DataOpsQueries {
     "q146_video_seq" -> q146VideoSeq,
     "q147_incremental_video" -> q147IncrementalVideo,
     "q148_incremental_audio_near" -> q148IncrementalAudioNear,
+    "q149_media_curation" -> q149MediaCuration,
   )
 }
