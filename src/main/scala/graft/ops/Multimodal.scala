@@ -204,6 +204,17 @@ object Multimodal {
       * NonFatal-guarded like the image path: a crafted header must
       * degrade per-payload, never kill the task. */
     private[ops] def decodeWav(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+      // canonical fast path / AudioSystem fallback / magic-gated reject —
+      // the audioPHashSegs dispatch (see [[WavIo]]); feature arithmetic
+      // is the shared [[featuresOfPcm16]] on both routes
+      WavIo.parseCanonical(bytes) match {
+        case Some(p) => Some(featuresOfPcm16(bytes, p.dataOff, p.rate,
+          p.channels, p.nFrames, big = false, dim))
+        case None if WavIo.jdkMightRead(bytes) => decodeWavJdk(bytes, dim)
+        case None => None
+      }
+
+    private def decodeWavJdk(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -214,31 +225,41 @@ object Multimodal {
             fmt.getSampleSizeInBits == 16 && in.getFrameLength >= 0
           if (!pcm16) None
           else {
-            val channels = fmt.getChannels
-            val nFrames = in.getFrameLength
             val data = in.readAllBytes()
-            val out = new Array[Float](dim)
-            out(0) = fmt.getSampleRate
-            out(1) = channels.toFloat
-            out(2) = nFrames.toFloat
-            val sums = new Array[Long](2)
-            val big = fmt.isBigEndian
-            var i = 0
-            val nSamples = data.length / 2
-            while (i < nSamples) {
-              val lo = data(2 * i + (if (big) 1 else 0)) & 0xff
-              val hi = data(2 * i + (if (big) 0 else 1)).toInt
-              val s = (hi << 8) | lo // hi keeps its sign: 16-bit signed sample
-              sums(math.min(i % channels, 1)) += s
-              if (dim > 5) out(5 + ((s + 32768) * (dim - 5)) / 65536) += 1f
-              i += 1
-            }
-            out(3) = sums(0).toFloat
-            out(4) = sums(1).toFloat
-            Some(out)
+            Some(featuresOfPcm16(data, 0, fmt.getSampleRate,
+              fmt.getChannels, in.getFrameLength, fmt.isBigEndian, dim))
           }
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** The shared feature loop over raw 16-bit PCM at `off` —
+      * `nSamples` is bounded by the byte run the JDK stream would have
+      * returned (whole frames only), so fast and fallback paths are
+      * bit-identical. */
+    private def featuresOfPcm16(data: Array[Byte], off: Int, rate: Float,
+        channels: Int, nFrames: Long, big: Boolean, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      out(0) = rate
+      out(1) = channels.toFloat
+      out(2) = nFrames.toFloat
+      val sums = new Array[Long](2)
+      var i = 0
+      val nSamples =
+        if (off == 0) (data.length - off) / 2
+        else (nFrames * channels).toInt
+      while (i < nSamples) {
+        val o = off + 2 * i
+        val lo = data(o + (if (big) 1 else 0)) & 0xff
+        val hi = data(o + (if (big) 0 else 1)).toInt
+        val s = (hi << 8) | lo // hi keeps its sign: 16-bit signed sample
+        sums(math.min(i % channels, 1)) += s
+        if (dim > 5) out(5 + ((s + 32768) * (dim - 5)) / 65536) += 1f
+        i += 1
+      }
+      out(3) = sums(0).toFloat
+      out(4) = sums(1).toFloat
+      out
+    }
   }
 
   /** Mixed-media dispatch: image bytes through [[ImageIoCodec]], PCM
@@ -294,14 +315,9 @@ object Multimodal {
       }
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
-      /* signed = */ true, /* bigEndian = */ false)
-    val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(stream,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // byte-identical to the AudioSystem.write container (WavIoSpec pins
+    // the sweep) minus its JVM-global provider lock — see [[WavIo]]
+    WavIo.writeCanonical(data, rate, channels)
   }
 
   /** 15-bit perceptual audio fingerprint of a JDK-decodable 16-bit PCM
@@ -339,6 +355,21 @@ object Multimodal {
     * packed long. Bit-identical to the pre-r14 inline 16-segment code
     * for segs = 16. */
   private def audioPHashSegs(bytes: Array[Byte], segs: Int): Option[Long] =
+    // canonical-WAVE fast path first: no AudioSystem = no JVM-global
+    // provider lock under a 32-thread stage (see [[WavIo]]); acceptance
+    // semantics unchanged — non-canonical RIFF and the other JDK magics
+    // fall back to the AudioSystem path, everything else is rejected by
+    // every JDK provider anyway (WavIo.jdkMightRead)
+    WavIo.parseCanonical(bytes) match {
+      case Some(p) =>
+        if (p.nFrames < 16) None // the JDK path's frameLength >= 16 gate
+        else Some(pHashOfPcm16(bytes, p.dataOff, p.nFrames, p.channels,
+          big = false, segs))
+      case None if WavIo.jdkMightRead(bytes) => audioPHashSegsJdk(bytes, segs)
+      case None => None
+    }
+
+  private def audioPHashSegsJdk(bytes: Array[Byte], segs: Int): Option[Long] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -352,35 +383,42 @@ object Multimodal {
           val channels = fmt.getChannels
           val n = in.getFrameLength.toInt
           val data = in.readAllBytes()
-          val big = fmt.isBigEndian
-          val e = new Array[Long](segs)
-          var i = 0
-          while (i < n) {
-            var mono = 0L
-            var ch = 0
-            while (ch < channels) {
-              val off = (i * channels + ch) * 2
-              val lo = data(off + (if (big) 1 else 0)) & 0xff
-              val hi = data(off + (if (big) 0 else 1)).toInt
-              mono += (hi << 8) | lo
-              ch += 1
-            }
-            // long multiply: i*segs overflows Int past ~67M frames (a
-            // ~25-minute 44.1 kHz clip at segs=32), which would AIOOBE
-            // into the NonFatal catch and silently null the fingerprint
-            e((i.toLong * segs / n).toInt) += math.abs(mono)
-            i += 1
-          }
-          var hash = 0L
-          var s = 0
-          while (s < segs - 1) {
-            if (e(s + 1) > e(s)) hash |= 1L << s
-            s += 1
-          }
-          Some(hash)
+          Some(pHashOfPcm16(data, 0, n, channels, fmt.isBigEndian, segs))
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The shared energy-delta loop over raw 16-bit PCM at `off` — the
+    * canonical fast path and the AudioSystem fallback both land here,
+    * so the fingerprint is bit-identical by construction. */
+  private def pHashOfPcm16(data: Array[Byte], off: Int, n: Int,
+      channels: Int, big: Boolean, segs: Int): Long = {
+    val e = new Array[Long](segs)
+    var i = 0
+    while (i < n) {
+      var mono = 0L
+      var ch = 0
+      while (ch < channels) {
+        val o = off + (i * channels + ch) * 2
+        val lo = data(o + (if (big) 1 else 0)) & 0xff
+        val hi = data(o + (if (big) 0 else 1)).toInt
+        mono += (hi << 8) | lo
+        ch += 1
+      }
+      // long multiply: i*segs overflows Int past ~67M frames (a
+      // ~25-minute 44.1 kHz clip at segs=32), which would AIOOBE
+      // into the NonFatal catch and silently null the fingerprint
+      e((i.toLong * segs / n).toInt) += math.abs(mono)
+      i += 1
+    }
+    var hash = 0L
+    var s = 0
+    while (s < segs - 1) {
+      if (e(s + 1) > e(s)) hash |= 1L << s
+      s += 1
+    }
+    hash
+  }
 
   /** Adds a nullable `ahash` column ([[audioPHash15]]) to a media table
     * — map-only, input columns preserved, null for non-PCM payloads;
@@ -426,14 +464,9 @@ object Multimodal {
       }
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
-      /* signed = */ true, /* bigEndian = */ false)
-    val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(stream,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // byte-identical to the AudioSystem.write container (WavIoSpec) —
+    // no JVM-global provider lock, see [[WavIo]]
+    WavIo.writeCanonical(data, rate, channels)
   }
 
   /** Media table of [[synthWavBumped]] fixtures — the q148

@@ -1,0 +1,57 @@
+package graft.tools
+
+/** Single-thread microbenchmark of the per-payload JDK codec calls the
+  * media family rides (synth encode + decode + hash per payload) — the
+  * "where does a media bench second go" instrument for the optimization
+  * rounds. No Spark: pure per-call cost, ns/op after JIT warm-up.
+  *
+  * {{{ runMain graft.tools.MediaMicro }}}
+  */
+object MediaMicro {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    graft.ops.Multimodal.ensureImageIoMemCache()
+    def bench(label: String)(f: Long => Any): Unit = {
+      var i = 0L
+      while (i < 2000) { f(i); i += 1 } // JIT warm-up
+      val t0 = System.nanoTime()
+      i = 0L
+      var sink = 0L
+      while (i < n) {
+        sink ^= (f(i) match {
+          case b: Array[Byte] => b.length.toLong
+          case Some(v: Long) => v
+          case None => 0L
+          case x => if (x == null) 0L else x.hashCode.toLong
+        })
+        i += 1
+      }
+      val perOp = (System.nanoTime() - t0).toDouble / n
+      println(f"[media-micro] $label%-34s ${perOp / 1000}%9.1f us/op  (sink=$sink)")
+    }
+    val m = graft.ops.Multimodal
+    // reflective access to the private[graft] helpers
+    def call(name: String, id: Long): Array[Byte] = name match {
+      case "png" => m.synthPng(id)
+      case "wav" => m.synthWav(id)
+      case "gif" => m.synthGif(id)
+    }
+    val pngs = (0L until 64L).map(call("png", _)).toArray
+    val wavs = (0L until 64L).map(call("wav", _)).toArray
+    val gifs = (0L until 64L).map(call("gif", _)).toArray
+    val junk = (0L until 64L).map { id =>
+      Array.fill((Math.floorMod(id, 17L) + 3L).toInt)(
+        (Math.floorMod(id, 199L) + 1L).toByte)
+    }.toArray
+    bench("synthPng (encode)")(id => call("png", id % 64))
+    bench("synthWav (encode)")(id => call("wav", id % 64))
+    bench("synthGif (encode)")(id => call("gif", id % 64))
+    bench("dHash63(png)")(id => m.dHash63(pngs((id % 64).toInt)))
+    bench("dHash63(wav) [reject]")(id => m.dHash63(wavs((id % 64).toInt)))
+    bench("dHash63(junk) [reject]")(id => m.dHash63(junk((id % 64).toInt)))
+    bench("audioPHash31(wav)")(id => m.audioPHash31(wavs((id % 64).toInt)))
+    bench("audioPHash31(junk) [reject]")(id => m.audioPHash31(junk((id % 64).toInt)))
+    bench("audioPHash31(png) [reject]")(id => m.audioPHash31(pngs((id % 64).toInt)))
+    bench("videoSeqHash(gif)")(id => m.videoSeqHash(gifs((id % 64).toInt)))
+  }
+}
