@@ -142,7 +142,7 @@ object Multimodal {
       // web-crawled table must degrade per-payload to the stub, never
       // let one crafted blob kill the task (and with it the job)
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        try ImgIo.readImage(bytes)
         catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
@@ -550,9 +550,9 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    // per-thread PNG writer, byte-identical stream (ImgIoSpec) — no
+    // per-call registry walk, see [[ImgIo]]
+    ImgIo.encodePng(img)
   }
 
   /** Media table of [[synthPng]] fixtures, one real PNG per input row —
@@ -619,7 +619,7 @@ object Multimodal {
   private[graft] def dHash63(bytes: Array[Byte]): Option[Long] = {
     ensureImageIoMemCache()
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      try ImgIo.readImage(bytes)
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None else Some(dHashOfImage(img))
   }
@@ -736,9 +736,9 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    // per-thread PNG writer, byte-identical stream (ImgIoSpec) — no
+    // per-call registry walk, see [[ImgIo]]
+    ImgIo.encodePng(img)
   }
 
   /** [[synthPngShifted]] with an additional `bump` on the CORNER pixel
@@ -776,9 +776,9 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    // per-thread PNG writer, byte-identical stream (ImgIoSpec) — no
+    // per-call registry walk, see [[ImgIo]]
+    ImgIo.encodePng(img)
   }
 
   /** Media table of [[synthPngShiftedBumped]] fixtures — the q144
@@ -902,26 +902,23 @@ object Multimodal {
     * the payload is a genuine multi-image GIF89a stream only a real
     * sequence-aware reader can parse back (`ImageIO.read` alone sees
     * frame 0 and nothing else). */
-  private[graft] def synthGif(id: Long): Array[Byte] = {
+  /** Shared GIF89a sequence encoder over a per-thread writer
+    * ([[ImgIo.withGifWriter]] — no per-call registry walk): indexed
+    * 256-entry gray palette (r=g=b=i, no quantization), interlace OFF —
+    * the JDK GIF writer's default interlaced encoding CORRUPTS rows on
+    * images 2-4 pixels tall (measured in GifDbg-style probes:
+    * 2x2/6x4/32x2 all lose every row past the first interlace pass;
+    * >=5 tall or exactly 1 tall round-trip fine) — progressive
+    * MODE_DISABLED makes every probed size lossless. Byte-identical to
+    * the pre-r14 per-call writer construction (ImgIoSpec pins it). */
+  private def encodeGifFrames(nFrames: Int, w: Int, h: Int)(
+      gray: (Int, Int, Int) => Int): Array[Byte] = {
     ensureImageIoMemCache()
-    val nFrames = (Math.floorMod(id, 6L) + 2L).toInt
-    val w = (Math.floorMod(id, 5L) + 2L).toInt
-    val h = (Math.floorMod(id, 4L) + 2L).toInt
-    val m = Math.floorMod(id, 256L).toInt
     val pal = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    // interlace OFF: the JDK GIF writer's default interlaced encoding
-    // CORRUPTS rows on images 2–4 pixels tall (measured in GifDbg-style
-    // probes: 2x2/6x4/32x2 all lose every row past the first interlace
-    // pass; ≥5 tall or exactly 1 tall round-trip fine) — progressive
-    // MODE_DISABLED makes every probed size lossless
-    val param = writer.getDefaultWriteParam
-    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-    try {
-      writer.setOutput(ios)
+    ImgIo.withGifWriter { writer =>
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
       writer.prepareWriteSequence(null)
       var f = 0
       while (f < nFrames) {
@@ -931,7 +928,7 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.getRaster.setSample(x, y, 0, (3 * m + 5 * x + 7 * y + 11 * f) % 256)
+            img.getRaster.setSample(x, y, 0, gray(f, x, y))
             x += 1
           }
           y += 1
@@ -941,11 +938,16 @@ object Multimodal {
         f += 1
       }
       writer.endWriteSequence()
-    } finally {
-      writer.dispose()
-      ios.close()
     }
-    bos.toByteArray
+  }
+
+  private[graft] def synthGif(id: Long): Array[Byte] = {
+    val nFrames = (Math.floorMod(id, 6L) + 2L).toInt
+    val w = (Math.floorMod(id, 5L) + 2L).toInt
+    val h = (Math.floorMod(id, 4L) + 2L).toInt
+    val m = Math.floorMod(id, 256L).toInt
+    encodeGifFrames(nFrames, w, h)((f, x, y) =>
+      (3 * m + 5 * x + 7 * y + 11 * f) % 256)
   }
 
   /** ALL frames of a JDK-readable image payload as
@@ -960,50 +962,40 @@ object Multimodal {
     * one crafted blob must never kill the task). */
   private[ops] def imageFrames(bytes: Array[Byte]): Option[Vector[(Int, Int, Long)]] =
     try {
-      ensureImageIoMemCache()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val frames = Vector.newBuilder[(Int, Int, Long)]
-            var i = 0
-            var done = false
-            while (!done) {
-              val img =
-                try reader.read(i)
-                catch {
-                  case _: IndexOutOfBoundsException => null
-                  // mid-stream corruption: keep the intact prefix
-                  case scala.util.control.NonFatal(_) if i > 0 => null
-                }
-              if (img == null) done = true
-              else {
-                val (w, h) = (img.getWidth, img.getHeight)
-                var sum = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val rgb = img.getRGB(x, y)
-                    sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-                    x += 1
-                  }
-                  y += 1
-                }
-                frames += ((w, h, sum))
-                i += 1
-              }
+      // per-thread reader dispatch ([[ImgIo.withSeqReader]]) — no
+      // per-call registry walk; acceptance set unchanged
+      ImgIo.withSeqReader(bytes) { reader =>
+        val frames = Vector.newBuilder[(Int, Int, Long)]
+        var i = 0
+        var done = false
+        while (!done) {
+          val img =
+            try reader.read(i)
+            catch {
+              case _: IndexOutOfBoundsException => null
+              // mid-stream corruption: keep the intact prefix
+              case scala.util.control.NonFatal(_) if i > 0 => null
             }
-            val out = frames.result()
-            if (out.isEmpty) None else Some(out)
-          } finally reader.dispose()
+          if (img == null) done = true
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            frames += ((w, h, sum))
+            i += 1
+          }
         }
-      } finally iis.close()
+        frames.result()
+      }.filter(_.nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** ORDER-SENSITIVE sequence fingerprint of a multi-frame payload —
@@ -1021,38 +1013,27 @@ object Multimodal {
   private[graft] def videoSeqHash(bytes: Array[Byte])
       : Option[(Int, Long, Long, Long)] =
     try {
-      ensureImageIoMemCache()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val hashes = Vector.newBuilder[Long]
-            var n = 0
-            var done = false
-            while (!done) {
-              val img =
-                try reader.read(n)
-                catch {
-                  case _: IndexOutOfBoundsException => null
-                  case scala.util.control.NonFatal(_) if n > 0 => null
-                }
-              if (img == null) done = true
-              else {
-                hashes += dHashOfImage(img)
-                n += 1
-              }
+      // per-thread reader dispatch, same shape as [[imageFrames]]
+      ImgIo.withSeqReader(bytes) { reader =>
+        val hashes = Vector.newBuilder[Long]
+        var n = 0
+        var done = false
+        while (!done) {
+          val img =
+            try reader.read(n)
+            catch {
+              case _: IndexOutOfBoundsException => null
+              case scala.util.control.NonFatal(_) if n > 0 => null
             }
-            val hs = hashes.result()
-            if (hs.isEmpty) None
-            else Some((hs.length, hs.head, hs(hs.length / 2), hs.last))
-          } finally reader.dispose()
+          if (img == null) done = true
+          else {
+            hashes += dHashOfImage(img)
+            n += 1
+          }
         }
-      } finally iis.close()
+        hashes.result()
+      }.filter(_.nonEmpty)
+        .map(hs => (hs.length, hs.head, hs(hs.length / 2), hs.last))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Adds nullable `n_frames` / `h_first` / `h_mid` / `h_last` columns
@@ -1131,40 +1112,8 @@ object Multimodal {
     val nFrames = (Math.floorMod(id, 6L) + 2L).toInt
     val w = (Math.floorMod(id, 5L) + 2L).toInt
     val h = (Math.floorMod(id, 4L) + 2L).toInt
-    val pal = Array.tabulate(256)(_.toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val param = writer.getDefaultWriteParam
-    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-    try {
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < nFrames) {
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            img.getRaster.setSample(x, y, 0,
-              Math.floorMod(3 * id + 5 * x + 7 * y + 11 * f, 200L).toInt + delta)
-            x += 1
-          }
-          y += 1
-        }
-        writer.writeToSequence(
-          new javax.imageio.IIOImage(img, null, null), param)
-        f += 1
-      }
-      writer.endWriteSequence()
-    } finally {
-      writer.dispose()
-      ios.close()
-    }
-    bos.toByteArray
+    encodeGifFrames(nFrames, w, h)((f, x, y) =>
+      Math.floorMod(3 * id + 5 * x + 7 * y + 11 * f, 200L).toInt + delta)
   }
 
   /** [[synthGifShifted]] with an additional `bump` on FRAME 0's corner
@@ -1185,42 +1134,10 @@ object Multimodal {
     val nFrames = (Math.floorMod(id, 6L) + 2L).toInt
     val w = (Math.floorMod(id, 5L) + 2L).toInt
     val h = (Math.floorMod(id, 4L) + 2L).toInt
-    val pal = Array.tabulate(256)(_.toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val param = writer.getDefaultWriteParam
-    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-    try {
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < nFrames) {
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val b0 = if (f == 0 && x == w - 1 && y == h - 1) bump else 0
-            img.getRaster.setSample(x, y, 0,
-              Math.floorMod(3 * id + 5 * x + 7 * y + 11 * f, 200L).toInt
-                + delta + b0)
-            x += 1
-          }
-          y += 1
-        }
-        writer.writeToSequence(
-          new javax.imageio.IIOImage(img, null, null), param)
-        f += 1
-      }
-      writer.endWriteSequence()
-    } finally {
-      writer.dispose()
-      ios.close()
+    encodeGifFrames(nFrames, w, h) { (f, x, y) =>
+      val b0 = if (f == 0 && x == w - 1 && y == h - 1) bump else 0
+      Math.floorMod(3 * id + 5 * x + 7 * y + 11 * f, 200L).toInt + delta + b0
     }
-    bos.toByteArray
   }
 
   /** Media table of [[synthGifShiftedBumped]] fixtures — the q147

@@ -10,24 +10,42 @@ package graft.tools
 object MediaMicro {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val threads = 32
     graft.ops.Multimodal.ensureImageIoMemCache()
+    def once(f: Long => Any, i: Long): Long = f(i) match {
+      case b: Array[Byte] => b.length.toLong
+      case Some(v: Long) => v
+      case None => 0L
+      case x => if (x == null) 0L else x.hashCode.toLong
+    }
     def bench(label: String)(f: Long => Any): Unit = {
       var i = 0L
       while (i < 2000) { f(i); i += 1 } // JIT warm-up
       val t0 = System.nanoTime()
       i = 0L
       var sink = 0L
-      while (i < n) {
-        sink ^= (f(i) match {
-          case b: Array[Byte] => b.length.toLong
-          case Some(v: Long) => v
-          case None => 0L
-          case x => if (x == null) 0L else x.hashCode.toLong
+      while (i < n) { sink ^= once(f, i); i += 1 }
+      val serial = (System.nanoTime() - t0).toDouble / n
+      // same op count spread over `threads` workers: per-op wall at full
+      // parallelism exposes JVM-global locks the serial number hides
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t1 = System.nanoTime()
+      val futs = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var s = 0L; var j = 0L
+            while (j < n / threads) { s ^= once(f, t * 1000L + j); j += 1 }
+            s
+          }
         })
-        i += 1
       }
-      val perOp = (System.nanoTime() - t0).toDouble / n
-      println(f"[media-micro] $label%-34s ${perOp / 1000}%9.1f us/op  (sink=$sink)")
+      futs.foreach(x => sink ^= x.get())
+      val parWall = (System.nanoTime() - t1).toDouble / n // wall per op across pool
+      pool.shutdown()
+      val idealPar = serial / threads
+      println(f"[media-micro] $label%-34s ${serial / 1000}%8.1f us/op serial  " +
+        f"${parWall / 1000}%8.1f us/op par32-wall (ideal ${idealPar / 1000}%6.2f, " +
+        f"contention x${parWall / idealPar}%4.1f)  (sink=$sink)")
     }
     val m = graft.ops.Multimodal
     // reflective access to the private[graft] helpers
