@@ -264,10 +264,17 @@ object Dedup {
     // persisted: the guard job and both join sides reference it — the
     // upstream hash column may be an expensive decode (the dHash path)
     // that must run ONCE per row, not three times
+    // persisted PRE-PARTITIONED on the band key (r14, the
+    // minShingleJaccardPairs pattern): the guard groupBy and both
+    // self-join sides are bk-keyed — one exchange into the cache
+    // replaces their per-consumer ones, and join parallelism follows
+    // the cache layout instead of the upstream (often single-task
+    // decode) scan
     val banded = OpCaches.persist(df
       .select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
       .filter(col("h").isNotNull)
-      .select(col("id"), col("h"), explode(array(bandKeys: _*)).as("bk")))
+      .select(col("id"), col("h"), explode(array(bandKeys: _*)).as("bk"))
+      .repartition(col("bk")))
     // loud fail on over-full buckets (see scaladoc) — one tiny EAGER job
     // at call time, the connectedComponents execution model
     val worst = banded.groupBy("bk").agg(count(lit(1)).as("bsize"))
@@ -732,11 +739,19 @@ object Dedup {
     graft.functions.NativeFunctions.register(df.sparkSession)
     val shingles = graft.functions.NativeFunctions
       .graft_word_shingles(col(textCol), shingleLen)
+    // persisted PRE-PARTITIONED on the bucket key (r14): every consumer
+    // below is bucket-keyed — the guard groupBy and BOTH self-join sides
+    // reuse the cached hash partitioning instead of re-exchanging, and
+    // the verify stage's parallelism comes from the cache layout rather
+    // than the (possibly single-task) scan. One shuffle of the shingle
+    // table, paid once, replacing the per-consumer ones — the guide's
+    // "share one exchange across keyed operations" shape.
     val sh = OpCaches.persist(df.select(
       col(idCol).as("doc_id"),
       array_distinct(shingles).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .withColumn("bucket", array_min(col("sh"))))
+      .withColumn("bucket", array_min(col("sh")))
+      .repartition(col("bucket")))
     // Skew guard, same reasoning as minhashNearDups: a degenerate min
     // shingle (boilerplate openings) would otherwise contribute s² pairs.
     // Fully SQL-expressible (HAVING COUNT(*) BETWEEN 2 AND maxBucket), so

@@ -109,6 +109,66 @@ object ExactPercentile {
     agged.select(col(groupCol) +: outputs: _*)
   }
 
+  /** [[byHistogram]] for SEVERAL value columns in ONE pass over `df`
+    * (r14 optimization: q32 ran one byHistogram per column — each with
+    * its own scan, histogram shuffle, windows and final aggregate —
+    * then joined them). The columns are unpivoted to (group, column
+    * index, value) rows, histogrammed/cumulated once (windows keyed by
+    * (group, index) — per-column cumulative counts, exactly
+    * byHistogram's), and picked per (column, fraction) with
+    * index-gated conditional aggregates. The interpolation is the SAME
+    * double arithmetic as [[byHistogram]] (Spark's
+    * `Percentile.getPercentile` formula), so outputs are bit-identical
+    * to the per-column calls joined on the group — the
+    * ExactPercentileSpec pin extends to this form. Output columns in
+    * `specs` order, one row per group (all-null groups kept, NULL
+    * outputs). */
+  def byHistogramMulti(df: DataFrame, groupCol: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty) &&
+      specs.forall(_._2.forall { case (_, p) => p >= 0.0 && p <= 1.0 }))
+    val byVal = Window.partitionBy(col(groupCol), col("__i")).orderBy("__v")
+    val byGrp = Window.partitionBy(col(groupCol), col("__i"))
+    val pairs = explode(array(specs.zipWithIndex.map { case ((vc, _), i) =>
+      struct(lit(i).as("i"), col(vc).cast("double").as("v"))
+    }: _*)).as("__p")
+    val hist = df
+      .select(col(groupCol), pairs)
+      .select(col(groupCol), col("__p.i").as("__i"), col("__p.v").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol), col("__i"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(byVal))
+      .withColumn("__n", sum("__c").over(byGrp))
+    def owns(rank: org.apache.spark.sql.Column) =
+      col("__cum") - col("__c") <= rank && rank < col("__cum")
+    val pickers = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
+      val n = max(when(col("__i") === i, col("__n"))).as(s"__n_$i")
+      val pk = ps.zipWithIndex.flatMap { case ((_, p), j) =>
+        val pos = lit(p) * (col("__n") - 1).cast("double")
+        Seq(
+          max(when(col("__i") === i && owns(floor(pos)), col("__v")))
+            .as(s"__lo_${i}_$j"),
+          max(when(col("__i") === i && owns(ceil(pos)), col("__v")))
+            .as(s"__hi_${i}_$j"))
+      }
+      n +: pk
+    }
+    val agged = df.select(col(groupCol)).distinct()
+      .join(hist.groupBy(groupCol).agg(pickers.head, pickers.drop(1): _*),
+        Seq(groupCol), "left")
+    val outputs = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
+      ps.zipWithIndex.map { case ((name, p), j) =>
+        val pos = lit(p) * (col(s"__n_$i") - 1).cast("double")
+        val (lo, hi) = (col(s"__lo_${i}_$j"), col(s"__hi_${i}_$j"))
+        when(ceil(pos) === floor(pos), lo)
+          .otherwise((ceil(pos) - pos) * lo + (pos - floor(pos)) * hi)
+          .as(name)
+      }
+    }
+    agged.select(col(groupCol) +: outputs: _*)
+  }
+
   /** 0-based order-statistic index of DuckDB/Postgres QUANTILE_DISC:
     * ⌈q·n⌉ − 1, clamped at 0 — the convention an external SQL replay
     * computes. */

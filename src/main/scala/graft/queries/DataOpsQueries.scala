@@ -3064,7 +3064,15 @@ object DataOpsQueries {
     val mutant = base.filter(pmod(col("doc_id"), lit(10L)) === 1L)
       .select((col("doc_id") + 100000000L).as("doc_id"), col("source"),
         concat(col("text"), lit(" !! !!")).as("text"))
-    val docs = base.unionByName(mutant)
+    // spread the fixture BEFORE the page build: the single-row-group
+    // testdata scans give this union 2 partitions, and everything fused
+    // over it — page synthesis plus curateWeb's url/html/lang/quality/
+    // pii regex chain, the recipe's whole CPU — ran 2-way on 32 cores
+    // (r14 stage profile: 2 tasks, 2.65 CPU-s, 1.66s stage wall). One
+    // tiny exchange of the raw docs buys 32-way parallelism for the
+    // fused map; a real crawl arrives already partitioned and skips this
+    // (guide §2.5, unsplittable-input remedy).
+    val docs = graft.ops.Spread.toCores(base.unionByName(mutant))
     val d2 = pmod(col("doc_id"), lit(100000000L))
     def m(k: Long) = pmod(d2, lit(k))
     val p2 = concat(
@@ -3835,6 +3843,9 @@ object DataOpsQueries {
     * Oracle asserts the exact percentiles + TRUE×3. */
   val q85DdQuantile: Q = (s, dir) => {
     graft.functions.NativeFunctions.register(s)
+    // NOT persisted (r14 measured): OpCaches.persist of the 600k-row
+    // projection cost more than the three re-scans it saves — the
+    // parquet scan+cast is cheaper than a memory-store write+read here
     val li = load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"),
         dec2(col("l_extendedprice")).cast("double").as("price"))

@@ -36,6 +36,28 @@ class ExactPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("byHistogramMulti equals the per-column byHistogram calls joined " +
+      "on the group (the q32/q52 single-pass form)") {
+    // two value columns with different null patterns; one group all-null
+    // in ONE column only, plus a group all-null in both
+    val rows: Seq[(String, Option[Double], Option[Double])] =
+      Seq.tabulate(800)(i => ("a", Some((i % 11).toDouble),
+        if (i % 5 == 0) None else Some((i * i % 17).toDouble))) ++
+        Seq.tabulate(301)(i => ("b", Some(i.toDouble), None)) ++
+        Seq(("c", None, None))
+    val df = rows.toDF("g", "x", "y")
+    val psX = Seq("x50" -> 0.5, "x90" -> 0.9)
+    val psY = Seq("y25" -> 0.25, "y100" -> 1.0)
+    val multi = ExactPercentile.byHistogramMulti(df, "g",
+      Seq("x" -> psX, "y" -> psY))
+    val single = ExactPercentile.byHistogram(df, "g", "x", psX)
+      .join(ExactPercentile.byHistogram(df, "g", "y", psY), Seq("g"))
+    val m = multi.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val s = single.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(m == s)
+    assert(m.keySet == Set("a", "b", "c"))
+  }
+
   test("all-null group is kept with NULL percentiles (percentile/QUANTILE_CONT contract)") {
     // the value filter removes every row of group "n" — the group must
     // still appear (left-joined back), exactly like Spark's percentile
