@@ -21,6 +21,15 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // generated-class cache: the default is a 100-entry LRU shared by
+      // every codegen unit (whole-stage bodies, projections, predicates,
+      // orderings) — a multi-stage analytics suite thrashes it, so
+      // re-running an IDENTICAL plan re-pays full Janino compilation
+      // (measured r14: repeated q104 still burned 1.5 s of compile; see
+      // OPTIMIZATION_r14.md). Scale-neutral driver-side setting: any
+      // long-running driver re-planning similar queries benefits, and
+      // the cost is bounded driver memory for cached classes.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
