@@ -3114,16 +3114,23 @@ object DataOpsQueries {
       graft.ops.Curation.curateWeb(pages, "doc_id", "url", "html",
         allowedLangs = Seq("en", "de", "fr", "es"), minQuality = 40,
         blockedDomains = Seq("tracker.net"), maxPerDomain = 40))
-    val agg = out.groupBy("source").agg(
+    // ONE aggregation (r14): the distinct-domain count rides the same
+    // groupBy as countDistinct instead of a second consumer branch +
+    // join (3 exchanges fewer, one consumer of the persisted recipe).
+    // The count_distinct Expand doubles rows ONLY over the persisted
+    // post-cap survivors — bounded by maxPerDomain×domains, never
+    // corpus-sized — which is why the two-branch shape isn't needed
+    // here (contrast the q61/q63 never-Expand pins, where the Expand
+    // would ride the full corpus shuffle).
+    out.groupBy("source").agg(
       count(lit(1)).as("n_final"),
       sum(col("n_copies")).as("n_repr"),
       sum(col("n_email")).as("emails"),
       sum(col("n_phone")).as("phones"),
       sum(length(col("content_scrubbed")).cast("long")).as("scrub_chars"),
-      max(col("n_copies")).as("max_copies"))
-    val doms = out.select("source", "url_domain").distinct()
-      .groupBy("source").agg(count(lit(1)).as("n_domains"))
-    agg.join(doms, Seq("source")).orderBy("source")
+      max(col("n_copies")).as("max_copies"),
+      count_distinct(col("url_domain")).as("n_domains"))
+      .orderBy("source")
   }
 
   /** Fixture public-suffix list for q134 — a slice of the real PSL

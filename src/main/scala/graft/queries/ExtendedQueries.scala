@@ -256,7 +256,12 @@ object ExtendedQueries {
     * part's retail price — bin-bucketed equi-join + exact filter
     * (graft.ops.RangeJoin), NOT a BroadcastNestedLoopJoin. */
   val q50RangeJoin: Q = (s, dir) => {
-    val points = load(s, dir, "events").select(col("event_id"), col("value"))
+    // spread the probe side (r14, [[graft.ops.Spread.toCores]] — no-op on
+    // real corpora): the binned-BHJ probe walks ~250 interval candidates
+    // per point and ran as ONE task over the single-row-group events scan
+    // (stage profile: 1.68s wall, 1.57 CPU-s, one task = the whole query)
+    val points = graft.ops.Spread.toCores(
+      load(s, dir, "events").select(col("event_id"), col("value")))
     val bands = load(s, dir, "part")
       .select(col("p_partkey"),
         (dec2(col("p_retailprice")).cast("double") / 10 - 0.5).as("lo"),
