@@ -59,18 +59,20 @@ object SemDedup {
     require(eps > 0 && eps <= 1, "eps must be in (0, 1]")
     require(maxEdgesPerGroup >= 1, "maxEdgesPerGroup must be >= 1")
     graft.functions.NativeFunctions.register(vectors.sparkSession)
-    val dists = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.NativeFunctions.graft_l2sq(col("v"), c).as("d"),
-        lit(i).as("i"))
-    }
     // persisted: referenced by the cell-size profile, both pair-join
     // sides, and the representative lookup. The L2 norm is hoisted HERE
     // (one native fold per ROW) so the pair filter below pays one dot
     // per candidate pair instead of cosineSafe's dot + two norm folds —
     // same IEEE arithmetic (norm(v) is a pure function of the row).
+    // Assignment goes through the ONE native argmin kernel
+    // ([[Ivf.bestCentroid]] — bit-identical to the composed
+    // array_min(array(struct(l2sq…))) form, IvfSpec pins it): the
+    // composed tree carried k × dim literal doubles through every
+    // analyzer/optimizer pass, which alone cost ~3 s of driver plan
+    // time per q104 run at k = 32.
     val assigned = OpCaches.persist(vectors
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), array_min(array(dists: _*)).as("best"))
+      .select(col("id"), col("v"), Ivf.bestCentroid(model, col("v")).as("best"))
       .select(col("id"), col("v"),
         col("best").getField("i").as("cell"),
         col("best").getField("d").as("cdist"),
