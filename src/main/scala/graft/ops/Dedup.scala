@@ -270,21 +270,30 @@ object Dedup {
     // replaces their per-consumer ones, and join parallelism follows
     // the cache layout instead of the upstream (often single-task
     // decode) scan
+    // loud fail on over-full buckets (see scaladoc) — folded INTO the
+    // persisted subtree as a window count + raise_error filter (r15;
+    // the Incremental.bucketGuarded pattern): the old eager
+    // groupBy/limit/collect guard was one driver round-trip job per
+    // call. The window reuses the repartition(bk) exchange (same key,
+    // same partition count), so the guard costs a local sort and no
+    // extra shuffle; any over-full bucket still fails the run, now when
+    // the pair join (or the caller's first action) materializes the
+    // banded table instead of at operator call time.
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("bk")
     val banded = OpCaches.persist(df
       .select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
       .filter(col("h").isNotNull)
       .select(col("id"), col("h"), explode(array(bandKeys: _*)).as("bk"))
-      .repartition(col("bk")))
-    // loud fail on over-full buckets (see scaladoc) — one tiny EAGER job
-    // at call time, the connectedComponents execution model
-    val worst = banded.groupBy("bk").agg(count(lit(1)).as("bsize"))
-      .orderBy(col("bsize").desc).limit(1).collect()
-    worst.headOption.foreach { r =>
-      require(r.getLong(1) <= maxBucket,
-        s"hammingNearDupPairs: band bucket ${r.get(0)} holds ${r.getLong(1)} " +
-          s"rows (> maxBucket=$maxBucket) — s² candidate blowup; exact-dedup " +
-          "identical hashes first, or raise maxBucket with cluster memory")
-    }
+      .repartition(col("bk"))
+      .withColumn("__bsize", count(lit(1)).over(wb))
+      .filter(when(col("__bsize") <= maxBucket, lit(true))
+        .otherwise(raise_error(concat(
+          lit("hammingNearDupPairs: band bucket "),
+          col("bk").cast("string"), lit(" holds "), col("__bsize"),
+          lit(s" rows (> maxBucket=$maxBucket) — s² candidate blowup; " +
+            "exact-dedup identical hashes first, or raise maxBucket " +
+            "with cluster memory")))))
+      .drop("__bsize"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

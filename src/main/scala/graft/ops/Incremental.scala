@@ -191,6 +191,29 @@ object Incremental {
       bits: Int = 63, bands: Int = 7, maxDist: Int = 3): DataFrame =
     state.unionByName(imageBandState(media, bits, bands, maxDist)).distinct()
 
+  /** The in-plan over-full-bucket guard shared by the within-distance
+    * drops: appends a window count over (band, bv) and a filter that
+    * PASSES rows of admissible buckets and `raise_error`s on any bucket
+    * larger than `maxBucket` — evaluated for every state row when the
+    * enclosing plan materializes, so the loud-failure contract of the
+    * old eager collect() guard holds without its per-call driver job.
+    * The window's (band, bv) exchange pre-partitions the frame on
+    * exactly the probe join's key. */
+  private def bucketGuarded(banded: DataFrame, op: String, maxBucket: Int,
+      what: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
+    banded
+      .withColumn("__bsize", count(lit(1)).over(w))
+      .filter(when(col("__bsize") <= maxBucket, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$op: state band bucket ("), col("band"), lit(", "),
+          col("bv"), lit(") holds "), col("__bsize"),
+          lit(s" $what (> maxBucket=$maxBucket) — candidate blowup; " +
+            s"exact-dedup identical $what into the state or raise " +
+            "maxBucket with cluster memory")))))
+      .drop("__bsize")
+  }
+
   private def bandState(hashes: DataFrame, hashCol: String, bits: Int,
       bands: Int, maxDist: Int): DataFrame =
     hashes
@@ -246,17 +269,24 @@ object Incremental {
   private[ops] def dropSeenHashWithinDist(op: String, withH0: DataFrame,
       idCol: String, hashCol: String, state: DataFrame, maxDist: Int,
       bits: Int, bands: Int, maxBucket: Int): DataFrame = {
-    val st = OpCaches.persist(state.select(
-      col("band"), col("bv"), col(hashCol).as("__st_h")))
-    val worst = st.groupBy("band", "bv").agg(count(lit(1)).as("bsize"))
-      .orderBy(col("bsize").desc).limit(1).collect()
-    worst.headOption.foreach { r =>
-      require(r.getLong(2) <= maxBucket,
-        s"$op: state band bucket (${r.get(0)}, " +
-          s"${r.get(1)}) holds ${r.getLong(2)} hashes (> maxBucket=" +
-          s"$maxBucket) — candidate blowup; exact-dedup identical hashes " +
-          "into the state or raise maxBucket with cluster memory")
-    }
+    // Over-full-bucket guard (see [[dropSeenImagesWithinDist]]: buckets
+    // past maxBucket FAIL loudly, dropping them would silently lose the
+    // pigeonhole recall guarantee) — folded INTO the state subtree as a
+    // window count + raise_error filter (r14 verdict "Next round" #1):
+    // the previous eager groupBy/limit/collect guard cost one driver
+    // round-trip job PER CALL, pure stage-latency on the incremental
+    // queries (two calls each in q144/q147/q148). Every state row checks
+    // its bucket when the join materializes the state side, so any
+    // over-full bucket still fails the run — the failure now surfaces
+    // when the drop-join executes rather than at operator call time
+    // (same job for every caller here; callers that build the frame
+    // without running it defer the check to their first action). The
+    // window's (band, bv) exchange doubles as the keyed-cache
+    // pre-partitioning of the probe join (the r14 hammingNearDupPairs
+    // pattern), so the guard costs no extra shuffle.
+    val st = OpCaches.persist(bucketGuarded(
+      state.select(col("band"), col("bv"), col(hashCol).as("__st_h")),
+      op, maxBucket, "hashes"))
     val withH = OpCaches.persist(withH0)
     val decodable = withH.filter(col(hashCol).isNotNull)
     val winners = decodable.groupBy(col(hashCol))
@@ -384,22 +414,15 @@ object Incremental {
   def dropSeenVideoSeqs(today: DataFrame, idCol: String,
       state: DataFrame, maxDist: Int = 3, bits: Int = 63, bands: Int = 7,
       maxBucket: Int = 1 << 16): DataFrame = {
-    val st = OpCaches.persist(state.select(
+    // guard folded into the state subtree — see [[dropSeenHashWithinDist]]
+    val st = OpCaches.persist(bucketGuarded(state.select(
       col("n_frames").as("__st_nf"), col("h_first").as("__st_f"),
       col("h_mid").as("__st_m"), col("h_last").as("__st_l"),
       explode(array(Dedup.hammingBandKeys(col("h_first"), bits, bands,
         maxDist): _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bv").as("bv"),
-        col("__st_nf"), col("__st_f"), col("__st_m"), col("__st_l")))
-    val worst = st.groupBy("band", "bv").agg(count(lit(1)).as("bsize"))
-      .orderBy(col("bsize").desc).limit(1).collect()
-    worst.headOption.foreach { r =>
-      require(r.getLong(2) <= maxBucket,
-        s"dropSeenVideoSeqs: state band bucket (${r.get(0)}, ${r.get(1)}) " +
-          s"holds ${r.getLong(2)} fingerprints (> maxBucket=$maxBucket) — " +
-          "candidate blowup; exact-dedup identical fingerprints into the " +
-          "state or raise maxBucket with cluster memory")
-    }
+        col("__st_nf"), col("__st_f"), col("__st_m"), col("__st_l")),
+      "dropSeenVideoSeqs", maxBucket, "fingerprints"))
     val withH = OpCaches.persist(Multimodal.withVideoSeqHash(today))
     val decodable = withH.filter(col("h_first").isNotNull)
     val winners = decodable

@@ -17,6 +17,12 @@ class IncrementalSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("t.parquet").toString
 
+  /** Concatenated messages of the whole cause chain — in-plan raise_error
+    * guards surface wrapped in SparkException layers at action time. */
+  private def messageChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+
   test("day-2 dedup against persisted day-1 state == from-scratch first-seen-wins (q86 invariant)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val day0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
@@ -239,13 +245,15 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Incremental.dropSeenImagesWithinDist(day3, "media_id",
       Incremental.loadState(spark, path2)).count() == 0)
     // over-full state bucket fails loudly (silent dropping would lose
-    // the pigeonhole recall guarantee)
+    // the pigeonhole recall guarantee) — the guard rides the join plan
+    // (r15: raise_error filter, no eager per-call job), so it fires at
+    // the first action on the returned frame
     val fatState = (0L until 20L).map(i => (0, 0L, i << 10))
       .toDF("band", "bv", "dhash")
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[Exception](
       Incremental.dropSeenImagesWithinDist(day2, "media_id", fatState,
-        maxBucket = 5))
-    assert(e.getMessage.contains("maxBucket"))
+        maxBucket = 5).count())
+    assert(messageChain(e).contains("maxBucket"))
     OpCaches.releaseAll()
   }
 
@@ -420,13 +428,14 @@ class IncrementalSpec extends AnyFunSuite {
       idOffset = 2000L)
     assert(Incremental.dropSeenVideoSeqs(day3, "media_id",
       Incremental.loadState(spark, path2)).count() == 0)
-    // over-full state band bucket fails loudly
+    // over-full state band bucket fails loudly — at the first action,
+    // via the in-plan guard (r15)
     val fatState = (0L until 20L).map(i => (3, 0L, i << 20, i << 21))
       .toDF("n_frames", "h_first", "h_mid", "h_last")
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[Exception](
       Incremental.dropSeenVideoSeqs(day2, "media_id", fatState,
-        maxBucket = 5))
-    assert(e.getMessage.contains("maxBucket"))
+        maxBucket = 5).count())
+    assert(messageChain(e).contains("maxBucket"))
     OpCaches.releaseAll()
   }
 

@@ -562,11 +562,16 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.hammingNearDupPairs(rows.toDF("id", "h"), "id", "h",
         bands = 3, maxDist = 3))
+    // the bucket guard rides the plan (r15: raise_error filter, no
+    // eager per-call job) — it fires at the first action
     val clones = (0L until 50L).map(i => (i, 42L))
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[Exception](
       Dedup.hammingNearDupPairs(clones.toDF("id", "h"), "id", "h",
-        maxBucket = 10))
-    assert(e.getMessage.contains("maxBucket"))
+        maxBucket = 10).count())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(chain.contains("maxBucket"))
     OpCaches.releaseAll()
   }
 
