@@ -833,18 +833,22 @@ object Dedup {
     // first-seen-wins per distinct line: shuffle ∝ distinct fingerprints,
     // payload is two longs
     val keep = spans.groupBy("f").agg(min(col("ord")).as("keep_ord"))
-    val kept = spans.join(keep, Seq("f"))
-      .filter(col("ord") === col("keep_ord"))
-    val rebuilt = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("line_idx"), col("line")))),
-        s => s.getField("line"))).as("new_text"))
-    spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("new_text"), lit(""))).as("new_md5"))
+    // ONE per-doc aggregate (r15): the previous shape aggregated the
+    // kept rows and the raw span counts separately and left-joined the
+    // two — a third cache consumer, a second doc_id exchange and a join
+    // for numbers one conditional aggregate produces. Kept rows are
+    // flagged in place (collect_list drops the null branch, so the
+    // rebuilt text sees exactly the kept spans; a doc with zero kept
+    // lines yields the empty list → concat_ws "" → md5("") — the old
+    // left-join-miss semantics, bit for bit).
+    val isKept = col("ord") === col("keep_ord")
+    spans.join(keep, Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(isKept, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(isKept,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")))).as("new_md5"))
   }
 }
