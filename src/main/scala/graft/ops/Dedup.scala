@@ -530,6 +530,13 @@ object Dedup {
         .distinct(), None)
     var iter = 0
     var converged = cnt == 0L
+    // Round shape measured r15, kept at TWO checkpoint jobs per round:
+    // fusing large+small star into one checkpoint job was tried both
+    // ways and LOST same-window (q65 2.1 → 2.9 s recomputing the
+    // large-star subtree for small-star's two references; → 3.8 s
+    // persisting it mid-job — BlockManager puts cost more than the
+    // saved driver round-trip). The checkpointed intermediate is what
+    // keeps per-round work linear in the edge count.
     while (iter < maxIter && !converged) {
       val (e1, _, _) = ck(ccLargeStar(edges), Some(edges))
       val (e2, c2, h2) = ck(ccSmallStar(e1), Some(e1))
