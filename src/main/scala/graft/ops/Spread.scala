@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, UnionExec}
 
 /** Conditional scan spreading — the optimization guide's §2.5 remedy
   * for unsplittable inputs ("one huge unsplittable file … otherwise
@@ -19,10 +20,36 @@ import org.apache.spark.sql.DataFrame
   * of a localCheckpoint / OpCaches.persist or a single heavy fused map —
   * never blanket on every load: the r14 measurements showed a blanket
   * per-load repartition LOSES on multi-job queries (each eager job
-  * re-pays the exchange and its stage round-trip). */
+  * re-pays the exchange and its stage round-trip).
+  *
+  * Parallelism is read from the PLANNED scan (the physical plan's
+  * file-scan leaves), never from `df.rdd`: with AQE enabled, `df.rdd`
+  * materializes the final adaptive plan, which EXECUTES any upstream
+  * shuffle stages and then throws that lineage away — the real action
+  * afterwards replans and re-runs them, silently doubling work.
+  * Planning the subtree costs driver time only. The helper only acts
+  * on exchange-free shapes (scan/project/filter/union — `sparkPlan` is
+  * captured before EnsureRequirements, so exchanges can't be observed
+  * directly; the whitelist is the set of nodes that never REQUIRE
+  * one): any other operator, or a non-file leaf (cached relation,
+  * local table), makes it a conservative no-op, so it can never stack
+  * a second shuffle on a plan whose parallelism AQE already governs. */
 object Spread {
   def toCores(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val plan = df.queryExecution.sparkPlan
+    val unsafe = plan.exists {
+      case _: ProjectExec | _: FilterExec | _: UnionExec => false
+      case leaf if leaf.children.isEmpty => false
+      case _ => true
+    }
+    if (unsafe) df
+    else {
+      val scanParts = plan.collectLeaves().map {
+        case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+        case _ => target
+      }.sum
+      if (scanParts < target) df.repartition(target) else df
+    }
   }
 }

@@ -3852,7 +3852,12 @@ object DataOpsQueries {
     graft.functions.NativeFunctions.register(s)
     // NOT persisted (r14 measured): OpCaches.persist of the 600k-row
     // projection cost more than the three re-scans it saves — the
-    // parquet scan+cast is cheaper than a memory-store write+read here
+    // parquet scan+cast is cheaper than a memory-store write+read here.
+    // NOT spread either (r15 measured, 4-run same-window A/B with
+    // matched q96 canaries): Spread.toCores on this projection lost
+    // 1.95 → 2.59 s — the single-task round-robin shuffle write plus
+    // three exchange reads cost more than 32-way partial aggregation
+    // saves; same economics as the rejected persist
     val li = load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"),
         dec2(col("l_extendedprice")).cast("double").as("price"))
