@@ -65,11 +65,22 @@ object ImgIo {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     val w = gifWriter.get()
+    var ok = false
     try {
       w.setOutput(ios)
       f(w)
-    } finally {
       w.setOutput(null)
+      ok = true
+    } finally {
+      if (!ok) {
+        // f may have died between prepareWriteSequence and
+        // endWriteSequence; setOutput(null) does NOT clear the GIF
+        // writer's isWritingSequence state, so a reused instance would
+        // corrupt the NEXT payload on this thread. Retire it and let
+        // the ThreadLocal mint a fresh one.
+        try w.dispose() catch { case scala.util.control.NonFatal(_) => }
+        gifWriter.remove()
+      }
       ios.close()
     }
     bos.toByteArray
@@ -91,9 +102,11 @@ object ImgIo {
   /** Frame 0 of the payload — `ImageIO.read` semantics (null when
     * nothing decodes) with the registry walk skipped for the two magics
     * the fixtures produce; every other byte pattern takes the unchanged
-    * `ImageIO.read` path. Callers keep their NonFatal guards: a crafted
-    * payload behind a valid magic must degrade per-payload, not kill
-    * the task. */
+    * `ImageIO.read` path. A 4-byte PNG/GIF magic over an undecodable
+    * body returns null here too (the registry probes the FULL signature
+    * and would never have claimed it), so the documented contract holds
+    * for the whole byte universe, not just the fixtures — web-crawl
+    * bytes must degrade per-payload, never kill the task. */
   def readImage(bytes: Array[Byte]): BufferedImage = {
     Multimodal.ensureImageIoMemCache()
     val m = magic(bytes)
@@ -110,6 +123,8 @@ object ImgIo {
       r.setInput(iis, /* seekForwardOnly = */ true,
         /* ignoreMetadata = */ true)
       r.read(0)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
     } finally {
       r.setInput(null)
       iis.close()

@@ -110,6 +110,38 @@ class ImgIoSpec extends AnyFunSuite {
     }
   }
 
+  test("readImage returns null (not throw) on PNG/GIF magic over an " +
+      "undecodable body, and the per-thread reader survives it") {
+    // 4-byte magic + garbage: the registry path's full-signature probe
+    // never claims these, so ImageIO.read returns null — the fast path
+    // must match instead of throwing out of readVia
+    val fakePng = 0x89.toByte +: "PNG????????".getBytes("ISO-8859-1")
+    val fakeGif = "GIF8????????".getBytes("ISO-8859-1")
+    assert(ImgIo.readImage(fakePng) == null)
+    assert(ImgIo.readImage(fakeGif) == null)
+    // same-thread reuse after the failed decode still yields exact pixels
+    val png = Multimodal.synthPng(7L)
+    val a = ImgIo.readImage(png)
+    val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+      assert(a.getRGB(x, y) == b.getRGB(x, y))
+  }
+
+  test("a GIF sequence body that throws mid-write cannot poison the " +
+      "per-thread writer") {
+    val boom = intercept[RuntimeException](ImgIo.withGifWriter { w =>
+      w.prepareWriteSequence(null)
+      throw new RuntimeException("mid-sequence failure")
+    })
+    assert(boom.getMessage == "mid-sequence failure")
+    // next encode on this thread must produce a byte-correct stream
+    val id = 42L
+    val viaReuse = Multimodal.synthGif(id)
+    val nF = (Math.floorMod(id, 6L) + 2L).toInt
+    val frames = Multimodal.imageFrames(viaReuse).get
+    assert(frames.length == nF)
+  }
+
   test("multi-frame readers are unchanged on the GIF fixtures and still " +
       "reject junk") {
     for (id <- 0L until 128L) {
