@@ -72,8 +72,13 @@ object Curation {
     // the CCNet-convention bound, accepted here too.
     val keepWin = org.apache.spark.sql.expressions.Window
       .partitionBy(xxhash64(col(textCol)))
+    // null-safe min-id comparison, not ===: value-identical (see
+    // Dedup.dedupByKey) but opaque to InferFiltersFromConstraints, which
+    // otherwise re-derives every id-expression predicate onto min(id)
+    // in the post-window filter
     val deduped = filtered
-      .withColumn("__keep", col(idCol) === min(col(idCol)).over(keepWin))
+      .withColumn("__keep", when(col(idCol).isNotNull,
+        col(idCol) <=> min(col(idCol)).over(keepWin)))
       .filter(col("__keep")).drop("__keep")
     if (!nearDup) deduped
     else {

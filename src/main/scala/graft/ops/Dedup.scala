@@ -108,8 +108,19 @@ object Dedup {
     Sampling.requireFreshColumns(df, op, "keep", "n_copies", "__dedup_key")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partitionCols :+ col("__dedup_key"): _*)
+    // keep ≡ id === min(id) OVER w, spelled null-safely: value-identical
+    // on every input (null id ⇒ null keep, as ===; non-null id ⇒ the
+    // window min is non-null, so <=> equals ===) but OPAQUE to
+    // InferFiltersFromConstraints, which substitutes through plain
+    // EqualTo only. With === a downstream filter(keep) on a corpus whose
+    // columns are EXPRESSIONS of the id (q133's synthesized pages) gets
+    // every upstream predicate re-derived onto min(id) — a
+    // megabyte-scale inferred Filter re-running the whole URL chain per
+    // row (measured: q133's post-window filter carried the full
+    // urlpartsexpr/RLIKE tree twice and pushed 1.7 MB task binaries).
     df.withColumn("__dedup_key", key)
-      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+      .withColumn("keep", when(col(idCol).isNotNull,
+        col(idCol) <=> min(col(idCol)).over(w)))
       .withColumn("n_copies", count(lit(1)).over(w))
       .drop("__dedup_key")
   }
