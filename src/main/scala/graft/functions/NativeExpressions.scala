@@ -494,6 +494,61 @@ object Hashing {
       Array[Any](bestD, bestI))
   }
 
+  /** Cell indices 0..k-1 ordered by (squared-L2 distance ASC, index ASC)
+    * over a FLAT centroid table — the IVF probe-ordering kernel behind
+    * `graft_cells_by_dist` ([[argminL2]]'s top-ALL sibling). One
+    * compiled distance loop plus a k-element stable insertion sort
+    * replaces the k-way unrolled
+    * `array_sort(array(struct(l2sq(…), i)))` tree, which carried
+    * k × dim literal doubles through every analyzer/optimizer pass and
+    * codegen unit of each probe branch.
+    *
+    * BIT-IDENTICAL ordering to array_sort over struct(d, i): distances
+    * compare via `Double.compare` (NaN greatest, matching Spark's
+    * double ordering; sums of squares never produce -0.0), and the
+    * stable sort over ascending initial indices keeps ties in ascending
+    * index order — exactly the struct tie-break. Per-centroid distance
+    * is the [[l2sq]] fold (same operation order). */
+  def cellsByDist(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Double], dim: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(s"cellsByDist: dim mismatch $n vs $dim")
+    val k = cents.length / dim
+    val ds = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val d = a.getDouble(i) - cents(off + i)
+        s += d * d
+        i += 1
+      }
+      ds(c) = s
+      c += 1
+    }
+    val idx = new Array[Int](k)
+    c = 0
+    while (c < k) { idx(c) = c; c += 1 }
+    var j = 1
+    while (j < k) {
+      val v = idx(j)
+      val dv = ds(v)
+      var p = j - 1
+      while (p >= 0 && java.lang.Double.compare(ds(idx(p)), dv) > 0) {
+        idx(p + 1) = idx(p)
+        p -= 1
+      }
+      idx(p + 1) = v
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(idx)
+  }
+
   /** Word n-gram shingles in one compiled loop (semantics identical to the
     * composed TextOps.wordShingles: whitespace tokens of the trimmed text,
     * n consecutive tokens joined by a single space; texts shorter than n
@@ -1174,6 +1229,45 @@ case class ArgminL2Expr(child: Expression, cents: Array[Double], dim: Int)
     copy(child = c)
 }
 
+/** `graft_cells_by_dist(vec, centsFlat, dim)`: all cell indices ordered
+  * by (squared-L2 ASC, index ASC) over a flat literal centroid table
+  * ([[Hashing.cellsByDist]]) — the IVF probe-ordering kernel (q115's
+  * top-nProbe query-side branches). Replaces the k-way unrolled
+  * `slice(array_sort(array(struct(graft_l2sq(…), i))), 1, n)` tree,
+  * which embedded k × dim literal doubles per probe branch in the
+  * logical plan (driver plan-time and Janino codegen scale with that
+  * tree, the q104 argmin lesson); the flat table rides ONE reference
+  * object instead. */
+case class CellsByDistExpr(child: Expression, cents: Array[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1, "dim must be >= 1")
+  require(cents.nonEmpty && cents.length % dim == 0,
+    s"flat centroid table length ${cents.length} is not a multiple of dim $dim")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cells_by_dist requires ARRAY<DOUBLE> input, got ${other.simpleString}")
+    }
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any =
+    Hashing.cellsByDist(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.cellsByDist($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): CellsByDistExpr =
+    copy(child = c)
+}
+
 /** `graft_hplane_sig(vec, dim, bits, seed)`: packed random-hyperplane
   * LSH signature — bit-identical to the composed HOF formulation
   * (`Similarity.hyperplaneSignatureHof`: same [[Hashing.flatHyperplanes]]
@@ -1754,6 +1848,11 @@ object NativeFunctions {
       vec.cast("array<double>"),
       org.apache.spark.sql.functions.typedLit(centsFlat.toSeq),
       org.apache.spark.sql.functions.lit(dim))
+  def graft_cells_by_dist(vec: Column, centsFlat: Array[Double], dim: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_cells_by_dist",
+      vec.cast("array<double>"),
+      org.apache.spark.sql.functions.typedLit(centsFlat.toSeq),
+      org.apache.spark.sql.functions.lit(dim))
   def graft_hplane_sig(vec: Column, dim: Int, bits: Int, seed: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_hplane_sig",
       vec.cast("array<double>"),
@@ -1850,6 +1949,11 @@ object NativeFunctions {
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toDoubleArray(),
       constArg("graft_argmin_l2", "dim", exprs, 2).asInstanceOf[Int])),
+    ("graft_cells_by_dist", "graft.functions.CellsByDistExpr", exprs => CellsByDistExpr(exprs.head,
+      constArg("graft_cells_by_dist", "cents", exprs, 1)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray(),
+      constArg("graft_cells_by_dist", "dim", exprs, 2).asInstanceOf[Int])),
     ("graft_hplane_sig", "graft.functions.HyperplaneSigExpr", exprs => HyperplaneSigExpr(exprs.head,
       constArg("graft_hplane_sig", "dim", exprs, 1).asInstanceOf[Int],
       constArg("graft_hplane_sig", "bits", exprs, 2).asInstanceOf[Int],

@@ -329,14 +329,19 @@ object Similarity {
       s"nProbe must be in [1, ${model.centroids.length}]")
     val indexed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cell", Ivf.assign(model, col("v")))
-    val qdists = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.NativeFunctions.graft_l2sq(col("qv"), c).as("d"),
-        lit(i).as("i"))
-    }
+    // probe-cell ordering through the ONE native kernel
+    // ([[probeCellsComposed]] retained as the spec-pinned reference):
+    // the composed array_sort(array(struct(l2sq…))) tree carried
+    // k × dim literal doubles through every analyzer pass and codegen
+    // unit PER probe branch — q115 builds two probe branches, and its
+    // driver plan/codegen time scaled with that tree (the q104 argmin
+    // lesson applied to the top-nProbe case).
     val probes = queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("pc",
-        slice(array_sort(array(qdists: _*)), 1, nProbe).getField("i"))
+      .withColumn("pc", slice(
+        graft.functions.NativeFunctions.graft_cells_by_dist(
+          col("qv"), model.centroids.flatten, model.centroids.head.length),
+        1, nProbe))
       .select(col("query_id"), col("qv"), explode(col("pc")).as("cell"))
     val scored = indexed
       .join(broadcast(probes), Seq("cell"))
@@ -345,6 +350,19 @@ object Similarity {
       .select(col("query_id"), col("id"),
         cosineSafe(col("v"), col("qv")).as("cos"))
     topKPerQuery(scored, k, idCol)
+  }
+
+  /** The composed probe-cell formulation (k unrolled l2sq structs under
+    * array_sort) — retained ONLY as the equality reference the spec pins
+    * [[hardNegativesIvf]]'s native `graft_cells_by_dist` ordering
+    * against; production paths no longer build this tree. */
+  private[graft] def probeCellsComposed(model: Ivf.IvfModel, vec: Column,
+      nProbe: Int): Column = {
+    val qdists = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.NativeFunctions.graft_l2sq(vec, c).as("d"),
+        lit(i).as("i"))
+    }
+    slice(array_sort(array(qdists: _*)), 1, nProbe).getField("i")
   }
 
   /** L2 normalization: adds `norm` (the vector's L2 length, double) and

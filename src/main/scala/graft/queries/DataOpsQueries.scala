@@ -4460,9 +4460,16 @@ object DataOpsQueries {
     def ivf(nProbe: Int) = graft.ops.Similarity.hardNegativesIvf(
       emb, "vec_id", "embedding", queries, "q_id", "embedding",
       positives, k = 5, model, nProbe)
-    val exact = graft.ops.Similarity.hardNegatives(
+    // persist ONLY the exact reference (r15): it is consumed THREE
+    // times (both exceptAll directions + the recall semi-join), each
+    // consumer otherwise re-deriving the full brute-force scoring from
+    // the corpus scan. Persisting full/part too was measured and LOST
+    // locally (1.40 → 1.81 s: two more eager materialization jobs +
+    // stage round-trips against re-deriving 15-row broadcast joins) —
+    // their two consumers each are the cheaper trade here.
+    val exact = graft.ops.OpCaches.persist(graft.ops.Similarity.hardNegatives(
       emb, "vec_id", "embedding", queries, "q_id", "embedding",
-      positives, k = 5)
+      positives, k = 5))
     val full = ivf(nProbe = 8)
     val part = ivf(nProbe = 4)
     val cols = Seq("query_id", "rk", "vec_id")

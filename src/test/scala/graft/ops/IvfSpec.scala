@@ -63,6 +63,39 @@ class IvfSpec extends AnyFunSuite {
     assert(gen.contains("Hashing.argminL2"), gen.take(500))
   }
 
+  test("native cells_by_dist == composed array_sort formulation at every " +
+      "nProbe, and codegen compiles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = Ivf.train(emb, "embedding", k = 8)
+    graft.functions.NativeFunctions.register(spark)
+    val dim = model.centroids.head.length
+    for (nProbe <- Seq(1, 3, 8)) {
+      val both = emb.select(
+        slice(graft.functions.NativeFunctions.graft_cells_by_dist(
+          col("embedding"), model.centroids.flatten, dim), 1, nProbe)
+          .as("native"),
+        Similarity.probeCellsComposed(model, col("embedding"), nProbe)
+          .as("composed"))
+      assert(both.filter(col("native") =!= col("composed")).count() == 0,
+        s"nProbe=$nProbe ordering drift")
+    }
+    // duplicated centroids: ties must keep ascending index order, the
+    // struct(d, i) tie-break the composed form encodes
+    val dup = Ivf.IvfModel(Array(model.centroids(0), model.centroids(1),
+      model.centroids(0), model.centroids(1)))
+    val tied = emb.select(
+      graft.functions.NativeFunctions.graft_cells_by_dist(
+        col("embedding"), dup.centroids.flatten, dim).as("native"),
+      Similarity.probeCellsComposed(dup, col("embedding"), 4).as("composed"))
+    assert(tied.filter(col("native") =!= col("composed")).count() == 0)
+    val plan = emb.select(graft.functions.NativeFunctions.graft_cells_by_dist(
+      col("embedding"), model.centroids.flatten, dim))
+      .queryExecution.executedPlan
+    assert(plan.toString.startsWith("*"), plan.toString.take(200))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(gen.contains("Hashing.cellsByDist"), gen.take(500))
+  }
+
   test("trainCached trains once per corpus key and reuses the model") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val m1 = Ivf.trainCached("ivfspec-corpus", emb, "embedding", k = 4)
