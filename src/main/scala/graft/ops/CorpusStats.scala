@@ -136,7 +136,19 @@ object CorpusStats {
 
   /** The trainer's driver-side merge table — the vocabulary artifact a
     * downstream [[bpeEncode]] consumes. Same loop as [[bpeTrain]] (which
-    * is now a thin rendering of this). */
+    * is now a thin rendering of this).
+    *
+    * NOT batched (r15 analysis): taking the top-K pairs per scan to
+    * halve jobs-per-train is unsound for BPE semantics. Applying the
+    * round's #1 merge (a,b)→ab creates successor pairs (x,ab) / (ab,y)
+    * whose counts can reach the #1 merge's own count, so any of them
+    * may outrank the scan's #2..#K candidates — the true sequence is
+    * only knowable after re-counting. Detecting the safe prefix would
+    * need a trigram count alongside the pair count, which shuffles
+    * more rows than the scans it saves; the per-round argmax is
+    * inherently sequential. The loop already pays ONE job per round
+    * (nested unmaterialized merges over a tokenized checkpoint), which
+    * is the per-job-latency floor for a faithful trainer. */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int,
       tokenizer: Column => Column = TextOps.tokens,
       checkpointEvery: Int = 16): Seq[BpeMerge] = {

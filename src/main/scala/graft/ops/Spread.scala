@@ -52,4 +52,28 @@ object Spread {
       if (scanParts < target) df.repartition(target) else df
     }
   }
+
+  /** [[toCores]] plus a PLAN BARRIER, for spreads that feed a wide
+    * fused chain whose filters Catalyst would otherwise push back BELOW
+    * the spread exchange. `PushPredicateThroughNonJoin` substitutes a
+    * derived-column predicate through the projection and the
+    * round-robin repartition onto the narrow scan side — re-serializing
+    * the chain's whole expression tree onto the exact leg the spread
+    * exists to widen (q133: the synthesized-URL `url_keep` tree, ~50 KB
+    * of predicate, evaluated 2-way pre-exchange AND re-evaluated
+    * post-exchange by the projection; measured 4.45 → 2.28 s).
+    * Persisting the spread output (via [[OpCaches]], so `releaseAll`
+    * keeps per-query hygiene) fixes the cached plan at the exchange:
+    * consumers' filters evaluate OVER the 32-way cache, never below it.
+    *
+    * Scale-neutral like [[toCores]]: on a real corpus the scan is
+    * already ≥ cores partitions, nothing fires, and NO corpus-sized
+    * materialization happens — the cache exists only in the degenerate
+    * tiny-scan case where it is bounded by the input's single row
+    * group. When nothing fires, predicate pushdown to the scan stays
+    * fully enabled (it is desirable there — the scan is already wide). */
+  def toCoresCached(df: DataFrame): DataFrame = {
+    val spread = toCores(df)
+    if (spread eq df) df else OpCaches.persist(spread)
+  }
 }

@@ -3072,7 +3072,13 @@ object DataOpsQueries {
     // tiny exchange of the raw docs buys 32-way parallelism for the
     // fused map; a real crawl arrives already partitioned and skips this
     // (guide §2.5, unsplittable-input remedy).
-    val docs = graft.ops.Spread.toCores(base.unionByName(mutant))
+    // CACHED spread (r15): Catalyst pushed curateWeb's url_keep
+    // predicate — with the whole synthesized-URL tree substituted in —
+    // back below this exchange onto the 2-partition scan side, paying
+    // the ~50 KB predicate serially AND re-paying the URL build above.
+    // The cache barrier pins consumers to the 32-way layout
+    // (same-window A/B 4.45 → 2.28 s; released by releaseAll).
+    val docs = graft.ops.Spread.toCoresCached(base.unionByName(mutant))
     val d2 = pmod(col("doc_id"), lit(100000000L))
     def m(k: Long) = pmod(d2, lit(k))
     val p2 = concat(

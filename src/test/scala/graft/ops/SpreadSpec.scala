@@ -40,6 +40,26 @@ class SpreadSpec extends AnyFunSuite {
     assert(out eq agg, "exchange already governs parallelism; no extra shuffle")
   }
 
+  test("toCoresCached persists the spread layout (the pushdown barrier) " +
+      "and stays identity when nothing fires") {
+    val before = OpCaches.registeredCount
+    val out = Spread.toCoresCached(docs.select("doc_id", "lang"))
+    assert(OpCaches.registeredCount == before + 1,
+      "spread fired: the widened frame must be registered for releaseAll")
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // derived-column filters now plan AGAINST the cache, not below it:
+    // the only scan in a consumer's plan is the in-memory one
+    val consumer = out.filter(length(col("lang")) >= 0)
+    val plan = consumer.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"))
+    assert(consumer.count() == docs.count())
+    OpCaches.releaseAll()
+    // shuffled input: toCores no-ops, so no cache is registered either
+    val agg = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(Spread.toCoresCached(agg) eq agg)
+    assert(OpCaches.registeredCount == 0)
+  }
+
   test("toCores sums union legs and skips already-wide plans") {
     val u = docs.select("doc_id").unionByName(docs.select("doc_id"))
     val wide = Spread.toCores(u) // 2 legs < cores: spreads
