@@ -3863,7 +3863,12 @@ object DataOpsQueries {
     // matched q96 canaries): Spread.toCores on this projection lost
     // 1.95 → 2.59 s — the single-task round-robin shuffle write plus
     // three exchange reads cost more than 32-way partial aggregation
-    // saves; same economics as the rejected persist
+    // saves; same economics as the rejected persist.
+    // NOT the narrower (returnflag, price)-only persist for the two
+    // consumers that skip orderkey either (r15, VERDICT r14 item 5:
+    // same-window 3-run A/B, matched canaries 0.88/0.90): 2.91 → 3.67 s
+    // against — fewer cached bytes, but still a memory-store write plus
+    // two reads versus two cheap 2-column parquet re-scans
     val li = load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"),
         dec2(col("l_extendedprice")).cast("double").as("price"))
