@@ -3123,6 +3123,12 @@ object DataOpsQueries {
     // ONE aggregation (r14): the distinct-domain count rides the same
     // groupBy as countDistinct instead of a second consumer branch +
     // join (3 exchanges fewer, one consumer of the persisted recipe).
+    // INVARIANT (r14 ADVICE): count_distinct drops NULL domains where
+    // the old two-branch distinct counted them as one row; equivalent
+    // here ONLY because blockedDomains is non-empty, so Url.mark's
+    // `keepBase && !dom.isInCollection(blocked)` null-propagates a
+    // null-domain row's url_keep and curateWeb filters it out before
+    // this aggregate — dropping the blocklist requires revisiting this.
     // The count_distinct Expand doubles rows ONLY over the persisted
     // post-cap survivors — bounded by maxPerDomain×domains, never
     // corpus-sized — which is why the two-branch shape isn't needed
