@@ -56,6 +56,8 @@ object NativeWarmup {
       "graft_l2sq" -> NF.graft_l2sq(vec, centroid),
       "graft_argmin_l2" -> NF.graft_argmin_l2(vec,
         centroid ++ centroid.map(_ + 0.5), 8).getField("i"),
+      "graft_cells_by_dist" -> NF.graft_cells_by_dist(vec,
+        centroid ++ centroid.map(_ + 0.5), 8),
       "graft_hplane_sig" -> NF.graft_hplane_sig(vec, 8, 8, 42),
       "graft_shingle_fps" -> NF.graft_shingle_fps(text, 3),
       "graft_gram_buckets" -> NF.graft_gram_buckets(text, 64),
