@@ -534,11 +534,30 @@ object Dedup {
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("hsum")), prev)
       (c, m.getLong(0), Option(m.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
+    val oriented = p.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+    // LOCAL CONTRACTION (Kiveris et al. §local optimizations): collapse
+    // each partition's edge set to rooted stars (node → partition-local
+    // component min) with an in-memory union-find BEFORE the first star
+    // round. Rides the initial checkpoint job — a narrow pass after the
+    // distinct's exchange, no extra job, never more output edges than
+    // input. Connectivity is preserved exactly (within a partition every
+    // node stays attached to its local root; shared node ids link
+    // components across partitions) and the star fixpoint labels every
+    // node with its component MINIMUM regardless of input shape, so the
+    // result is bit-identical — what shrinks is the round-1 shuffle
+    // (locally-redundant edges are gone) and the hanging-tree depth the
+    // rounds must halve. Long ids only (the LSH/near-dup callers); any
+    // other id type keeps the uncontracted path unchanged. Per-partition
+    // state is O(nodes in that partition) — bounded by the distinct's
+    // shuffle partition sizing, the same contract as
+    // [[connectedComponentsWithinGroups]]'s per-group state.
+    val isLongIds = oriented.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
     var (edges, cnt, hsum) = ck(
-      p.filter(col("id_a") =!= col("id_b"))
-        .select(greatest(col("id_a"), col("id_b")).as("u"),
-          least(col("id_a"), col("id_b")).as("v"))
-        .distinct(), None)
+      if (isLongIds) ccLocalContract(oriented) else oriented, None)
     var iter = 0
     var converged = cnt == 0L
     // Round shape measured r15, kept at TWO checkpoint jobs per round:
@@ -645,6 +664,44 @@ object Dedup {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .distinct()
+  }
+
+  /** Per-partition union-find contraction over oriented distinct (u > v)
+    * long-id edges: emits one (node → partition-local component minimum)
+    * edge per non-root node, nothing for roots (each root still appears
+    * as the `v` of its children — every local component has ≥ 2 nodes,
+    * so no node is lost). Output keeps the u > v orientation (roots are
+    * local minima) and is distinct by construction (one row per node).
+    * Same union-by-min + path-compression core as
+    * [[connectedComponentsWithinGroups]], applied per PARTITION instead
+    * of per group key — it needs no grouping shuffle because it only
+    * claims LOCAL minima; the star rounds finish the global merge. */
+  private[graft] def ccLocalContract(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression: point the walked chain at the root
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      it.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+        parent.getOrElseUpdate(ru.min(rv), ru.min(rv))
+      }
+      // materialize the key set BEFORE the final find() pass: path
+      // compression mutates the map while we walk it
+      parent.keys.toArray.iterator
+        .map(id => (id, find(id)))
+        .filter { case (id, root) => id != root }
+    }.toDF("u", "v")
   }
 
   /** One SMALL-STAR step over (child > parent)-oriented edges. */

@@ -402,6 +402,37 @@ class OpsSpec extends AnyFunSuite {
     OpCaches.releaseAll()
   }
 
+  test("CC local contraction: per-partition stars, node set and labels preserved") {
+    import spark.implicits._
+    // 64-node chain, oriented u > v, scattered round-robin over 8 slices
+    // so every partition sees a NON-contiguous edge subset — the
+    // adversarial layout for a partition-local pass: connectivity across
+    // slices survives only through shared node ids
+    val oriented = (0L until 63L).map(i => (i + 1, i))
+      .toDF("u", "v").repartition(8)
+    val contracted = Dedup.ccLocalContract(oriented)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // never more edges than input; child > parent orientation kept;
+    // exactly one out-edge per non-root node (stars, not trees)
+    assert(contracted.length <= 63)
+    assert(contracted.forall { case (u, v) => u > v })
+    assert(contracted.map(_._1).distinct.length == contracted.length)
+    // node set preserved: every one of the 64 chain nodes still appears
+    val nodes = (contracted.map(_._1) ++ contracted.map(_._2)).toSet
+    assert(nodes == (0L to 63L).toSet)
+    // end-to-end: the star loop (which now contracts on long ids) labels
+    // the multi-partition chain identically to the label-prop reference
+    val pairs = (0L until 63L).map(i => (i, i + 1))
+      .toDF("id_a", "id_b").repartition(8)
+    val viaStar = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStar == (0L to 63L).map(i => i -> 0L).toMap)
+    val viaProp = Dedup.connectedComponentsLabelProp(pairs, maxIter = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStar == viaProp)
+    OpCaches.releaseAll()
+  }
+
   test("fixed-point centroid is independent of partition layout") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.groupCentroidFixedPoint(emb, "label", "embedding", dims = 4)
